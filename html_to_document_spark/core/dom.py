@@ -1,0 +1,154 @@
+"""HTML tokenizer + tree builder (SURVEY.md §2.3 T1).
+
+The reference delegates to a browser DOM parser
+(/root/reference/packages/core/src/parser.ts:17-22, pluggable via
+types.ts:619-625). This engine has no browser: a single-regex tokenizer
+feeds a stack-based tree builder that reproduces the handful of
+browser behaviors the golden fixtures exercise:
+
+- HTML5 void elements; explicit ``/>`` self-closing
+- implied closes: a new ``p``-closing tag closes an open ``<p>``;
+  ``li`` closes ``li``; ``tr`` closes ``tr``/``td``/``th``;
+  ``td``/``th`` close ``td``/``th``; ``option`` closes ``option``
+- unclosed tags close at EOF (fixture parser.test.ts:159-169)
+- bare ``<tr>`` inside ``<table>`` is treated as an implied tbody
+  section downstream (fixture parser.test.ts:866)
+- raw-text elements (``script``/``style``): content captured verbatim
+  until the matching close tag
+- character references decoded in text and attribute values
+
+Nodes are plain tuples/lists (no classes) so per-batch throughput
+inside the Arrow UDF stays allocation-light:
+    element node: [tag:str, attrs:dict|None, children:list]
+    text node:    ("#text", decoded_str)
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+RAWTEXT_ELEMENTS = frozenset({"script", "style"})
+
+# tags whose open implies closing an open <p> (HTML5 parsing rules subset)
+_P_CLOSERS = frozenset(
+    "address article aside blockquote div dl fieldset figcaption figure "
+    "footer form h1 h2 h3 h4 h5 h6 header hr main nav ol p pre section "
+    "table ul".split()
+)
+
+_TOKEN_RE = re.compile(r"<[^>]+>|[^<]+")
+_TAG_NAME_RE = re.compile(r"^<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)")
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>/]+))?"""
+)
+
+
+def _parse_attrs(token: str, tag: str) -> dict | None:
+    """Parse attributes out of an open-tag token; values entity-decoded."""
+    body = token[1:-1].rstrip("/")
+    idx = body.lower().find(tag)
+    rest = body[idx + len(tag):]
+    if not rest.strip():
+        return None
+    attrs: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(rest):
+        name = m.group(1).lower()
+        val = m.group(2)
+        if val is None:
+            attrs[name] = ""
+        else:
+            if val[:1] in "\"'" and val[-1:] == val[:1]:
+                val = val[1:-1]
+            attrs[name] = _htmllib.unescape(val)
+    return attrs or None
+
+
+def parse_html(html: str) -> list:
+    """Parse an HTML string into a list of root-level nodes."""
+    tokens = _TOKEN_RE.findall(html)
+    root = ["#root", None, []]
+    stack = [root]  # open element stack
+    open_tags = ["#root"]
+
+    i = 0
+    n = len(tokens)
+    while i < n:
+        token = tokens[i]
+        i += 1
+        if not token.startswith("<"):
+            stack[-1][2].append(("#text", _htmllib.unescape(token)))
+            continue
+        m = _TAG_NAME_RE.match(token)
+        if m is None:
+            # malformed tag token (e.g. "< 5"): treat as text
+            stack[-1][2].append(("#text", _htmllib.unescape(token)))
+            continue
+        closing, tag = m.group(1) == "/", m.group(2).lower()
+
+        if closing:
+            if tag in open_tags:
+                while open_tags[-1] != tag:
+                    stack.pop()
+                    open_tags.pop()
+                stack.pop()
+                open_tags.pop()
+            # unmatched close tag: ignored (browser behavior)
+            continue
+
+        # implied closes before opening this tag
+        if tag in _P_CLOSERS and "p" in open_tags:
+            # only when <p> is still open below; close up to and incl. p
+            while open_tags[-1] != "p":
+                # don't cross structural containers
+                if open_tags[-1] in ("#root", "td", "th", "table", "li"):
+                    break
+                stack.pop()
+                open_tags.pop()
+            if open_tags[-1] == "p":
+                stack.pop()
+                open_tags.pop()
+        if tag == "li" and open_tags[-1] == "li":
+            stack.pop()
+            open_tags.pop()
+        elif tag in ("td", "th") and open_tags[-1] in ("td", "th"):
+            stack.pop()
+            open_tags.pop()
+        elif tag == "tr":
+            while open_tags[-1] in ("td", "th", "tr"):
+                stack.pop()
+                open_tags.pop()
+        elif tag == "option" and open_tags[-1] == "option":
+            stack.pop()
+            open_tags.pop()
+
+        attrs = _parse_attrs(token, tag)
+        node = [tag, attrs, []]
+        stack[-1][2].append(node)
+
+        self_closing = token.rstrip().endswith("/>") or tag in VOID_ELEMENTS
+        if self_closing:
+            continue
+
+        if tag in RAWTEXT_ELEMENTS:
+            # collect raw content until the matching close token
+            close = f"</{tag}"
+            raw_parts = []
+            while i < n:
+                t = tokens[i]
+                if t.startswith("<") and t.lower().startswith(close):
+                    i += 1
+                    break
+                raw_parts.append(t)
+                i += 1
+            if raw_parts:
+                node[2].append(("#text", "".join(raw_parts)))
+            continue
+
+        stack.append(node)
+        open_tags.append(tag)
+
+    return root[2]

@@ -1,0 +1,516 @@
+"""HTML -> ordered span extraction (SURVEY.md §2.3-§2.5).
+
+Reproduces the observable semantics of the reference pipeline
+``minify -> DOM parse -> element walk -> block/inline chunking`` on the
+golden fixture corpus:
+
+- tag dispatch table: /root/reference/packages/core/src/parser.ts:361-649
+- block/inline chunk merging (span boundary rule):
+  /root/reference/packages/adapters/docx/src/element-converters/converter.ts:361-398
+- nested-paragraph-in-list-item break synthesis: converter.ts:324-359
+- table grid expansion (colspan/rowspan/holes):
+  /root/reference/packages/adapters/docx/src/element-converters/block/table.ts:97-159
+- table sections (thead/tbody/tfoot, implied tbody):
+  parser.ts:262-278 (+ parser.test.ts:866)
+- caption placement by ``caption-side``: block/table.ts:67-95
+- page / page-break sections: parser.ts:509-516, docx.adapter.ts:506-563
+- fragment flattening (div/dl dissolve): parser.ts:249-257
+
+Output: ordered list of ``(kind, text, media_ref)`` with
+``kind in {text, image, table, pagebreak}``; the caller assigns
+``offset = position``. Table spans carry a deterministic linearization:
+grid-expanded cells row-major, ``\\t`` between cells, ``\\n`` between
+rows (merged/filler slots empty) — fixed by FIXTURES.md so goldens are
+stable (the reference asserts the same structure at the OOXML level).
+
+Boilerplate strip (north_star): ``script/style/nav/template/...`` are
+always dropped; optional link-density scoring drops link-farm text
+blocks (anchor_chars / chars > threshold for blocks shorter than
+``boilerplate_min_keep_len``).
+
+Pure Python, Spark-free: runs inside Arrow-batched ``mapInPandas``
+(operators/extract_spans.py) and directly in pytest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from html_to_document_spark.core import css as _css
+from html_to_document_spark.core.dom import parse_html
+from html_to_document_spark.core.minify import minify_html
+
+TEXT, IMAGE, TABLE, PAGEBREAK = "text", "image", "table", "pagebreak"
+
+# always-dropped boilerplate/metadata tags (generalized strip-scripts
+# plugin, reference README.md:193-199; semantic whitelist basis
+# stylesheet-seeding.ts:12-186)
+DROP_TAGS = frozenset(
+    "script style nav template noscript head title meta link base iframe "
+    "object svg canvas button select textarea datalist".split()
+)
+
+PARAGRAPH_TAGS = frozenset(
+    "p address pre blockquote figcaption dt dd".split()
+)
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+INLINE_TAGS = frozenset(
+    "strong b em i cite dfn var small u ins span a mark kbd samp s del "
+    "sup sub code abbr q time label font big tt bdi bdo data output "
+    "ruby rt rp wbr".split()
+)
+FRAGMENT_TAGS = frozenset(
+    "div dl article main aside body html center details summary figure "
+    "form fieldset hgroup menu".split()
+)
+LIST_TAGS = frozenset({"ul", "ol"})
+
+
+@dataclass(frozen=True)
+class ExtractOptions:
+    """Job-level extraction config (broadcast to executors once)."""
+
+    minify: bool = True
+    drop_tags: frozenset = DROP_TAGS
+    # link-density boilerplate scoring; None disables
+    boilerplate_max_link_density: float | None = None
+    boilerplate_min_keep_len: int = 80
+    # extra per-tag kind overrides, parity with registerTagHandler
+    # (parser.ts:77-80): tag -> one of 'drop'|'inline'|'paragraph'|'fragment'
+    tag_overrides: dict = field(default_factory=dict)
+
+
+DEFAULT_OPTIONS = ExtractOptions()
+
+
+class _Walker:
+    __slots__ = ("opts", "sheet", "spans", "chunk", "a_depth", "link_chars")
+
+    def __init__(self, opts: ExtractOptions, sheet: _css.Stylesheet | None):
+        self.opts = opts
+        self.sheet = sheet
+        # spans: list of [kind, text, media_ref, link_chars]
+        self.spans: list[list] = []
+        self.chunk: list[str] = []
+        self.a_depth = 0
+        self.link_chars = 0
+
+    # ---- chunk management -------------------------------------------------
+    def _add_text(self, text: str) -> None:
+        if not text:
+            return
+        self.chunk.append(text)
+        if self.a_depth > 0:
+            self.link_chars += len(text)
+
+    def _flush(self, emit_empty: bool = False) -> None:
+        text = "".join(self.chunk)
+        if text or emit_empty:
+            self.spans.append([TEXT, text, None, self.link_chars])
+        self.chunk.clear()
+        self.link_chars = 0
+
+    def _emit(self, kind: str, text: str | None, ref: str | None) -> None:
+        self.spans.append([kind, text, ref, 0])
+
+    # ---- dispatch ---------------------------------------------------------
+    def _kind_of(self, tag: str, attrs: dict | None) -> str:
+        ov = self.opts.tag_overrides.get(tag)
+        if ov is not None:
+            return ov
+        if tag in self.opts.drop_tags:
+            return "drop"
+        if tag in INLINE_TAGS:
+            return "inline"
+        if tag in PARAGRAPH_TAGS or tag in HEADING_TAGS:
+            return "paragraph"
+        if tag in LIST_TAGS:
+            return "list"
+        if tag == "table":
+            return "table"
+        if tag == "img":
+            return "img"
+        if tag == "br":
+            return "br"
+        if tag == "hr":
+            return "hr"
+        if tag == "section":
+            classes = ((attrs or {}).get("class") or "").split()
+            if "page-break" in classes:
+                return "page-break"
+            if "page" in classes:
+                return "page"
+            return "fragment"
+        if tag in FRAGMENT_TAGS or tag in ("header", "footer"):
+            return "fragment"
+        if tag in ("thead", "tbody", "tfoot", "tr", "td", "th", "caption",
+                   "colgroup", "col", "option", "optgroup"):
+            # table/select internals outside their container: fragment
+            return "fragment"
+        # unknown tag -> 'custom' element; the reference treats custom
+        # elements as inline (no block converter -> merged into chunks,
+        # element-converters/converter.ts:98-133,361-376)
+        return "inline"
+
+    def _hidden(self, tag: str, attrs: dict | None) -> bool:
+        if attrs is None and (self.sheet is None or not self.sheet.rules):
+            return False
+        style = _css.computed_style(tag, attrs, self.sheet)
+        disp = style.get("display")
+        return disp is not None and disp.strip().lower() == "none"
+
+    # ---- walks ------------------------------------------------------------
+    def walk_fragment(self, children: list) -> None:
+        """Block/inline chunking at container level (converter.ts:361-398)."""
+        n = len(children)
+        for i, node in enumerate(children):
+            if node[0] == "#text":
+                self._add_text(node[1])
+                continue
+            tag, attrs, kids = node
+            kind = self._kind_of(tag, attrs)
+            if kind == "drop" or self._hidden(tag, attrs):
+                continue
+            if kind == "inline":
+                self.walk_inline(node)
+            elif kind == "br":
+                self._add_text("\n")
+            elif kind == "img":
+                self._flush()
+                self._emit(IMAGE, None, (attrs or {}).get("src"))
+            else:
+                self._flush()
+                self._block(node, kind, is_last=(i == n - 1))
+        # caller decides whether to flush at the very end
+
+    def walk_inline(self, node: list) -> None:
+        tag = node[0]
+        is_anchor = tag == "a"
+        if is_anchor:
+            self.a_depth += 1
+        for child in node[2]:
+            if child[0] == "#text":
+                self._add_text(child[1])
+                continue
+            ctag, cattrs, _ = child
+            kind = self._kind_of(ctag, cattrs)
+            if kind == "drop" or self._hidden(ctag, cattrs):
+                continue
+            if kind == "inline":
+                self.walk_inline(child)
+            elif kind == "br":
+                self._add_text("\n")
+            elif kind == "img":
+                self._flush()
+                self._emit(IMAGE, None, (cattrs or {}).get("src"))
+            else:
+                self._flush()
+                self._block(child, kind, is_last=False)
+        if is_anchor:
+            self.a_depth -= 1
+
+    def _block(self, node: list, kind: str, is_last: bool) -> None:
+        tag, attrs, kids = node
+        if kind == "paragraph":
+            self._paragraph(node)
+        elif kind == "list":
+            self._list(node)
+        elif kind == "table":
+            self._table(node)
+        elif kind == "hr":
+            self._emit(TEXT, "", None)
+        elif kind == "page-break":
+            self._emit(PAGEBREAK, None, None)
+        elif kind == "page":
+            self.walk_fragment(kids)
+            self._flush()
+            if not is_last:
+                self._emit(PAGEBREAK, None, None)
+        else:  # fragment: dissolve wrapper (parser.ts:249-257)
+            self.walk_fragment(kids)
+            self._flush()
+
+    def _paragraph(self, node: list) -> None:
+        before = len(self.spans)
+        for child in node[2]:
+            if child[0] == "#text":
+                self._add_text(child[1])
+                continue
+            ctag, cattrs, _ = child
+            kind = self._kind_of(ctag, cattrs)
+            if kind == "drop" or self._hidden(ctag, cattrs):
+                continue
+            if kind == "inline":
+                self.walk_inline(child)
+            elif kind == "br":
+                self._add_text("\n")
+            elif kind == "img":
+                self._flush()
+                self._emit(IMAGE, None, (cattrs or {}).get("src"))
+            else:
+                self._flush()
+                self._block(child, kind, is_last=False)
+        if self.chunk:
+            self._flush()
+        elif len(self.spans) == before:
+            # genuinely empty paragraph -> empty text span (docx parity)
+            self._flush(emit_empty=True)
+
+    def _list(self, node: list) -> None:
+        for child in node[2]:
+            if child[0] == "#text":
+                continue  # inter-item whitespace (minify drops it anyway)
+            ctag, cattrs, _ = child
+            if ctag == "li":
+                self._list_item(child)
+            elif ctag in LIST_TAGS:
+                self._list(child)
+            # anything else inside a list container is ignored
+
+    def _list_item(self, li: list) -> None:
+        """One text span per item; nested paragraphs inlined with
+        synthesized breaks (converter.ts:324-359)."""
+        before = len(self.spans)
+        content = li[2]
+        has_block_child = False
+        n = len(content)
+        for i, child in enumerate(content):
+            if child[0] == "#text":
+                self._add_text(child[1])
+                continue
+            ctag, cattrs, _ = child
+            kind = self._kind_of(ctag, cattrs)
+            if kind == "drop" or self._hidden(ctag, cattrs):
+                continue
+            if kind == "inline":
+                self.walk_inline(child)
+            elif kind == "br":
+                self._add_text("\n")
+            elif kind == "img":
+                self._flush()
+                self._emit(IMAGE, None, (cattrs or {}).get("src"))
+            elif kind == "paragraph" and ctag == "p":
+                # inlineParagraphs: '\n' before when non-first, non-empty,
+                # prev sibling not a paragraph; '\n' after when non-last
+                has_content = bool(child[2])
+                prev = content[i - 1] if i > 0 else None
+                prev_is_p = (
+                    prev is not None and prev[0] == "p"
+                )
+                if has_content and i > 0 and not prev_is_p:
+                    self._add_text("\n")
+                for gc in child[2]:
+                    if gc[0] == "#text":
+                        self._add_text(gc[1])
+                    elif self._kind_of(gc[0], gc[1]) == "inline":
+                        self.walk_inline(gc)
+                    elif gc[0] == "br":
+                        self._add_text("\n")
+                if i < n - 1:
+                    self._add_text("\n")
+            else:
+                has_block_child = True
+                if self.chunk:
+                    self._flush()
+                self._block(child, kind, is_last=False)
+        if self.chunk:
+            self._flush()
+        elif len(self.spans) == before and not has_block_child:
+            self._flush(emit_empty=True)  # explicitly empty <li>
+
+    # ---- tables -----------------------------------------------------------
+    def _table(self, node: list) -> None:
+        rows: list[tuple[str, list]] = []  # (section, cells)
+        caption_text: str | None = None
+        caption_side = "top"
+        nested_tables_after: list[list] = []
+
+        for child in node[2]:
+            if child[0] == "#text":
+                continue
+            ctag, cattrs, ckids = child
+            if ctag == "tr":
+                rows.append(("tbody", self._row_cells(child)))
+            elif ctag in ("thead", "tbody", "tfoot"):
+                for tr in ckids:
+                    if tr[0] == "tr":
+                        rows.append((ctag, self._row_cells(tr)))
+            elif ctag == "caption":
+                caption_text = _flatten_text(child, self)
+                style = _css.computed_style(ctag, cattrs, self.sheet)
+                caption_side = style.get("caption-side", "top").strip().lower()
+            # colgroup/col: no text effect (attribute hoisting T6 -> dropped)
+
+        # section-ordered linearization: thead, tbody (incl. bare tr), tfoot
+        ordered = (
+            [c for s, c in rows if s == "thead"]
+            + [c for s, c in rows if s == "tbody"]
+            + [c for s, c in rows if s == "tfoot"]
+        )
+        text = _linearize_grid(ordered)
+
+        if caption_text and caption_side != "bottom":
+            self._emit(TEXT, caption_text, None)
+        self._emit(TABLE, text, None)
+        if caption_text and caption_side == "bottom":
+            self._emit(TEXT, caption_text, None)
+
+    def _row_cells(self, tr: list) -> list:
+        cells = []
+        for cell in tr[2]:
+            if cell[0] in ("td", "th"):
+                attrs = cell[1] or {}
+                cells.append(
+                    (
+                        _flatten_text(cell, self),
+                        _span_int(attrs.get("colspan")),
+                        _span_int(attrs.get("rowspan")),
+                    )
+                )
+        return cells
+
+
+def _span_int(val) -> int:
+    try:
+        n = int(str(val).strip())
+    except (TypeError, ValueError):
+        return 1
+    return max(n, 1)
+
+
+def _flatten_text(node: list, walker: _Walker) -> str:
+    """Flatten a subtree to text: block children separated by '\\n',
+    ``br`` -> '\\n', nested tables -> their linearization, images dropped."""
+    parts: list[str] = []
+
+    def rec(n: list, depth: int) -> None:
+        for child in n[2]:
+            if child[0] == "#text":
+                parts.append(child[1])
+                continue
+            ctag, cattrs, _ = child
+            kind = walker._kind_of(ctag, cattrs)
+            if kind == "drop" or walker._hidden(ctag, cattrs):
+                continue
+            if kind == "br":
+                parts.append("\n")
+            elif kind == "img":
+                continue
+            elif kind == "table":
+                sub = _Walker(walker.opts, walker.sheet)
+                sub._table(child)
+                parts.append(
+                    "\n".join(s[1] for s in sub.spans if s[1] is not None)
+                )
+            elif kind == "inline":
+                rec(child, depth + 1)
+            else:  # block inside cell: newline-separated
+                if parts and not parts[-1].endswith("\n"):
+                    parts.append("\n")
+                rec(child, depth + 1)
+
+    rec(node, 0)
+    return "".join(parts)
+
+
+def _linearize_grid(rows: list[list]) -> str:
+    """Grid expansion with colspan/rowspan/hole filling (table.ts:97-159)
+    then row-major linearization: '\\t' cells, '\\n' rows; continue/filler
+    slots are empty strings."""
+    if not rows:
+        return ""
+    # first pass: grid width
+    n_rows = len(rows)
+    # occupancy: dict[(r,c)] -> True for slots consumed by earlier spans
+    occupied: dict[tuple[int, int], bool] = {}
+    grid: dict[tuple[int, int], str] = {}
+    max_col = 0
+    for r, cells in enumerate(rows):
+        c = 0
+        for text, colspan, rowspan in cells:
+            while (r, c) in occupied:
+                c += 1
+            grid[(r, c)] = text
+            for dr in range(rowspan):
+                for dc in range(colspan):
+                    if dr == 0 and dc == 0:
+                        occupied[(r, c)] = True
+                    else:
+                        occupied[(r + dr, c + dc)] = True
+            c += colspan
+        max_col = max(max_col, c)
+    # rowspans may extend occupancy beyond declared width
+    for (r, c) in occupied:
+        if r < n_rows and c + 1 > max_col:
+            max_col = c + 1
+    lines = []
+    for r in range(n_rows):
+        line = [grid.get((r, c), "") for c in range(max_col)]
+        lines.append("\t".join(line))
+    return "\n".join(lines)
+
+
+def _collect_styles(nodes: list, sheet: _css.Stylesheet) -> None:
+    """Lift all <style> element CSS into the per-doc stylesheet
+    (css-parser plugin, plugins/css-parser/src/index.ts:15-43)."""
+    for node in nodes:
+        if node[0] == "#text":
+            continue
+        if node[0] == "style":
+            for child in node[2]:
+                if child[0] == "#text":
+                    sheet.add_css(child[1])
+            continue
+        _collect_styles(node[2], sheet)
+
+
+def extract_document(
+    html: str, options: ExtractOptions = DEFAULT_OPTIONS
+) -> list[tuple[str, str | None, str | None, int]]:
+    """Full per-document pipeline: minify -> parse -> walk -> spans.
+
+    Returns ``[(kind, text, media_ref, offset), ...]`` with
+    ``offset == position``; deterministic pure function of ``html`` (and
+    options), stable under any Spark repartitioning.
+    """
+    if html is None:
+        return []
+    if options.minify:
+        html = minify_html(html)
+    nodes = parse_html(html)
+
+    sheet = _css.Stylesheet()
+    _collect_styles(nodes, sheet)
+
+    walker = _Walker(options, sheet)
+    walker.walk_fragment(nodes)
+    walker._flush()
+
+    spans = walker.spans
+    thr = options.boilerplate_max_link_density
+    if thr is not None:
+        keep_len = options.boilerplate_min_keep_len
+        spans = [
+            s
+            for s in spans
+            if not (
+                s[0] == TEXT
+                and s[1]
+                and len(s[1]) < keep_len
+                and s[3] / len(s[1]) > thr
+            )
+        ]
+    return [(k, t, r, i) for i, (k, t, r, _) in enumerate(spans)]
+
+
+def assemble_html(in_spans: list) -> str:
+    """Input interleaved spans -> one HTML string (FIXTURES.md §1.1):
+    text spans concatenate in offset order; image spans appear as
+    ``<img src="{media_ref}">`` at their position."""
+    parts = []
+    for s in sorted(in_spans, key=lambda s: s["offset"]):
+        if s["kind"] == "image":
+            parts.append(f'<img src="{s["media_ref"]}">')
+        else:
+            parts.append(s["text"] or "")
+    return "".join(parts)

@@ -1,0 +1,59 @@
+"""Minify parity tests — cases re-expressed from the reference's
+minify.middleware.test.ts:4-96 (same inputs, same expected strings)."""
+
+import pytest
+
+from html_to_document_spark.core.minify import minify_html
+
+CASES = [
+    ("<div><!-- comment -->Hello</div>", "<div>Hello</div>"),
+    ("<pre>Hello\r\nWorld</pre>", "<pre>Hello\r\nWorld</pre>"),
+    ("<pre>Hello\n    \n    World</pre>", "<pre>Hello\n    \n    World</pre>"),
+    (
+        "<div><span>Hello </span><span>World</span><span> We</span><span> Here</span></div>",
+        "<div><span>Hello </span><span>World</span><span> We</span><span> Here</span></div>",
+    ),
+    (
+        """<ol>
+                    <li>awej</li>
+                    <li>awew</li>
+                    <li>rw</li>
+                    </ol>
+                    <ul>
+                    <li>Hello
+                    <ul>
+                    <li>There</li>
+                    </ul>
+                    </li>
+                    <li>My <span style="color: #b96ad9;">world is</span> here
+                    <ul>
+                    <li>Also <strong>ther</strong>
+                    <ul>
+                    <li><strong>What else? </strong>Is <strong>There?</strong></li>
+                    </ul>
+                    </li>
+                    </ul>
+                    </li>
+                    </ul>""",
+        '<ol><li>awej</li><li>awew</li><li>rw</li></ol><ul><li>Hello <ul>'
+        '<li>There</li></ul></li><li>My <span style="color: #b96ad9;">world is'
+        "</span> here <ul><li>Also <strong>ther</strong><ul><li><strong>"
+        "What else? </strong>Is <strong>There?</strong></li></ul></li></ul>"
+        "</li></ul>",
+    ),
+    (
+        '<p style="font-weight:bold" data-custom="x">\n      <span style="color: red;">Hello\n'
+        '        <span style="color: green;">Green World</span>\n      </span>World</p>',
+        '<p style="font-weight:bold" data-custom="x"><span style="color: red;">'
+        'Hello <span style="color: green;">Green World</span></span>World</p>',
+    ),
+    ("<div>\nHello\r\nWorld</div>", "<div>Hello World</div>"),
+    ("<div> </div>   <span>text</span>", "<div></div><span>text</span>"),
+    ("<p>   Lots     of    space   </p>", "<p>Lots of space</p>"),
+    ("   <div>content</div>   ", "<div>content</div>"),
+]
+
+
+@pytest.mark.parametrize("html,expected", CASES, ids=range(len(CASES)))
+def test_minify(html, expected):
+    assert minify_html(html) == expected
