@@ -1,0 +1,54 @@
+"""Table I/O.
+
+Production target is Iceberg (north_rule); the sandbox has no Iceberg
+catalog jars, so reads/writes fall back to a parquet directory layout
+with the identical schema. ``spans_format()`` probes once per session.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def load_tables(spark: "SparkSession", sf_dir: str) -> dict[str, "DataFrame"]:
+    """Load the driver testdata tables and register them as temp views."""
+    out = {}
+    for name in TESTDATA_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def _iceberg_available(spark: "SparkSession") -> bool:
+    try:
+        return bool(
+            spark.conf.get("spark.sql.catalog.spark_catalog", None)
+            or spark.conf.get("spark.sql.catalog.local", None)
+        )
+    except Exception:
+        return False
+
+
+def write_spans(df: "DataFrame", target: str) -> None:
+    """Write an extracted-spans table. ``target`` is an Iceberg table
+    name when a catalog is configured, else a parquet directory path."""
+    spark = df.sparkSession
+    if _iceberg_available(spark):
+        df.writeTo(target).createOrReplace()
+    else:
+        df.write.mode("overwrite").parquet(target)
+
+
+def read_spans(spark: "SparkSession", target: str) -> "DataFrame":
+    if _iceberg_available(spark):
+        return spark.read.format("iceberg").load(target)
+    return spark.read.parquet(target)

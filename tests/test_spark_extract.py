@@ -1,0 +1,116 @@
+"""Spark-path golden tests: the mapInPandas extraction operator must
+produce the exact golden span sequences, and must be invariant to
+salted repartitioning (determinism-at-scale invariant, SURVEY.md §7)."""
+
+import json
+import pathlib
+
+import pytest
+
+from html_to_document_spark.operators.extract_spans import (
+    OUTPUT_SCHEMA,
+    exploded,
+    extract_spans,
+    salted_repartition,
+)
+from html_to_document_spark.sources.synthetic import gen_doc, generate_corpus
+from html_to_document_spark.core.extract import assemble_html, extract_document
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
+
+
+def _default_fixtures():
+    out = []
+    for path in sorted(GOLDEN_DIR.glob("*.json")):
+        fx = json.loads(path.read_text())
+        if not fx.get("options"):  # spark operator runs default options
+            out.append(fx)
+    return out
+
+
+def test_golden_corpus_via_spark(spark):
+    fixtures = _default_fixtures()
+    rows = [
+        (
+            fx["name"],
+            [
+                {"kind": "text", "text": fx["html"], "media_ref": None,
+                 "offset": 0}
+            ],
+        )
+        for fx in fixtures
+    ]
+    df = spark.createDataFrame(rows, OUTPUT_SCHEMA)
+    got = {
+        r.doc_id: [
+            (s.kind, s.text, s.media_ref, s.offset) for s in r.spans
+        ]
+        for r in extract_spans(df).collect()
+    }
+    for fx in fixtures:
+        expected = [tuple(row) for row in fx["expected"]]
+        assert got[fx["name"]] == expected, fx["name"]
+
+
+def test_interleaved_input_spans(spark):
+    rows = [
+        (
+            "doc-a",
+            [
+                {"kind": "text", "text": "<p>before</p>", "media_ref": None,
+                 "offset": 0},
+                {"kind": "image", "text": None, "media_ref": "media://x",
+                 "offset": 1},
+                {"kind": "text", "text": "<p>after</p>", "media_ref": None,
+                 "offset": 2},
+            ],
+        )
+    ]
+    df = spark.createDataFrame(rows, OUTPUT_SCHEMA)
+    [row] = extract_spans(df).collect()
+    assert [(s.kind, s.text, s.media_ref, s.offset) for s in row.spans] == [
+        ("text", "before", None, 0),
+        ("image", None, "media://x", 1),
+        ("text", "after", None, 2),
+    ]
+
+
+def test_repartition_invariance(spark):
+    """Span output must be a pure function of row content: identical
+    results at different partitionings (scale determinism)."""
+    corpus = generate_corpus(spark, 60, seed=7, giant_frac=0.0)
+    a = {
+        r.doc_id: r.spans
+        for r in extract_spans(salted_repartition(corpus, 2)).collect()
+    }
+    b = {
+        r.doc_id: r.spans
+        for r in extract_spans(salted_repartition(corpus, 13, salt_seed=9)).collect()
+    }
+    assert a == b
+    assert len(a) == 60
+
+
+def test_spark_matches_pure_python(spark):
+    """Distributed extraction == single-node reference path, doc by doc."""
+    n = 40
+    corpus = generate_corpus(spark, n, seed=11, giant_frac=0.0)
+    got = {r.doc_id: [
+        (s.kind, s.text, s.media_ref, s.offset) for s in r.spans
+    ] for r in extract_spans(corpus).collect()}
+    for i in range(n):
+        doc = gen_doc(i, seed=11, giant_frac=0.0)
+        expected = extract_document(assemble_html(doc["spans"]))
+        assert got[doc["doc_id"]] == expected, doc["doc_id"]
+
+
+def test_exploded_projection(spark):
+    rows = [("d1", [
+        {"kind": "text", "text": "<p>x</p><hr>", "media_ref": None, "offset": 0},
+    ])]
+    df = extract_spans(spark.createDataFrame(rows, OUTPUT_SCHEMA))
+    flat = exploded(df).orderBy("offset").collect()
+    assert [(r.offset, r.kind, r.text) for r in flat] == [
+        (0, "text", "x"),
+        (1, "text", ""),
+    ]
