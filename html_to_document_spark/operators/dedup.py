@@ -1,0 +1,287 @@
+"""Deduplication operators (task brief): exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale notes (100 TB thinking):
+- exact dedup is a single hash-shuffle on a 64-bit digest of the text,
+  never on the text itself (shuffle bytes ~ O(rows * 8), not O(corpus))
+- MinHash signatures are computed columnar (arrays of JVM expressions,
+  no Python); LSH banding turns all-pairs into an equi-join on
+  (band_id, band_hash) — the only shuffle is by band key
+- candidate verification (estimated Jaccard from signature agreement)
+  happens on the joined pairs only
+- SimHash reduces each doc to 64 bits; near-dup search joins on 16-bit
+  chunks (any chunk equal => candidate within Hamming radius by
+  pigeonhole)
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import Column, DataFrame
+
+
+def exact_dedup_groups(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Exact duplicate groups: digest -> (keeper, dup count)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(F.col(text_col).alias("dup_text"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_dups"),
+        )
+        .select(
+            F.xxhash64("dup_text").alias("digest"),
+            "keeper_id",
+            "n_dups",
+        )
+    )
+
+
+def exact_dedup(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Keep the min-id row per exact text; one shuffle on the digest."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.xxhash64(text_col)).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def word_shingles(col, n: int = 3) -> "Column":
+    """Distinct word n-grams as an array column (pure JVM exprs)."""
+    from pyspark.sql import functions as F
+
+    words = F.split(F.trim(col), r"\s+")
+    k = F.size(words) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(
+    df: "DataFrame",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> "DataFrame":
+    """MinHash signature: min over shingles of xxhash64(shingle, seed_j)
+    for each of ``num_hashes`` seeded hash family members. Entirely
+    JVM-side (transform + array_min), no Python in the loop."""
+    from pyspark.sql import functions as F
+
+    sh = word_shingles(F.col(text_col), shingle_n)
+    out = df.withColumn("_sh", sh)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("_sh", lambda s, j=j: F.xxhash64(s, F.lit(j)))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    return out.withColumn("minhash", sig).drop("_sh")
+
+
+def minhash_lsh_pairs(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> "DataFrame":
+    """Near-duplicate candidate pairs via banded LSH over MinHash
+    signatures, with estimated Jaccard = fraction of agreeing hashes.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
+    """
+    from pyspark.sql import functions as F
+
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, text_col, num_hashes, shingle_n).select(
+        F.col(id_col).alias("_id"), "minhash"
+    )
+
+    banded = sigs.select(
+        "_id",
+        "minhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("minhash")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.minhash").alias("sig_a"),
+            F.col("r.minhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return (
+        pairs.withColumn("est_jaccard", F.round(agree / num_hashes, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_col=None,
+) -> "DataFrame":
+    """EXACT n-gram Jaccard between candidate pairs.
+
+    All-pairs Jaccard is O(n^2) — at scale, pass ``block_col`` (e.g. a
+    MinHash band key or a length bucket) to restrict the join; default
+    blocks on the first shingle (cheap, misses nothing with prefix-
+    identical near-dups; use minhash_lsh_pairs for the general case).
+    """
+    from pyspark.sql import functions as F
+
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    block = block_col if block_col is not None else F.col("sh")[0]
+    sh = sh.withColumn("_block", block)
+    l, r = sh.alias("l"), sh.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l._block") == F.col("r._block"))
+        & (F.col("l._id") < F.col("r._id")),
+    )
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    return (
+        pairs.select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> "DataFrame":
+    """64-bit SimHash from word xxhash64s: bit i of the result is 1 iff
+    the sum over words of sign(bit i of hash(word)) is positive.
+    Computed via explode + 64 conditional sums (single shuffle)."""
+    from pyspark.sql import functions as F
+
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+
+    votes = words.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return votes.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> "DataFrame":
+    """Candidate pairs within Hamming distance via 16-bit chunk join
+    (4 chunks => any pair with distance <= 3 shares a chunk)."""
+    from pyspark.sql import functions as F
+
+    sims = simhash(df, text_col, id_col)
+    chunks = sims.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (task brief).
+
+- ``cosine_topk``: brute-force exact top-k. The query side is small and
+  explicitly ``broadcast()`` — the corpus is never shuffled; cosine is
+  computed with JVM higher-order functions (zip_with + aggregate), no
+  Python in the scan.
+- ``lsh_ann_topk``: random-hyperplane LSH scale path. Hyperplanes are
+  generated once on the driver from a fixed seed and inlined as
+  literals; candidates = corpus rows sharing a bucket in any of
+  ``num_tables`` tables (join on bucket key), then exact cosine re-rank
+  within candidates. At 100 TB the bucket join replaces the full scan
+  per query batch.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import Column, DataFrame
+
+
+def _dot(a, b) -> "Column":
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> "Column":
+    from pyspark.sql import functions as F
+
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a, b) -> "Column":
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: "DataFrame",
+    corpus: "DataFrame",
+    k: int = 3,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> "DataFrame":
+    """Exact brute-force top-k: broadcast the (small) query set against
+    the corpus, rank by (rounded cosine desc, candidate id asc).
+
+    Rounding to 4 decimals before ranking pins the ordering across
+    engines/float-fold orders (oracle comparability)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(c_id).alias("candidate_id"), F.col(c_vec).alias("_cv")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("candidate_id")).select(
+        "query_id",
+        "candidate_id",
+        F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "candidate_id", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def _bucket_expr(vec_col, planes) -> "Column":
+    """Sign-bit bucket id for one LSH table (JVM-side fold)."""
+    from pyspark.sql import functions as F
+
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(w)) for w in plane])
+        bit = F.when(_dot(vec_col, lit_plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def lsh_ann_topk(
+    queries: "DataFrame",
+    corpus: "DataFrame",
+    k: int = 3,
+    dim: int = 64,
+    bits_per_table: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> "DataFrame":
+    """Approximate top-k: random-hyperplane buckets -> candidate join ->
+    exact cosine re-rank. Recall tested against cosine_topk."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tables = [
+        _hyperplanes(dim, bits_per_table, seed + 1000 * t)
+        for t in range(num_tables)
+    ]
+
+    def with_buckets(df, id_alias, vec_alias, id_col, vec_col):
+        out = df.select(
+            F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
+        )
+        return out.select(
+            id_alias,
+            vec_alias,
+            F.posexplode(
+                F.array(
+                    *[_bucket_expr(F.col(vec_alias), planes) for planes in tables]
+                )
+            ).alias("table_id", "bucket"),
+        )
+
+    qb = with_buckets(queries, "query_id", "_qv", q_id, q_vec)
+    cb = with_buckets(corpus, "candidate_id", "_cv", c_id, c_vec)
+
+    candidates = (
+        cb.join(
+            F.broadcast(qb),
+            (qb.table_id == cb.table_id)
+            & (qb.bucket == cb.bucket)
+            & (F.col("query_id") != F.col("candidate_id")),
+        )
+        .select("query_id", "candidate_id", "_qv", "_cv")
+        .dropDuplicates(["query_id", "candidate_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "candidate_id",
+        F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "candidate_id", "cosine")
+    )

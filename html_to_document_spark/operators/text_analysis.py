@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines (task brief):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — no Python UDFs. Each operator has a matching
+ANSI-SQL oracle in ``__spark_entry__.oracle_sql`` so semantics are
+pinned cross-engine (DuckDB).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import Column, DataFrame
+
+# small deterministic stopword profiles (n-gram heuristic, SQL-expressible)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def _word_count(col) -> "Column":
+    from pyspark.sql import functions as F
+
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def token_stats(df: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Whitespace tokens + BPE-ish subword estimate + char stats."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.length(c).alias("n_chars_measured"),
+        _word_count(c).alias("n_tokens_ws"),
+        # BPE-ish: alnum runs + punctuation each count as a token
+        F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0))).alias(
+            "n_tokens_bpe"
+        ),
+        F.round(
+            F.length(F.regexp_replace(c, r"\s+", "")) / _word_count(c), 4
+        ).alias("avg_token_len"),
+    )
+
+
+def lang_scores(col, lang: str) -> "Column":
+    """Count of the language's stopwords as standalone words."""
+    from pyspark.sql import functions as F
+
+    pat = r"\b(" + "|".join(LANG_PROFILES[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+
+
+def lang_id(df: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Stopword-profile language ID; ties break by profile order
+    (en, es, fr, de) and fall back to 'und' when all scores are 0."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    scored = df.select(
+        "doc_id",
+        *[lang_scores(c, lang).alias(f"score_{lang}") for lang in LANG_PROFILES],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PROFILES])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PROFILES:  # first max wins => deterministic tie-break
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.withColumn("lang_pred", pred)
+
+
+def quality_score(df: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Length / punctuation / stopword heuristics -> [0,1] quality."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_words = _word_count(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_stop = lang_scores(c, "en")
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 4)
+    len_score = F.least(n_words / F.lit(20.0), F.lit(1.0))
+    score = F.round(
+        0.5 * len_score
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.2 * (1 - F.least(punct_ratio * 10, F.lit(1.0))),
+        4,
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_measured"),
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(df: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Order-sensitive rolling document fingerprint.
+
+    Defined over (position, first-char code, word length) so the exact
+    same integer is computable in ANSI SQL on any engine:
+        fp = sum_i (i+1) * (ascii(word_i[0]) * 31 + len(word_i)) mod P
+    """
+    from pyspark.sql import functions as F
+
+    words = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "word"
+        ),
+    )
+    term = (F.col("pos") + 1) * (
+        F.ascii(F.substring("word", 1, 1)) * 31 + F.length("word")
+    )
+    return (
+        words.groupBy("doc_id")
+        .agg((F.sum(term) % FINGERPRINT_MOD).alias("fp"))
+    )

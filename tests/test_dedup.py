@@ -1,0 +1,59 @@
+import pytest
+from pyspark.sql import functions as F
+
+from html_to_document_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles partitions across the cluster with arrow batches"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-word edit => high jaccard
+FAR = "completely different content about tables and lists and images here"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, FAR), (5, FAR + " extra")],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(spark, docs):
+    kept = exact_dedup(docs)
+    assert kept.count() == 4
+    assert {r.doc_id for r in kept.collect()} == {1, 3, 4, 5}
+    groups = {r.keeper_id: r.n_dups for r in exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in minhash_lsh_pairs(docs, threshold=0.35).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs  # planted near-dup
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+
+
+def test_simhash_near_pairs(spark, docs):
+    sims = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sims[1] == sims[2]
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # near-dup within small hamming radius
+    assert (1, 4) not in pairs

@@ -1,0 +1,40 @@
+import pytest
+
+from html_to_document_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_cosine_topk_exact(spark, emb):
+    queries = emb.filter("vec_id < 3")
+    got = cosine_topk(queries, emb, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) == 3
+        sims = [r.cosine for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.candidate_id != q for r in rows)
+        assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_lsh_ann_recall(spark, emb):
+    """ANN top-k should recover a decent fraction of the exact top-k."""
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk(queries, emb, k=5).collect()
+    # synthetic embeddings are near-isotropic (no cluster structure), the
+    # hardest case for hyperplane LSH — use shallow buckets, many tables
+    approx = lsh_ann_topk(queries, emb, k=5, dim=64,
+                          bits_per_table=4, num_tables=16).collect()
+    exact_set = {(r.query_id, r.candidate_id) for r in exact}
+    approx_set = {(r.query_id, r.candidate_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"

@@ -1,0 +1,60 @@
+import pytest
+from pyspark.sql import functions as F
+
+from html_to_document_spark.operators.text_analysis import (
+    FINGERPRINT_MOD,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is big"),
+            (2, "el perro de la casa que los gatos"),
+            (3, "xyzzy plugh"),
+            (4, "a b  c"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_token_stats(spark, docs):
+    rows = {r.doc_id: r for r in token_stats(docs).collect()}
+    assert rows[1].n_tokens_ws == 10
+    assert rows[4].n_tokens_ws == 3
+    assert rows[4].n_tokens_bpe == 3
+    assert rows[1].n_chars_measured == 39
+
+
+def test_lang_id(spark, docs):
+    rows = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "es"
+    assert rows[3] == "und"
+
+
+def test_quality_score_bounds(spark, docs):
+    for r in quality_score(docs).collect():
+        assert 0.0 <= r.quality <= 1.0
+    rows = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert rows[1].quality > rows[3].quality  # stopword-rich beats gibberish
+
+
+def test_fingerprint_matches_reference_formula(spark, docs):
+    rows = {r.doc_id: r.fp for r in fingerprint(docs).collect()}
+
+    def ref_fp(text):
+        total = 0
+        for i, w in enumerate(text.split()):
+            total += (i + 1) * (ord(w[0]) * 31 + len(w))
+        return total % FINGERPRINT_MOD
+
+    # doc 4 has a double space: split(r"\s+") produces 3 words
+    assert rows[1] == ref_fp("the cat and the dog of the house is big")
+    assert rows[3] == ref_fp("xyzzy plugh")
+    assert rows[4] == ref_fp("a b c")
