@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction over sf0.001.
+``queries()`` — one entry per implemented operator family
+(SURVEY.md §2 + training-data operators); each callable takes
+``(spark, sf_dir)`` and returns a DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only
+for ops whose hashing isn't SQL-portable; those get rows-only checks).
+
+Column names and types are aligned on both sides (the driver hashes
+values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +16,632 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from html_to_document_spark.core.extract import ExtractOptions
+from html_to_document_spark.operators.extract_spans import (
+    exploded,
+    extract_spans,
+    extract_spans_from_html,
+)
+from html_to_document_spark.operators import dedup as D
+from html_to_document_spark.operators import similarity as SIM
+from html_to_document_spark.operators import text_analysis as TA
+from html_to_document_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+from html_to_document_spark.sources.synthetic import generate_corpus
+
+FINGERPRINT_MOD = TA.FINGERPRINT_MOD
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# extraction queries: HTML assembled from the documents table in-query so
+# the DuckDB oracle can construct the expected span rows directly
+# ---------------------------------------------------------------------------
+
+def _with_html(df: DataFrame, html_col) -> DataFrame:
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"), html_col.alias("html")
+    )
+
+
+def _extract_exploded(df: DataFrame, opts: ExtractOptions | None = None) -> DataFrame:
+    out = extract_spans_from_html(df, options=opts or ExtractOptions())
+    flat = exploded(out)
+    return flat.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("offset").cast("int").alias("offset"),
+        "kind",
+        "text",
+        "media_ref",
+    )
+
+
+def q_extract_paragraph(spark, sf_dir):
+    df = _with_html(
+        _docs(spark, sf_dir), F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+    )
+    return _extract_exploded(df)
+
+
+def q_extract_multi_block(spark, sf_dir):
+    html = F.concat(
+        F.lit("<h1>"), F.col("source"), F.lit("</h1>"),
+        F.lit('<nav><a href="/x">menu</a></nav>'),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit("<script>var x=1;</script>"),
+        F.lit('<img src="media://'), F.col("doc_id").cast("string"), F.lit('">'),
+        F.lit("<hr>"),
+    )
+    return _extract_exploded(_with_html(_docs(spark, sf_dir), html))
+
+
+def q_extract_table_linearize(spark, sf_dir):
+    html = F.concat(
+        F.lit("<table><tr><td>"), F.col("lang"),
+        F.lit("</td><td>"), F.col("source"),
+        F.lit('</td></tr><tr><td colspan="2">'),
+        F.col("n_chars").cast("string"),
+        F.lit("</td></tr></table>"),
+    )
+    return _extract_exploded(_with_html(_docs(spark, sf_dir), html))
+
+
+def q_extract_list_items(spark, sf_dir):
+    html = F.concat(
+        F.lit("<ul><li>"), F.col("lang"), F.lit(" one</li><li><ol><li>"),
+        F.col("source"), F.lit("</li></ol></li></ul>"),
+    )
+    return _extract_exploded(_with_html(_docs(spark, sf_dir), html))
+
+
+def q_extract_breaks(spark, sf_dir):
+    html = F.concat(
+        F.lit("<p>"), F.col("lang"), F.lit("<br>"), F.col("source"), F.lit("</p>")
+    )
+    return _extract_exploded(_with_html(_docs(spark, sf_dir), html))
+
+
+def q_extract_caption_side(spark, sf_dir):
+    html = F.concat(
+        F.lit('<table><caption style="caption-side: bottom">'),
+        F.col("source"),
+        F.lit("</caption><tr><td>"), F.col("lang"), F.lit("</td></tr></table>"),
+    )
+    return _extract_exploded(_with_html(_docs(spark, sf_dir), html))
+
+
+def q_extract_boilerplate(spark, sf_dir):
+    html = F.concat(
+        F.lit('<div><a href="/a">x y</a></div><p>'), F.col("text"), F.lit("</p>")
+    )
+    df = _with_html(_docs(spark, sf_dir), html)
+    out = _extract_exploded(
+        df, ExtractOptions(boilerplate_max_link_density=0.6)
+    )
+    return out.select("doc_id", "offset", "kind", "text")
+
+
+def q_minify_normalize(spark, sf_dir):
+    """Pre-parse normalization as a standalone string->string operator."""
+    import pandas as pd
+    from html_to_document_spark.core.minify import minify_html
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("<div>  "), F.col("text"), F.lit("   <!-- c --></div>")
+        ).alias("html"),
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"],
+                 "minified": [minify_html(h) for h in pdf["html"]]}
+            )
+
+    return df.mapInPandas(fn, "doc_id long, minified string")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    out = TA.token_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+        "avg_token_len",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    out = TA.lang_id(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        *[F.col(f"score_{L}").cast("long").alias(f"score_{L}")
+          for L in ("en", "es", "fr", "de")],
+        "lang_pred",
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    out = TA.quality_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return TA.fingerprint(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def _docs_with_planted_dups(spark, sf_dir):
+    """documents has no exact dups; plant one mirror per doc."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mirror = d.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    return d.unionByName(mirror)
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    df = _docs_with_planted_dups(spark, sf_dir)
+    return df.groupBy(F.col("text").alias("dup_text")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count("*").cast("long").alias("n_dups"),
+    )
+
+
+def q_dedup_exact_keep(spark, sf_dir):
+    df = _docs_with_planted_dups(spark, sf_dir)
+    return D.exact_dedup(df).select("doc_id")
+
+
+def q_ngram_profile(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(D.word_shingles(F.col("text"), 3)).cast("long").alias("n_shingles"),
+    )
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):  # rows-only (xxhash64 family)
+    df = _docs_with_planted_dups(spark, sf_dir)
+    return D.minhash_lsh_pairs(df, threshold=0.9)
+
+
+def q_dedup_simhash(spark, sf_dir):  # rows-only (xxhash64-based)
+    return D.simhash(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_aligned(emb)
+
+
+def cosine_topk_aligned(emb):
+    out = SIM.cosine_topk(emb.filter("vec_id < 5"), emb, k=3)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "candidate_id",
+        "cosine",
+    )
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return emb.select("vec_id", TA.r4(norm).alias("l2_norm"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):  # rows-only (driver-seeded hyperplanes)
+    emb = _emb(spark, sf_dir)
+    return SIM.lsh_ann_topk(
+        emb.filter("vec_id < 5"), emb, k=3, dim=64, bits_per_table=4,
+        num_tables=16,
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / scale patterns (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+    return out
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+def q_top_events_per_user(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id", "event_type", "value")
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    gap = sec - F.lag(sec).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("_new", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("_new").cast("long").alias("n_sessions"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+def q_lineage_counts(spark, sf_dir):
+    """Lineage aggregation shape with an engine-portable checksum
+    (the production path uses xxhash64 — pytest-covered instead)."""
+    d = _docs(spark, sf_dir)
+    pid = F.pmod(F.col("doc_id"), F.lit(32)).cast("int")
+    return d.groupBy(pid.alias("partition_id")).agg(
+        F.count("*").cast("long").alias("input_count"),
+        (F.sum((F.col("doc_id") + 1) * F.col("n_chars")) % 1_000_000_007)
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
+def q_resume_antijoin(spark, sf_dir):
+    """Checkpoint-resume filter: docs in not-yet-committed partitions."""
+    d = _docs(spark, sf_dir).withColumn(
+        "partition_id", F.pmod(F.col("doc_id"), F.lit(32)).cast("int")
+    )
+    done = (
+        d.select("partition_id").distinct().filter(F.col("partition_id") < 16)
+    )
+    remaining = d.join(done, "partition_id", "left_anti")
+    return remaining.groupBy("partition_id").agg(
+        F.count("*").cast("long").alias("n_remaining")
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):  # rows-only (binary plumbing)
+    d = _docs(spark, sf_dir).limit(50)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return decode_media(media, fake=True, feature_dim=8)
+
+
+def q_extract_synthetic(spark, sf_dir):  # rows-only (generator-defined)
+    corpus = generate_corpus(spark, 200, seed=42, giant_frac=0.0)
+    out = extract_spans(corpus)
+    return exploded(out).groupBy("kind").agg(
+        F.count("*").cast("long").alias("n_spans")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full interleaved extraction over sf0.001 documents."""
+    sf_dir = "/root/testdata/sf0.001"
+    html = F.concat(
+        F.lit("<h1>"), F.col("source"), F.lit("</h1>"),
+        F.lit('<nav><a href="/x">menu</a></nav>'),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<img src="media://'), F.col("doc_id").cast("string"), F.lit('">'),
+    )
+    df = _with_html(_docs(spark, sf_dir), html)
+    return extract_spans_from_html(df)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction operator family (SURVEY §2.2-2.5)
+        "extract_paragraph": q_extract_paragraph,
+        "extract_multi_block": q_extract_multi_block,
+        "extract_table_linearize": q_extract_table_linearize,
+        "extract_list_items": q_extract_list_items,
+        "extract_breaks": q_extract_breaks,
+        "extract_caption_side": q_extract_caption_side,
+        "extract_boilerplate": q_extract_boilerplate,
+        "minify_normalize": q_minify_normalize,
+        "extract_synthetic": q_extract_synthetic,
+        # text analysis
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        # dedup
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "ngram_profile": q_ngram_profile,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        # similarity
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_norms": q_embedding_norms,
+        # relational / scale patterns
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_events_per_user": q_top_events_per_user,
+        "sessionize_events": q_sessionize_events,
+        "lineage_counts": q_lineage_counts,
+        "resume_antijoin": q_resume_antijoin,
+        # multimodal
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    span = (
+        "select doc_id, {off} as offset, {kind} as kind, {text} as text, "
+        "{ref} as media_ref from documents"
+    )
+    null_s = "cast(NULL as varchar)"
+    return {
+        "extract_paragraph": (
+            "select doc_id, cast(0 as int) as offset, 'text' as kind, "
+            f"text, {null_s} as media_ref from documents"
+        ),
+        "extract_multi_block": " union all ".join(
+            [
+                span.format(off="cast(0 as int)", kind="'text'", text="source", ref=null_s),
+                span.format(off="cast(1 as int)", kind="'text'", text="text", ref=null_s),
+                span.format(
+                    off="cast(2 as int)", kind="'image'",
+                    text=null_s,
+                    ref="'media://' || cast(doc_id as varchar)",
+                ),
+                span.format(off="cast(3 as int)", kind="'text'", text="''", ref=null_s),
+            ]
+        ),
+        "extract_table_linearize": (
+            "select doc_id, cast(0 as int) as offset, 'table' as kind, "
+            "lang || chr(9) || source || chr(10) || cast(n_chars as varchar) "
+            f"|| chr(9) as text, {null_s} as media_ref from documents"
+        ),
+        "extract_list_items": " union all ".join(
+            [
+                span.format(off="cast(0 as int)", kind="'text'",
+                            text="lang || ' one'", ref=null_s),
+                span.format(off="cast(1 as int)", kind="'text'", text="source",
+                            ref=null_s),
+            ]
+        ),
+        "extract_breaks": (
+            "select doc_id, cast(0 as int) as offset, 'text' as kind, "
+            f"lang || chr(10) || source as text, {null_s} as media_ref "
+            "from documents"
+        ),
+        "extract_caption_side": " union all ".join(
+            [
+                span.format(off="cast(0 as int)", kind="'table'", text="lang",
+                            ref=null_s),
+                span.format(off="cast(1 as int)", kind="'text'", text="source",
+                            ref=null_s),
+            ]
+        ),
+        "extract_boilerplate": (
+            "select doc_id, cast(0 as int) as offset, 'text' as kind, text "
+            "from documents"
+        ),
+        "minify_normalize": (
+            "select doc_id, '<div>' || text || '</div>' as minified "
+            "from documents"
+        ),
+        "token_stats": (
+            "select doc_id, length(text) as n_chars_measured, "
+            "len(string_split_regex(trim(text), '\\s+')) as n_tokens_ws, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) "
+            "as n_tokens_bpe, "
+            "floor(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / "
+            "len(string_split_regex(trim(text), '\\s+')) * 10000 + 0.5) / 10000.0 "
+            "as avg_token_len "
+            "from documents"
+        ),
+        "lang_id": (
+            "with s as (select doc_id, "
+            "len(regexp_extract_all(text, '\\b(the|and|of|to|is)\\b')) as score_en, "
+            "len(regexp_extract_all(text, '\\b(el|la|de|que|los)\\b')) as score_es, "
+            "len(regexp_extract_all(text, '\\b(le|la|les|et|des)\\b')) as score_fr, "
+            "len(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b')) as score_de "
+            "from documents) "
+            "select doc_id, score_en, score_es, score_fr, score_de, "
+            "case when greatest(score_en, score_es, score_fr, score_de) = 0 "
+            "then 'und' "
+            "when score_en = greatest(score_en, score_es, score_fr, score_de) then 'en' "
+            "when score_es = greatest(score_en, score_es, score_fr, score_de) then 'es' "
+            "when score_fr = greatest(score_en, score_es, score_fr, score_de) then 'fr' "
+            "else 'de' end as lang_pred from s"
+        ),
+        "quality_score": (
+            "with s as (select doc_id, length(text) as n_chars_measured, "
+            "len(string_split_regex(trim(text), '\\s+')) as n_words, "
+            "len(regexp_extract_all(text, '[^\\w\\s]')) as n_punct, "
+            "len(regexp_extract_all(text, '\\b(the|and|of|to|is)\\b')) as n_stop "
+            "from documents) "
+            ", r as (select doc_id, n_chars_measured, n_words, "
+            "floor(n_punct * 1.0 / greatest(n_chars_measured, 1) * 10000 + 0.5) / 10000.0 as punct_ratio, "
+            "floor(n_stop * 1.0 / greatest(n_words, 1) * 10000 + 0.5) / 10000.0 as stopword_ratio, "
+            "least(n_words / 20.0, 1.0) as len_score from s) "
+            "select doc_id, n_chars_measured, n_words, punct_ratio, "
+            "stopword_ratio, "
+            "floor((0.5 * len_score + 0.3 * least(stopword_ratio * 5, 1.0) "
+            "+ 0.2 * (1 - least(punct_ratio * 10, 1.0))) * 10000 + 0.5) "
+            "/ 10000.0 as quality from r"
+        ),
+        "fingerprint": (
+            "with w as (select doc_id, "
+            "string_split_regex(trim(text), '\\s+') as l from documents) "
+            "select doc_id, list_sum(list_transform(range(1, len(l) + 1), "
+            "i -> i * (ascii(l[i][1]) * 31 + length(l[i])))) "
+            f"% {FINGERPRINT_MOD} as fp from w"
+        ),
+        "dedup_exact_groups": (
+            "with u as (select doc_id, text from documents "
+            "union all select doc_id + 10000000, text from documents) "
+            "select text as dup_text, min(doc_id) as keeper_id, "
+            "count(*) as n_dups from u group by text"
+        ),
+        "dedup_exact_keep": (
+            "with u as (select doc_id, text from documents "
+            "union all select doc_id + 10000000, text from documents) "
+            "select min(doc_id) as doc_id from u group by text"
+        ),
+        "ngram_profile": (
+            "with w as (select doc_id, "
+            "string_split_regex(trim(text), '\\s+') as l from documents) "
+            "select doc_id, len(list_distinct(list_transform("
+            "range(1, greatest(len(l) - 2, 1) + 1), "
+            "i -> array_to_string(l[i:least(i+2, len(l))], ' ')))) "
+            "as n_shingles from w"
+        ),
+        "ann_cosine_topk": (
+            # explicit double left-folds mirroring the Spark expression
+            # (dot / (sqrt(na) * sqrt(nb))), then portable floor-rounding
+            "with q as (select vec_id as query_id, embedding as qv "
+            "from embeddings where vec_id < 5), "
+            "scored as (select q.query_id, e.vec_id as candidate_id, "
+            "floor(("
+            "list_sum(list_transform(range(1, len(q.qv) + 1), "
+            "i -> cast(q.qv[i] as double) * cast(e.embedding[i] as double))) "
+            "/ (sqrt(list_sum(list_transform(q.qv, "
+            "x -> cast(x as double) * cast(x as double)))) "
+            "* sqrt(list_sum(list_transform(e.embedding, "
+            "x -> cast(x as double) * cast(x as double)))))"
+            ") * 10000 + 0.5) / 10000.0 as cosine "
+            "from q, embeddings e where e.vec_id <> q.query_id), "
+            "ranked as (select query_id, candidate_id, cosine, "
+            "row_number() over (partition by query_id "
+            "order by cosine desc, candidate_id asc) as rank from scored) "
+            "select query_id, rank, candidate_id, cosine from ranked "
+            "where rank <= 3"
+        ),
+        "embedding_norms": (
+            "select vec_id, floor(sqrt(list_sum(list_transform(embedding, "
+            "x -> cast(x as double) * cast(x as double)))) * 10000 + 0.5) "
+            "/ 10000.0 as l2_norm from embeddings"
+        ),
+        "pricing_summary": (
+            "select l_returnflag, l_linestatus, "
+            "cast(sum(cast(l_quantity as decimal(18,4))) as double) as sum_qty, "
+            "cast(sum(cast(l_extendedprice as decimal(18,4))) as double) as sum_base_price, "
+            "cast(sum(cast(l_extendedprice as decimal(18,4)) * "
+            "(cast(1 as decimal(18,4)) - cast(l_discount as decimal(18,4)))) "
+            "as double) as sum_disc_price, "
+            "count(*) as count_order from lineitem "
+            "where l_shipdate <= timestamp '1998-09-01' "
+            "group by l_returnflag, l_linestatus"
+        ),
+        "revenue_by_nation": (
+            "select n_name, cast(sum(cast(o_totalprice as decimal(18,4))) "
+            "as double) as revenue, count(*) as n_orders "
+            "from orders join customer on o_custkey = c_custkey "
+            "join nation on c_nationkey = n_nationkey group by n_name"
+        ),
+        "top_events_per_user": (
+            "select user_id, rank, event_id, event_type, value from ("
+            "select user_id, event_id, event_type, value, "
+            "row_number() over (partition by user_id "
+            "order by value desc, event_id asc) as rank from events) "
+            "where rank <= 3"
+        ),
+        "sessionize_events": (
+            "with g as (select user_id, "
+            "case when lag(ts) over w is null "
+            "or cast(floor(epoch(ts)) as bigint) - "
+            "cast(floor(epoch(lag(ts) over w)) as bigint) > 1800 "
+            "then 1 else 0 end as is_new from events "
+            "window w as (partition by user_id order by ts, event_id)) "
+            "select user_id, sum(is_new) as n_sessions, "
+            "count(*) as n_events from g group by user_id"
+        ),
+        "lineage_counts": (
+            "select cast(doc_id % 32 as int) as partition_id, "
+            "count(*) as input_count, "
+            "cast(sum((doc_id + 1) * n_chars) % 1000000007 as bigint) "
+            "as checksum from documents group by 1"
+        ),
+        "resume_antijoin": (
+            "select cast(doc_id % 32 as int) as partition_id, "
+            "count(*) as n_remaining from documents "
+            "where doc_id % 32 >= 16 group by 1"
+        ),
+        # rows-only (non-SQL-portable hashing / driver-seeded planes /
+        # binary plumbing / generator-defined): dedup_minhash_pairs,
+        # dedup_simhash, ann_lsh_topk, multimodal_decode, extract_synthetic
+    }

@@ -69,10 +69,12 @@ def cosine_topk(
     c = corpus.select(
         F.col(c_id).alias("candidate_id"), F.col(c_vec).alias("_cv")
     )
+    from html_to_document_spark.operators.text_analysis import r4
+
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("candidate_id")).select(
         "query_id",
         "candidate_id",
-        F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 4).alias("cosine"),
+        r4(cosine_similarity(F.col("_qv"), F.col("_cv"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("candidate_id")
@@ -155,10 +157,12 @@ def lsh_ann_topk(
         .select("query_id", "candidate_id", "_qv", "_cv")
         .dropDuplicates(["query_id", "candidate_id"])
     )
+    from html_to_document_spark.operators.text_analysis import r4
+
     scored = candidates.select(
         "query_id",
         "candidate_id",
-        F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 4).alias("cosine"),
+        r4(cosine_similarity(F.col("_qv"), F.col("_cv"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("candidate_id")

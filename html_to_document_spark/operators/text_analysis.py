@@ -25,6 +25,15 @@ LANG_PROFILES: dict[str, list[str]] = {
 FINGERPRINT_MOD = 1_000_000_007
 
 
+def r4(col) -> "Column":
+    """Engine-portable 4-decimal rounding: ``floor(x*1e4 + 0.5)/1e4``.
+    Spark's round() is HALF_UP, DuckDB's is half-even; this form is
+    bit-identical on both given the same double input."""
+    from pyspark.sql import functions as F
+
+    return F.floor(col * 10000 + F.lit(0.5)) / F.lit(10000.0)
+
+
 def _word_count(col) -> "Column":
     from pyspark.sql import functions as F
 
@@ -44,8 +53,8 @@ def token_stats(df: "DataFrame", text_col: str = "text") -> "DataFrame":
         F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0))).alias(
             "n_tokens_bpe"
         ),
-        F.round(
-            F.length(F.regexp_replace(c, r"\s+", "")) / _word_count(c), 4
+        r4(
+            F.length(F.regexp_replace(c, r"\s+", "")) / _word_count(c)
         ).alias("avg_token_len"),
     )
 
@@ -84,14 +93,13 @@ def quality_score(df: "DataFrame", text_col: str = "text") -> "DataFrame":
     n_words = _word_count(c)
     n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
     n_stop = lang_scores(c, "en")
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
-    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 4)
+    punct_ratio = r4(n_punct / F.greatest(n_chars, F.lit(1)))
+    stop_ratio = r4(n_stop / F.greatest(n_words, F.lit(1)))
     len_score = F.least(n_words / F.lit(20.0), F.lit(1.0))
-    score = F.round(
+    score = r4(
         0.5 * len_score
         + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
-        + 0.2 * (1 - F.least(punct_ratio * 10, F.lit(1.0))),
-        4,
+        + 0.2 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
     )
     return df.select(
         "doc_id",
