@@ -63,8 +63,12 @@ def _parse_attrs(token: str, tag: str) -> dict | None:
         else:
             if val[:1] in "\"'" and val[-1:] == val[:1]:
                 val = val[1:-1]
-            attrs[name] = _htmllib.unescape(val)
+            attrs[name] = _htmllib.unescape(val) if "&" in val else val
     return attrs or None
+
+
+def _decode(text: str) -> str:
+    return _htmllib.unescape(text) if "&" in text else text
 
 
 def parse_html(html: str) -> list:
@@ -80,12 +84,12 @@ def parse_html(html: str) -> list:
         token = tokens[i]
         i += 1
         if not token.startswith("<"):
-            stack[-1][2].append(("#text", _htmllib.unescape(token)))
+            stack[-1][2].append(("#text", _decode(token)))
             continue
         m = _TAG_NAME_RE.match(token)
         if m is None:
             # malformed tag token (e.g. "< 5"): treat as text
-            stack[-1][2].append(("#text", _htmllib.unescape(token)))
+            stack[-1][2].append(("#text", _decode(token)))
             continue
         closing, tag = m.group(1) == "/", m.group(2).lower()
 
@@ -125,7 +129,12 @@ def parse_html(html: str) -> list:
             stack.pop()
             open_tags.pop()
 
-        attrs = _parse_attrs(token, tag)
+        # fast path: bare tags like <p> / <td> carry no attributes
+        attrs = (
+            _parse_attrs(token, tag)
+            if (" " in token or "=" in token or "\t" in token or "\n" in token)
+            else None
+        )
         node = [tag, attrs, []]
         stack[-1][2].append(node)
 

@@ -359,18 +359,23 @@ class _Walker:
         cells = []
         for cell in tr[2]:
             if cell[0] in ("td", "th"):
-                attrs = cell[1] or {}
-                cells.append(
-                    (
-                        _flatten_text(cell, self),
-                        _span_int(attrs.get("colspan")),
-                        _span_int(attrs.get("rowspan")),
+                attrs = cell[1]
+                if attrs is None:
+                    cells.append((_flatten_text(cell, self), 1, 1))
+                else:
+                    cells.append(
+                        (
+                            _flatten_text(cell, self),
+                            _span_int(attrs.get("colspan")),
+                            _span_int(attrs.get("rowspan")),
+                        )
                     )
-                )
         return cells
 
 
 def _span_int(val) -> int:
+    if val is None:
+        return 1
     try:
         n = int(str(val).strip())
     except (TypeError, ValueError):

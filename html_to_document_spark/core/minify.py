@@ -46,8 +46,9 @@ def _parse_tree(html: str) -> list:
     root = ["root", "", False, []]
     stack = [root]
     for token in _TOKEN_RE.findall(html):
-        if token.startswith("<"):
-            if _CLOSE_RE.match(token):
+        if token[0] == "<":
+            c1 = token[1] if len(token) > 1 else ""
+            if c1 == "/" or (c1 == " " and _CLOSE_RE.match(token)):
                 if len(stack) > 1:
                     stack.pop()
             else:
@@ -63,42 +64,48 @@ def _parse_tree(html: str) -> list:
     return root[3]
 
 
+def _collapse(text: str) -> str:
+    """newlines -> space, whitespace runs -> single space (fast path
+    when the text is already collapsed)."""
+    if "\n" in text or "\r" in text or "\t" in text or "  " in text:
+        return _WS_RE.sub(" ", text)
+    return text
+
+
 def _process(nodes: list, parent_tag: str | None) -> str:
     is_pre = parent_tag == "pre"
-    processed: list[tuple[bool, str, str]] = []  # (is_text, text, tag)
+    # (is_text, text, tag) triples, mutated in the trim pass
+    out: list[list] = []
     for node in nodes:
         if isinstance(node, str):
-            if is_pre:
-                processed.append((True, node, ""))
-            else:
-                text = _NL_RE.sub(" ", node)
-                text = _WS_RE.sub(" ", text)
-                processed.append((True, text, ""))
+            out.append([True, node if is_pre else _collapse(node), ""])
         else:
             tag, raw, self_closing, children = node
             inner = _process(children, tag)
             closing = "" if self_closing else f"</{tag}>"
-            processed.append((False, f"{raw}{inner}{closing}", tag))
+            out.append([False, f"{raw}{inner}{closing}", tag])
 
     if is_pre:
-        return "".join(t for _, t, _ in processed)
+        return "".join(t for _, t, _ in out)
 
-    out = [list(p) for p in processed]
     trim_edges = parent_tag is None or parent_tag in _BLOCK_TAGS
     n = len(out)
     for i, item in enumerate(out):
         if not item[0]:
             continue
+        t = item[1]
         prev = out[i - 1] if i > 0 else None
         nxt = out[i + 1] if i + 1 < n else None
         if prev is not None and not prev[0] and prev[2] in _BLOCK_TAGS:
-            item[1] = _LEAD_WS_RE.sub("", item[1])
+            t = t.lstrip()
         if nxt is not None and not nxt[0] and nxt[2] in _BLOCK_TAGS:
-            item[1] = _TRAIL_WS_RE.sub(" ", item[1])
+            if t and t[-1].isspace():
+                t = t.rstrip() + " "
         if i == 0 and trim_edges:
-            item[1] = _LEAD_WS_RE.sub("", item[1])
+            t = t.lstrip()
         if i == n - 1 and trim_edges:
-            item[1] = _TRAIL_WS_RE.sub("", item[1])
+            t = t.rstrip()
+        item[1] = t
     return "".join(item[1] for item in out if item[1].strip() != "")
 
 

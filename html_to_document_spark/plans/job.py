@@ -38,6 +38,9 @@ def build_session(
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
+        # local mode: one JVM hosts driver + all task threads; size the
+        # heap for 32 concurrent Arrow-batching tasks over large docs
+        .config("spark.driver.memory", "16g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
