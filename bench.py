@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": "headline_total_sec", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "extraction": {"docs": N, "docs_per_sec_local8": r8,
+                   "docs_per_sec_local32": r32,
+                   "scaling_efficiency_8_to_32": eff}}
+
+Two-cluster-size scaling evidence (BASELINE.json north_rule, sandbox
+proxy per driver instruction): the SAME extraction job over the SAME
+deterministic synthetic corpus at local[8] and local[32]; efficiency =
+(rate32 / rate8) / (32/8). Results are also appended to
+BENCH/BASELINE.md.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     H2D_BENCH_DOCS (default 200000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("H2D_BENCH_DOCS", "200000"))
+CORPUS = os.path.join(REPO, ".data", f"bench_corpus_{N_DOCS}")
+
+
+def ensure_corpus() -> None:
+    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        return
+    from html_to_document_spark.plans.job import build_session
+    from html_to_document_spark.sources.synthetic import generate_corpus
+
+    spark = build_session(cpus=CPUS, app="h2d-bench-gen")
+    generate_corpus(spark, N_DOCS, seed=42, giant_frac=0.001, partitions=64)\
+        .write.mode("overwrite").parquet(CORPUS)
+    spark.stop()
+
+
+def extraction_run(cpus: int) -> dict:
+    """One full extraction of the corpus at local[cpus]; returns rate."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.plans.job import build_session
+    from html_to_document_spark.operators.extract_spans import (
+        extract_spans_balanced,
+    )
+
+    spark = build_session(cpus=cpus, shuffle_partitions=cpus * 2,
+                          arrow_batch=8192, app=f"h2d-bench-{cpus}")
+    df = spark.read.parquet(CORPUS)
+    # warm python workers / JIT outside the timed region
+    extract_spans_balanced(df.limit(500), num_partitions=cpus * 2)\
+        .agg(F.sum(F.size("spans"))).first()
+    # best of 2: the sandbox VM has noisy neighbors; min is the
+    # least-interference estimate of the job's true cost
+    times = []
+    total = 0
+    for _ in range(2):
+        t0 = time.time()
+        total = extract_spans_balanced(df, num_partitions=cpus * 2)\
+            .agg(F.sum(F.size("spans"))).first()[0]
+        times.append(time.time() - t0)
+    dt = min(times)
+    spark.stop()
+    return {"cpus": cpus, "docs": N_DOCS, "spans": int(total),
+            "sec": round(dt, 2), "docs_per_sec": round(N_DOCS / dt, 1),
+            "runs_sec": [round(t, 2) for t in times]}
+
+
+def run_headline_queries() -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+    from html_to_document_spark.plans.job import build_session
+
+    spark = build_session(cpus=CPUS, shuffle_partitions=CPUS * 2,
+                          app="h2d-bench-queries")
+    qs = entry_mod.queries()
+    names = [
+        "extract_multi_block", "extract_table_linearize", "minify_normalize",
+        "token_stats", "lang_id", "quality_score", "fingerprint",
+        "dedup_exact_groups", "dedup_minhash_pairs", "ngram_profile",
+        "ann_cosine_topk", "pricing_summary", "revenue_by_nation",
+        "top_events_per_user", "sessionize_events", "lineage_counts",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 2)
+        assert n >= 0
+    spark.stop()
+    return out
+
+
+def write_baseline_md(r8: dict, r32: dict, eff: float, queries: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE — measured results",
+        "",
+        "## Two-cluster-size scaling (north_rule proxy: same job, same "
+        "deterministic corpus, local[8] vs local[32])",
+        "",
+        "| config | docs | spans | wall (s) | docs/sec |",
+        "|---|---|---|---|---|",
+        f"| local[8] | {r8['docs']} | {r8['spans']} | {r8['sec']} | {r8['docs_per_sec']} |",
+        f"| local[32] | {r32['docs']} | {r32['spans']} | {r32['sec']} | {r32['docs_per_sec']} |",
+        "",
+        f"**Scaling efficiency 8 -> 32 threads: {eff:.3f}** "
+        "(= (rate32/rate8) / 4; target >= 0.8).",
+        "",
+        f"Corpus: seed-fixed synthetic interleaved docs (seed=42, "
+        f"giant_frac=0.001), {r8['docs']} docs; identical bytes for both runs.",
+        "",
+        f"## Headline query times at {SF_DIR} (local[{CPUS}])",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in queries.items()]
+    lines.append("")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--extract-worker":
+        ensure_corpus()
+        print("RESULT " + json.dumps(extraction_run(int(sys.argv[2]))))
+        return
+
+    ensure_corpus()
+
+    def worker(cpus: int) -> dict:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extract-worker",
+             str(cpus)],
+            capture_output=True, text=True, cwd=REPO, timeout=1800,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        raise RuntimeError(
+            f"extract worker cpus={cpus} failed:\n{proc.stdout[-2000:]}\n"
+            f"{proc.stderr[-2000:]}"
+        )
+
+    r8 = worker(8)
+    r32 = worker(32)
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / (32 / 8)
+
+    queries = run_headline_queries()
+    queries["extraction_local8"] = r8["sec"]
+    queries["extraction_local32"] = r32["sec"]
+
+    write_baseline_md(r8, r32, eff, queries)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": round(sum(queries.values()), 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_val,
+        "extraction": {
+            "docs": N_DOCS,
+            "docs_per_sec_local8": r8["docs_per_sec"],
+            "docs_per_sec_local32": r32["docs_per_sec"],
+            "scaling_efficiency_8_to_32": round(eff, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

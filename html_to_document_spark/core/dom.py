@@ -71,9 +71,33 @@ def _decode(text: str) -> str:
     return _htmllib.unescape(text) if "&" in text else text
 
 
+def tokenize(html: str) -> list:
+    """Classify raw HTML into the shared token-stream format:
+    text ``str`` | ``("o", tag, raw)`` open | ``("c", tag)`` close.
+    Malformed tag tokens (e.g. ``"< 5"``) classify as text."""
+    out: list = []
+    for token in _TOKEN_RE.findall(html):
+        if token[0] != "<":
+            out.append(token)
+            continue
+        m = _TAG_NAME_RE.match(token)
+        if m is None:
+            out.append(token)
+        elif m.group(1) == "/":
+            out.append(("c", m.group(2).lower()))
+        else:
+            out.append(("o", m.group(2).lower(), token))
+    return out
+
+
 def parse_html(html: str) -> list:
     """Parse an HTML string into a list of root-level nodes."""
-    tokens = _TOKEN_RE.findall(html)
+    return parse_tokens(tokenize(html))
+
+
+def parse_tokens(tokens: list) -> list:
+    """Build the DOM from a classified token stream (from ``tokenize``
+    or, on the fused fast path, ``minify.minify_tokens``)."""
     root = ["#root", None, []]
     stack = [root]  # open element stack
     open_tags = ["#root"]
@@ -83,15 +107,11 @@ def parse_html(html: str) -> list:
     while i < n:
         token = tokens[i]
         i += 1
-        if not token.startswith("<"):
+        if isinstance(token, str):
             stack[-1][2].append(("#text", _decode(token)))
             continue
-        m = _TAG_NAME_RE.match(token)
-        if m is None:
-            # malformed tag token (e.g. "< 5"): treat as text
-            stack[-1][2].append(("#text", _decode(token)))
-            continue
-        closing, tag = m.group(1) == "/", m.group(2).lower()
+        closing = token[0] == "c"
+        tag = token[1]
 
         if closing:
             if tag in open_tags:
@@ -129,29 +149,39 @@ def parse_html(html: str) -> list:
             stack.pop()
             open_tags.pop()
 
+        raw = token[2]
         # fast path: bare tags like <p> / <td> carry no attributes
         attrs = (
-            _parse_attrs(token, tag)
-            if (" " in token or "=" in token or "\t" in token or "\n" in token)
+            _parse_attrs(raw, tag)
+            if (" " in raw or "=" in raw or "\t" in raw or "\n" in raw)
             else None
         )
         node = [tag, attrs, []]
         stack[-1][2].append(node)
 
-        self_closing = token.rstrip().endswith("/>") or tag in VOID_ELEMENTS
+        self_closing = raw.rstrip().endswith("/>") or tag in VOID_ELEMENTS
         if self_closing:
             continue
 
         if tag in RAWTEXT_ELEMENTS:
             # collect raw content until the matching close token
-            close = f"</{tag}"
             raw_parts = []
+            depth = 0
             while i < n:
                 t = tokens[i]
-                if t.startswith("<") and t.lower().startswith(close):
-                    i += 1
-                    break
-                raw_parts.append(t)
+                if isinstance(t, str):
+                    raw_parts.append(t)
+                elif t[0] == "o" and t[1] == tag:
+                    depth += 1
+                    raw_parts.append(t[2])
+                elif t[0] == "c" and t[1] == tag:
+                    if depth == 0:
+                        i += 1
+                        break
+                    depth -= 1
+                    raw_parts.append(f"</{tag}>")
+                else:
+                    raw_parts.append(t[2] if t[0] == "o" else f"</{t[1]}>")
                 i += 1
             if raw_parts:
                 node[2].append(("#text", "".join(raw_parts)))

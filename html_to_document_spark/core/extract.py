@@ -37,8 +37,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from html_to_document_spark.core import css as _css
-from html_to_document_spark.core.dom import parse_html
-from html_to_document_spark.core.minify import minify_html
+from html_to_document_spark.core.dom import parse_html, parse_tokens
+from html_to_document_spark.core.minify import minify_tokens
 
 TEXT, IMAGE, TABLE, PAGEBREAK = "text", "image", "table", "pagebreak"
 
@@ -481,8 +481,10 @@ def extract_document(
     if html is None:
         return []
     if options.minify:
-        html = minify_html(html)
-    nodes = parse_html(html)
+        # fused fast path: one tokenization for minify + parse
+        nodes = parse_tokens(minify_tokens(html))
+    else:
+        nodes = parse_html(html)
 
     sheet = _css.Stylesheet()
     _collect_styles(nodes, sheet)

@@ -18,7 +18,12 @@ re-derived from its observable semantics:
 4. inside ``<pre>``: raw text preserved verbatim
 5. finally ``>\\s+<`` -> ``><`` and overall trim
 
-Runs per-document inside the extraction UDF, before DOM build.
+Fused fast path: ``minify_tokens`` returns the minified document as a
+CLASSIFIED TOKEN STREAM (text str | ("o", tag, raw) | ("c", tag)) that
+``dom.parse_tokens`` consumes directly — one tokenization for the whole
+minify+parse pipeline instead of minify -> string -> re-tokenize.
+``minify_html`` (the string form) is the join of that stream and is what
+the parity tests pin.
 """
 
 from __future__ import annotations
@@ -34,11 +39,7 @@ _TOKEN_RE = re.compile(r"<[^>]+>|[^<]+")
 _COMMENT_RE = re.compile(r"<!--[\s\S]*?-->")
 _CLOSE_RE = re.compile(r"^<\/\s*([a-zA-Z0-9]+)")
 _OPEN_RE = re.compile(r"^<\s*([a-zA-Z0-9]+)")
-_NL_RE = re.compile(r"\r?\n")
 _WS_RE = re.compile(r"\s+")
-_LEAD_WS_RE = re.compile(r"^\s+")
-_TRAIL_WS_RE = re.compile(r"\s+$")
-_INTERTAG_WS_RE = re.compile(r">\s+<")
 
 
 def _parse_tree(html: str) -> list:
@@ -72,33 +73,38 @@ def _collapse(text: str) -> str:
     return text
 
 
-def _process(nodes: list, parent_tag: str | None) -> str:
+def _emit(nodes: list, parent_tag: str | None, out: list) -> None:
+    """The reference _process pass, emitting tokens instead of a string."""
     is_pre = parent_tag == "pre"
-    # (is_text, text, tag) triples, mutated in the trim pass
-    out: list[list] = []
-    for node in nodes:
-        if isinstance(node, str):
-            out.append([True, node if is_pre else _collapse(node), ""])
-        else:
-            tag, raw, self_closing, children = node
-            inner = _process(children, tag)
-            closing = "" if self_closing else f"</{tag}>"
-            out.append([False, f"{raw}{inner}{closing}", tag])
-
     if is_pre:
-        return "".join(t for _, t, _ in out)
+        for node in nodes:
+            if isinstance(node, str):
+                out.append(node)  # raw, whitespace preserved
+            else:
+                tag, raw, self_closing, children = node
+                out.append(("o", tag, raw))
+                _emit(children, tag, out)
+                if not self_closing:
+                    out.append(("c", tag))
+        return
 
+    # local view for the sibling-adjacency trim pass:
+    # text -> [True, text]; tag node -> [False, node]
+    items: list[list] = [
+        [True, _collapse(node)] if isinstance(node, str) else [False, node]
+        for node in nodes
+    ]
     trim_edges = parent_tag is None or parent_tag in _BLOCK_TAGS
-    n = len(out)
-    for i, item in enumerate(out):
+    n = len(items)
+    for i, item in enumerate(items):
         if not item[0]:
             continue
         t = item[1]
-        prev = out[i - 1] if i > 0 else None
-        nxt = out[i + 1] if i + 1 < n else None
-        if prev is not None and not prev[0] and prev[2] in _BLOCK_TAGS:
+        prev = items[i - 1] if i > 0 else None
+        nxt = items[i + 1] if i + 1 < n else None
+        if prev is not None and not prev[0] and prev[1][0] in _BLOCK_TAGS:
             t = t.lstrip()
-        if nxt is not None and not nxt[0] and nxt[2] in _BLOCK_TAGS:
+        if nxt is not None and not nxt[0] and nxt[1][0] in _BLOCK_TAGS:
             if t and t[-1].isspace():
                 t = t.rstrip() + " "
         if i == 0 and trim_edges:
@@ -106,13 +112,68 @@ def _process(nodes: list, parent_tag: str | None) -> str:
         if i == n - 1 and trim_edges:
             t = t.rstrip()
         item[1] = t
-    return "".join(item[1] for item in out if item[1].strip() != "")
+
+    for is_text, val in items:
+        if is_text:
+            if val.strip() != "":  # drop whitespace-only text nodes
+                out.append(val)
+        else:
+            tag, raw, self_closing, children = val
+            out.append(("o", tag, raw))
+            _emit(children, tag, out)
+            if not self_closing:
+                out.append(("c", tag))
+
+
+def minify_tokens(html: str) -> list:
+    """Minified document as a classified token stream (fused path)."""
+    html = _COMMENT_RE.sub("", html)
+    nodes = _parse_tree(html)
+    out: list = []
+    _emit(nodes, None, out)
+
+    # the ">\s+<" pass in token space: remove runs of whitespace-only
+    # text tokens flanked by tags on both sides (only pre interiors can
+    # still contain them at this point)
+    res: list = []
+    i, n = 0, len(out)
+    while i < n:
+        t = out[i]
+        if isinstance(t, str) and t.strip() == "":
+            j = i
+            while j < n and isinstance(out[j], str) and out[j].strip() == "":
+                j += 1
+            prev_is_tag = bool(res) and not isinstance(res[-1], str)
+            next_is_tag = j < n and not isinstance(out[j], str)
+            if not (prev_is_tag and next_is_tag):
+                res.extend(out[i:j])
+            i = j
+        else:
+            res.append(t)
+            i += 1
+
+    # overall trim (string .strip() equivalent on the edges)
+    while res and isinstance(res[0], str):
+        res[0] = res[0].lstrip()
+        if res[0]:
+            break
+        res.pop(0)
+    while res and isinstance(res[-1], str):
+        res[-1] = res[-1].rstrip()
+        if res[-1]:
+            break
+        res.pop()
+    return res
 
 
 def minify_html(html: str) -> str:
-    """Full minify pass; whitespace decisions match the golden fixtures."""
-    html = _COMMENT_RE.sub("", html)
-    nodes = _parse_tree(html)
-    result = _process(nodes, None)
-    result = _INTERTAG_WS_RE.sub("><", result)
-    return result.strip()
+    """String form (parity-tested against the reference minify tests)."""
+    parts = []
+    for t in minify_tokens(html):
+        if isinstance(t, str):
+            parts.append(t)
+        elif t[0] == "o":
+            parts.append(t[2])
+        else:
+            parts.append(f"</{t[1]}>")
+    return "".join(parts)

@@ -50,21 +50,26 @@ GIANT_HTML_BYTES = 256 * 1024
 def _html_expr():
     """JVM-side interleaved-spans -> HTML assembly (FIXTURES.md §1.1):
     text spans concatenate in offset order; image spans render as
-    ``<img src="{media_ref}">``."""
+    ``<img src="{media_ref}">``.
+
+    Order normalization uses a NATIVE ``array_sort`` over
+    ``struct(offset, fragment)`` (natural ordering = offset first) — a
+    lambda comparator here measured ~6x the cost of the whole assembly
+    on giant documents (interpreted per-comparison)."""
     from pyspark.sql import functions as F
 
-    ordered = F.expr(
-        "array_sort(spans, (a, b) -> a.offset - b.offset)"
-    )
-    return F.concat_ws(
-        "",
-        F.transform(
-            ordered,
-            lambda s: F.when(
+    keyed = F.transform(
+        "spans",
+        lambda s: F.struct(
+            s["offset"].alias("o"),
+            F.when(
                 s["kind"] == "image",
                 F.concat(F.lit('<img src="'), s["media_ref"], F.lit('">')),
-            ).otherwise(s["text"]),
+            ).otherwise(s["text"]).alias("frag"),
         ),
+    )
+    return F.concat_ws(
+        "", F.transform(F.array_sort(keyed), lambda s: s["frag"])
     )
 
 
@@ -175,22 +180,24 @@ def extract_spans_balanced(
     order-free by contract)."""
     from pyspark.sql import functions as F
 
+    # assemble ONCE, map-side, then shuffle salted; both branches read
+    # the same exchange (ReusedExchange) so assembly is never recomputed
     flat = df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         _html_expr().alias("html"),
-    )
+    ).repartition(num_partitions, F.xxhash64("doc_id", F.lit(salt_seed)))
     is_giant = F.length("html") > giant_bytes
-    small = flat.filter(~is_giant)
-    giant = flat.filter(is_giant)
-
-    small_out = _run_extract(
-        small.repartition(
-            num_partitions,
-            F.pmod(F.xxhash64("doc_id", F.lit(salt_seed)), F.lit(num_partitions)),
+    small_out = _run_extract(flat.filter(~is_giant), options)
+    # explicit hash-column repartition: round-robin repartition(n) is
+    # subject to AQE rebalancing, which coalesced all giants onto a few
+    # tasks (measured: wall identical at 8 and 32 cores). A distinct
+    # hash per giant doc pins ~1 giant per task.
+    giant_out = _run_extract(
+        flat.filter(is_giant).repartition(
+            num_partitions, F.xxhash64("doc_id", F.lit(salt_seed + 1))
         ),
         options,
     )
-    giant_out = _run_extract(giant.repartition(num_partitions), options)
     return small_out.unionByName(giant_out)
 
 
@@ -218,7 +225,7 @@ def salted_repartition(
     independent of input file layout."""
     from pyspark.sql import functions as F
 
-    return df.repartition(
-        num_partitions,
-        F.pmod(F.xxhash64("doc_id", F.lit(salt_seed)), F.lit(num_partitions)),
-    )
+    # NOTE: partition on the raw 64-bit hash, NOT pmod(hash, n) — Spark
+    # hashes the key again, and re-hashing only n distinct values into n
+    # buckets leaves ~37% of partitions empty and others 3-4x overloaded
+    return df.repartition(num_partitions, F.xxhash64("doc_id", F.lit(salt_seed)))

@@ -10,8 +10,9 @@ Cluster launch (north_rule):
 Session tuning rationale (100 TB design):
 - AQE on: post-shuffle coalescing + skew-join splitting for the
   relational operators
-- arrow.maxRecordsPerBatch lowered: documents are large rows; smaller
-  Arrow batches bound executor-Python memory on giant pages
+- arrow.maxRecordsPerBatch = 4096: measured sweet spot — 512-row
+  batches made the JVM<->Python handoff latency-bound at 32 cores
+  (2-3x wall); tune DOWN only for corpora of multi-MB average docs
 - shuffle.partitions sized to cores locally; on a real cluster set
   ~2-3x total cores (or rely on AQE coalescing from a high initial)
 """
@@ -30,7 +31,7 @@ def build_session(
     cpus: int | str = "*",
     app: str = "h2d-extract",
     shuffle_partitions: int | None = None,
-    arrow_batch: int = 512,
+    arrow_batch: int = 4096,
     extra_conf: dict | None = None,
 ):
     from pyspark.sql import SparkSession
@@ -41,6 +42,11 @@ def build_session(
         # local mode: one JVM hosts driver + all task threads; size the
         # heap for 32 concurrent Arrow-batching tasks over large docs
         .config("spark.driver.memory", "16g")
+        # ParallelGC + pre-touch: G1 treats multi-MB document strings as
+        # humongous allocations; page-fault zeroing showed up as kernel
+        # time under 32-way load
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+UseParallelGC -XX:+AlwaysPreTouch -Xms4g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
