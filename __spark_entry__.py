@@ -156,6 +156,32 @@ def q_minify_normalize(spark, sf_dir):
 # text analysis
 # ---------------------------------------------------------------------------
 
+def q_style_normalize(spark, sf_dir):
+    """Style/attribute normalization column (F6 shorthand expansion +
+    color/length canonicalization) as a deterministic serialized map."""
+    import pandas as pd
+    from html_to_document_spark.core.css import parse_style_attr
+    from html_to_document_spark.functions.styles import normalize_style
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("margin: "), (F.col("n_chars") % 10).cast("string"),
+            F.lit("px; color: red; border: 2px solid grey"),
+        ).alias("style"),
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for raw in pdf["style"]:
+                norm = normalize_style(parse_style_attr(raw))
+                out.append(";".join(f"{k}={v}" for k, v in sorted(norm.items())))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "normalized": out})
+
+    return df.mapInPandas(fn, "doc_id long, normalized string")
+
+
 def q_token_stats(spark, sf_dir):
     out = TA.token_stats(_docs(spark, sf_dir))
     return out.select(
@@ -418,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_caption_side": q_extract_caption_side,
         "extract_boilerplate": q_extract_boilerplate,
         "minify_normalize": q_minify_normalize,
+        "style_normalize": q_style_normalize,
         "extract_synthetic": q_extract_synthetic,
         # text analysis
         "token_stats": q_token_stats,
@@ -502,6 +529,9 @@ def oracle_sql() -> dict[str, str]:
         "minify_normalize": (
             "select doc_id, '<div>' || text || '</div>' as minified "
             "from documents"
+        ),
+        "style_normalize": (
+            """select doc_id, 'border-bottom-color=808080;border-bottom-style=solid;border-bottom-width=2px;border-left-color=808080;border-left-style=solid;border-left-width=2px;border-right-color=808080;border-right-style=solid;border-right-width=2px;border-top-color=808080;border-top-style=solid;border-top-width=2px;color=FF0000;margin-bottom=' || cast(n_chars % 10 as varchar) || 'px;margin-left=' || cast(n_chars % 10 as varchar) || 'px;margin-right=' || cast(n_chars % 10 as varchar) || 'px;margin-top=' || cast(n_chars % 10 as varchar) || 'px' as normalized from documents"""
         ),
         "token_stats": (
             "select doc_id, length(text) as n_chars_measured, "

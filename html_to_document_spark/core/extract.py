@@ -78,6 +78,12 @@ class ExtractOptions:
     # extra per-tag kind overrides, parity with registerTagHandler
     # (parser.ts:77-80): tag -> one of 'drop'|'inline'|'paragraph'|'fragment'
     tag_overrides: dict = field(default_factory=dict)
+    # plugin hooks, parity with the 3-phase Plugin surface
+    # (types.ts:260-319; execution converter.ts:129-190):
+    #   before_parse: callables html -> html (run in order, pre-minify)
+    #   after_parse:  callables spans -> spans (post-walk, pre-offset)
+    before_parse: tuple = ()
+    after_parse: tuple = ()
 
 
 DEFAULT_OPTIONS = ExtractOptions()
@@ -480,6 +486,8 @@ def extract_document(
     """
     if html is None:
         return []
+    for hook in options.before_parse:
+        html = hook(html)
     if options.minify:
         # fused fast path: one tokenization for minify + parse
         nodes = parse_tokens(minify_tokens(html))
@@ -494,6 +502,8 @@ def extract_document(
     walker._flush()
 
     spans = walker.spans
+    for hook in options.after_parse:
+        spans = hook(spans)
     thr = options.boilerplate_max_link_density
     if thr is not None:
         keep_len = options.boilerplate_min_keep_len

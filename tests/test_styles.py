@@ -1,0 +1,104 @@
+"""Style normalization (F3-F6), UA defaults/inheritance (C5-C9), and
+plugin hooks (U1)."""
+
+import pytest
+
+from html_to_document_spark.core.defaults import (
+    cascade_down,
+    inherits,
+    seeded_style,
+)
+from html_to_document_spark.core.extract import ExtractOptions, extract_document
+from html_to_document_spark.functions.styles import (
+    css_len_twips,
+    expand_shorthands,
+    normalize_style,
+    resolve_image_size,
+    width_parse,
+)
+
+
+def test_css_len_twips():
+    assert css_len_twips("1in") == 1440.0
+    assert css_len_twips("72pt") == 1440.0
+    assert css_len_twips("96px") == 1440.0
+    assert css_len_twips("1pc") == 240.0
+    assert css_len_twips("2em", base_px=16) == 2 * 16 * 15
+    assert css_len_twips("50%") is None
+    assert css_len_twips("bogus") is None
+
+
+def test_width_parse():
+    assert width_parse("50%") == ("percentage", 50.0)
+    assert width_parse("96px") == ("dxa", 1440.0)
+    assert width_parse(None) is None
+
+
+def test_expand_shorthands_border():
+    out = expand_shorthands({"border": "2px solid red"})
+    assert out["border-top-width"] == "2px"
+    assert out["border-left-style"] == "solid"
+    assert out["border-bottom-color"] == "red"
+    # per-side shorthand
+    out = expand_shorthands({"border-left": "1px dotted blue"})
+    assert out["border-left-style"] == "dotted"
+    assert "border-top-style" not in out
+
+
+def test_expand_shorthands_margin_box():
+    out = expand_shorthands({"margin": "1px 2px 3px 4px"})
+    assert (out["margin-top"], out["margin-right"],
+            out["margin-bottom"], out["margin-left"]) == (
+        "1px", "2px", "3px", "4px")
+    out = expand_shorthands({"padding": "5px 10px"})
+    assert out["padding-top"] == "5px" and out["padding-left"] == "10px"
+    # explicit longhand wins over the shorthand expansion
+    out = expand_shorthands({"margin": "1px", "margin-left": "9px"})
+    assert out["margin-left"] == "9px" and out["margin-top"] == "1px"
+
+
+def test_normalize_style():
+    out = normalize_style({"color": "red", "border": "2px solid grey",
+                           "width": "1in", "margin": "1px"})
+    assert out["color"] == "FF0000"
+    assert out["border-top-color"] == "808080"
+    assert out["width"] == "96px"
+    assert out["margin-left"] == "1px"
+
+
+def test_resolve_image_size():
+    # intrinsic passthrough
+    assert resolve_image_size(100, 50) == (100.0, 50.0)
+    # width locks ratio
+    w, h = resolve_image_size(100, 50, {"width": "200px"})
+    assert (w, h) == (200.0, 100.0)
+    # max-width clamps preserving ratio
+    w, h = resolve_image_size(1000, 500, {}, container_px=620)
+    assert w == 620.0 and h == pytest.approx(310.0)
+    # max-height secondary clamp
+    w, h = resolve_image_size(100, 400, {"max-height": "200px"})
+    assert h == 200.0 and w == pytest.approx(50.0)
+
+
+def test_seeded_defaults_and_inheritance():
+    assert seeded_style("h1")["font-weight"] == "bold"
+    assert seeded_style("th")["text-align"] == "center"
+    assert seeded_style("h1", exclude=True) == {}
+    assert seeded_style("h1", exclude=frozenset({"h1"})) == {}
+    assert inherits("font-size") and inherits("color")
+    assert not inherits("margin-left") and not inherits("text-decoration")
+    out = cascade_down({"color": "red", "margin-left": "4px"},
+                       {"font-size": "10px"})
+    assert out == {"color": "red", "font-size": "10px"}
+
+
+def test_plugin_hooks():
+    opts = ExtractOptions(
+        before_parse=(lambda h: h.replace("SECRET", ""),),
+        after_parse=(
+            lambda spans: [s for s in spans if s[0] != "pagebreak"],
+        ),
+    )
+    html = ('<p>aSECRETb</p><section class="page-break"></section><p>c</p>')
+    got = extract_document(html, opts)
+    assert got == [("text", "ab", None, 0), ("text", "c", None, 1)]
