@@ -114,3 +114,19 @@ def test_exploded_projection(spark):
         (0, "text", "x"),
         (1, "text", ""),
     ]
+
+
+def test_balanced_matches_plain(spark):
+    from html_to_document_spark.operators.extract_spans import (
+        extract_spans_balanced,
+    )
+
+    corpus = generate_corpus(spark, 50, seed=21, giant_frac=0.02)
+    plain = {r.doc_id: r.spans for r in extract_spans(corpus).collect()}
+    bal = {
+        r.doc_id: r.spans
+        for r in extract_spans_balanced(
+            corpus, num_partitions=4, giant_bytes=10_000
+        ).collect()
+    }
+    assert bal == plain
