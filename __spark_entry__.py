@@ -391,6 +391,38 @@ def q_resume_antijoin(spark, sf_dir):
     )
 
 
+def q_windowed_counts(spark, sf_dir):
+    """Event-time tumbling-window aggregation (streaming/windows.py,
+    batch form; stream==batch equivalence is pytest-gated)."""
+    from html_to_document_spark.streaming.windows import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(ev, exact_sums=True)
+
+
+def q_media_catalog(spark, sf_dir):
+    """media_ref type normalization (S5 data-URI sniff / F8 type parse)
+    over a deterministic media_ref column."""
+    from html_to_document_spark.functions.scalars import image_type_col
+
+    d = _docs(spark, sf_dir)
+    ref = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("http://img/"), F.col("doc_id").cast("string"),
+                        F.lit(".PNG")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("data:image/jpeg;base64,"), F.col("source")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("files/"), F.col("doc_id").cast("string"),
+                       F.lit(".webp")))
+        .otherwise(F.concat(F.lit("media://"), F.col("doc_id").cast("string")))
+    )
+    return d.select(
+        "doc_id", ref.alias("media_ref"),
+        image_type_col(ref).alias("media_type"),
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):  # rows-only (binary plumbing)
     d = _docs(spark, sf_dir).limit(50)
     media = d.select(
@@ -467,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": q_top_events_per_user,
         "sessionize_events": q_sessionize_events,
         "lineage_counts": q_lineage_counts,
+        "windowed_counts": q_windowed_counts,
+        "media_catalog": q_media_catalog,
         "resume_antijoin": q_resume_antijoin,
         # multimodal
         "multimodal_decode": q_multimodal_decode,
@@ -659,6 +693,24 @@ def oracle_sql() -> dict[str, str]:
             "window w as (partition by user_id order by ts, event_id)) "
             "select user_id, sum(is_new) as n_sessions, "
             "count(*) as n_events from g group by user_id"
+        ),
+        "windowed_counts": (
+            "select time_bucket(interval '1 hour', ts) as window_start, "
+            "event_type, count(*) as n_events, "
+            "cast(sum(cast(value as decimal(28,10))) as double) as sum_value "
+            "from events group by 1, 2"
+        ),
+        "media_catalog": (
+            "select doc_id, media_ref, case "
+            "when media_ref like 'http://img/%' then 'png' "
+            "when media_ref like 'data:image/jpeg%' then 'jpg' "
+            "else NULL end as media_type from ("
+            "select doc_id, case "
+            "when doc_id % 4 = 0 then 'http://img/' || cast(doc_id as varchar) || '.PNG' "
+            "when doc_id % 4 = 1 then 'data:image/jpeg;base64,' || source "
+            "when doc_id % 4 = 2 then 'files/' || cast(doc_id as varchar) || '.webp' "
+            "else 'media://' || cast(doc_id as varchar) end as media_ref "
+            "from documents)"
         ),
         "lineage_counts": (
             "select cast(doc_id % 32 as int) as partition_id, "
