@@ -61,8 +61,9 @@ def extraction_run(cpus: int) -> dict:
     # warm python workers / JIT outside the timed region
     extract_spans_balanced(df.limit(500), num_partitions=cpus * 2)\
         .agg(F.sum(F.size("spans"))).first()
-    # best of 2: the sandbox VM has noisy neighbors; min is the
-    # least-interference estimate of the job's true cost
+    # min of 2 per round (rounds are interleaved across configs by the
+    # parent): the sandbox VM has noisy neighbors + 10-25%% CPU steal;
+    # min is the least-interference estimate of the job's true cost
     times = []
     total = 0
     for _ in range(2):
@@ -77,36 +78,41 @@ def extraction_run(cpus: int) -> dict:
             "runs_sec": [round(t, 2) for t in times]}
 
 
-def jvm_scaling_run(cpus: int) -> dict:
-    """JVM-only leg of the scaling evidence: scan + explode + hash +
-    aggregate over the same corpus, entirely whole-stage-codegen. This
+def jvm_scaling_run(cpus: int, n_rows: int = 1_200_000_000) -> dict:
+    """Compute-bound engine-scaling leg: a 12-deep xxhash64 chain over
+    spark.range (whole-stage codegen, negligible memory traffic). This
     separates ENGINE scaling from the single-box DRAM-bandwidth ceiling
-    that bounds the Python extraction stage (see BENCH/BASELINE.md)."""
+    that bounds every data-intensive job above ~8 threads here (see
+    BENCH/BASELINE.md). A fresh plan is built per run — Spark reuses
+    map outputs for an identical ShuffleDependency, which silently
+    no-ops repeated actions on a reused DataFrame."""
     from pyspark.sql import functions as F
 
     from html_to_document_spark.plans.job import build_session
 
+    def job(spark, n):
+        c = F.col("id")
+        for _ in range(12):
+            c = F.xxhash64(c)
+        return (
+            spark.range(n, numPartitions=256)
+            .select(c.alias("h"))
+            .agg(F.expr("bit_xor(h)").alias("x"))
+        )
+
     spark = build_session(cpus=cpus, shuffle_partitions=cpus * 2,
                           app=f"h2d-bench-jvm-{cpus}")
-    df = spark.read.parquet(CORPUS)
-    expr = (
-        df.select("doc_id", F.explode("spans").alias("s"))
-        .select(
-            F.xxhash64("doc_id", F.col("s.text"), F.col("s.offset")).alias("h"),
-            F.length(F.col("s.text")).alias("n"),
-        )
-        .agg(F.expr("bit_xor(h)").alias("x"), F.sum("n").alias("n"))
-    )
-    expr.collect()  # warm
+    job(spark, 50_000_000).collect()  # warm JIT
     times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
-        expr.collect()
+        job(spark, n_rows).collect()
         times.append(time.time() - t0)
     dt = min(times)
     spark.stop()
     return {"cpus": cpus, "sec": round(dt, 3),
-            "rows_per_sec": round(N_DOCS / dt, 1)}
+            "runs_sec": [round(t, 2) for t in times],
+            "rows_per_sec": round(n_rows / dt, 1)}
 
 
 def run_headline_queries() -> dict[str, float]:
@@ -150,7 +156,7 @@ def write_baseline_md(r8: dict, r32: dict, eff: float, queries: dict,
         f"**Extraction scaling efficiency 8 -> 32 threads: {eff:.3f}** "
         "(= (rate32/rate8) / 4; target >= 0.8).",
         "",
-        "| JVM-only leg (scan+explode+hash+agg, same corpus) | wall (s) |",
+        "| Engine leg (compute-bound 12-deep hash chain, 1.2B rows) | wall (s) |",
         "|---|---|",
         f"| local[8] | {j8['sec']} |",
         f"| local[32] | {j32['sec']} |",
@@ -202,11 +208,23 @@ def main() -> None:
             f"{proc.stderr[-2000:]}"
         )
 
-    r8 = worker(8)
-    r32 = worker(32)
+    # interleave config rounds (8,32,8,32) so slow drift in host noise
+    # hits both configs; keep the best round per config
+    best: dict[int, dict] = {}
+    for _ in range(2):
+        for cpus in (8, 32):
+            r = worker(cpus)
+            if cpus not in best or r["docs_per_sec"] > best[cpus]["docs_per_sec"]:
+                best[cpus] = r
+    r8, r32 = best[8], best[32]
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / (32 / 8)
-    j8 = jvm_scaling_run(8)
-    j32 = jvm_scaling_run(32)
+    jbest: dict[int, dict] = {}
+    for _ in range(2):
+        for cpus in (8, 32):
+            j = jvm_scaling_run(cpus)
+            if cpus not in jbest or j["sec"] < jbest[cpus]["sec"]:
+                jbest[cpus] = j
+    j8, j32 = jbest[8], jbest[32]
     eff_jvm = (j8["sec"] / j32["sec"]) / (32 / 8)
 
     queries = run_headline_queries()
