@@ -36,7 +36,10 @@ def serialize_spans(spans: list) -> str:
         if kind == "text":
             parts.append(f"<pre>{escape_html(text or '')}</pre>")
         elif kind == "image":
-            parts.append(f'<img src="{escape_attr(ref or "")}">')
+            if ref is None:
+                parts.append("<img>")
+            else:
+                parts.append(f'<img src="{escape_attr(ref)}">')
         elif kind == "table":
             rows = (text or "").split("\n")
             cells_html = "".join(
