@@ -74,25 +74,34 @@ def word_shingles(col, n: int = 3) -> "Column":
 def minhash_signature(
     df: "DataFrame",
     text_col: str = "text",
+    id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> "DataFrame":
-    """MinHash signature: min over shingles of xxhash64(shingle, seed_j)
-    for each of ``num_hashes`` seeded hash family members. Entirely
-    JVM-side (transform + array_min), no Python in the loop."""
+    """MinHash signatures as ``(id, minhash array)``.
+
+    Strategy: explode shingles to rows and compute the ``num_hashes``
+    seeded xxhash64 columns with PLAIN expressions + ``min`` aggregates.
+    The obvious ``array_min(transform(shingles, ...))`` form runs the
+    higher-order lambda interpreted per element — measured 3.7x slower
+    at sf0.1 than this explode + whole-stage-codegen + partial-agg
+    shape (map-side combine keeps the shuffle at one row per doc)."""
     from pyspark.sql import functions as F
 
-    sh = word_shingles(F.col(text_col), shingle_n)
-    out = df.withColumn("_sh", sh)
-    sig = F.array(
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    sigs = sh.groupBy("_id").agg(
         *[
-            F.array_min(
-                F.transform("_sh", lambda s, j=j: F.xxhash64(s, F.lit(j)))
-            )
+            F.min(F.xxhash64("_sh", F.lit(j))).alias(f"_m{j}")
             for j in range(num_hashes)
         ]
     )
-    return out.withColumn("minhash", sig).drop("_sh")
+    return sigs.select(
+        F.col("_id").alias(id_col),
+        F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("minhash"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -112,9 +121,9 @@ def minhash_lsh_pairs(
     from pyspark.sql import functions as F
 
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, text_col, num_hashes, shingle_n).select(
-        F.col(id_col).alias("_id"), "minhash"
-    )
+    sigs = minhash_signature(
+        df, text_col, id_col, num_hashes, shingle_n
+    ).select(F.col(id_col).alias("_id"), "minhash")
 
     banded = sigs.select(
         "_id",

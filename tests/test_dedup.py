@@ -57,3 +57,25 @@ def test_simhash_near_pairs(spark, docs):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs  # near-dup within small hamming radius
     assert (1, 4) not in pairs
+
+
+def test_minhash_signature_positions_independent(spark, docs):
+    """Regression: sibling higher-order lambdas over the same input
+    array got canonicalized together by the analyzer (all 64 minhash
+    positions collapsed to one value). The exploded implementation must
+    match an independent per-seed SQL computation."""
+    from html_to_document_spark.operators.dedup import (
+        minhash_signature,
+        word_shingles,
+    )
+
+    sigs = {r.doc_id: r.minhash for r in minhash_signature(docs).collect()}
+    assert all(len(set(sig)) > 1 for sig in sigs.values())
+    docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    ).createOrReplaceTempView("_sh_check")
+    for j in (0, 7, 63):
+        rows = spark.sql(
+            f"select doc_id, min(xxhash64(s, {j})) m from _sh_check group by doc_id"
+        ).collect()
+        assert all(sigs[r.doc_id][j] == r.m for r in rows)
