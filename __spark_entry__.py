@@ -119,6 +119,15 @@ def q_extract_caption_side(spark, sf_dir):
     return _extract_exploded(_with_html(_docs(spark, sf_dir), html))
 
 
+def q_extract_pages(spark, sf_dir):
+    html = F.concat(
+        F.lit('<section class="page"><p>'), F.col("lang"),
+        F.lit('</p></section><section class="page"><p>'), F.col("source"),
+        F.lit("</p></section>"),
+    )
+    return _extract_exploded(_with_html(_docs(spark, sf_dir), html))
+
+
 def q_extract_boilerplate(spark, sf_dir):
     html = F.concat(
         F.lit('<div><a href="/a">x y</a></div><p>'), F.col("text"), F.lit("</p>")
@@ -474,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_list_items": q_extract_list_items,
         "extract_breaks": q_extract_breaks,
         "extract_caption_side": q_extract_caption_side,
+        "extract_pages": q_extract_pages,
         "extract_boilerplate": q_extract_boilerplate,
         "minify_normalize": q_minify_normalize,
         "style_normalize": q_style_normalize,
@@ -553,6 +563,16 @@ def oracle_sql() -> dict[str, str]:
                 span.format(off="cast(0 as int)", kind="'table'", text="lang",
                             ref=null_s),
                 span.format(off="cast(1 as int)", kind="'text'", text="source",
+                            ref=null_s),
+            ]
+        ),
+        "extract_pages": " union all ".join(
+            [
+                span.format(off="cast(0 as int)", kind="'text'", text="lang",
+                            ref=null_s),
+                span.format(off="cast(1 as int)", kind="'pagebreak'",
+                            text=null_s, ref=null_s),
+                span.format(off="cast(2 as int)", kind="'text'", text="source",
                             ref=null_s),
             ]
         ),

@@ -125,9 +125,11 @@ def minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, shingle_n
     ).select(F.col(id_col).alias("_id"), "minhash")
 
+    # band join carries ONLY (id, band) — dragging the 64-long signature
+    # arrays through the self-join shuffle doubled its bytes; signatures
+    # are re-joined onto the (small) surviving pair set afterwards
     banded = sigs.select(
         "_id",
-        "minhash",
         F.posexplode(
             F.array(
                 *[
@@ -155,15 +157,18 @@ def minhash_lsh_pairs(
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l.minhash").alias("sig_a"),
-            F.col("r.minhash").alias("sig_b"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    scored = (
+        pairs.join(
+            sigs.select(F.col("_id").alias("id_a"),
+                        F.col("minhash").alias("sig_a")), "id_a")
+        .join(
+            sigs.select(F.col("_id").alias("id_b"),
+                        F.col("minhash").alias("sig_b")), "id_b")
+    )
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
@@ -171,7 +176,7 @@ def minhash_lsh_pairs(
         )
     )
     return (
-        pairs.withColumn("est_jaccard", F.round(agree / num_hashes, 4))
+        scored.withColumn("est_jaccard", F.round(agree / num_hashes, 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
