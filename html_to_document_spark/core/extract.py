@@ -490,12 +490,19 @@ def extract_document(
         html = hook(html)
     if options.minify:
         # fused fast path: one tokenization for minify + parse
-        nodes = parse_tokens(minify_tokens(html))
+        tokens = minify_tokens(html)
+        has_style = any(
+            type(t) is tuple and t[0] == "o" and t[1] == "style"
+            for t in tokens
+        )
+        nodes = parse_tokens(tokens)
     else:
         nodes = parse_html(html)
+        has_style = True  # cheap conservative default off the fast path
 
     sheet = _css.Stylesheet()
-    _collect_styles(nodes, sheet)
+    if has_style:
+        _collect_styles(nodes, sheet)
 
     walker = _Walker(options, sheet)
     walker.walk_fragment(nodes)
