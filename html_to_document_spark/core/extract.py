@@ -84,22 +84,31 @@ class ExtractOptions:
     #   after_parse:  callables spans -> spans (post-walk, pre-offset)
     before_parse: tuple = ()
     after_parse: tuple = ()
+    # metadata-bearing output (T7/T9/L6/L10 parity): each span carries a
+    # map with source tag, heading/list level, first href, image alt
+    with_meta: bool = False
 
 
 DEFAULT_OPTIONS = ExtractOptions()
 
 
 class _Walker:
-    __slots__ = ("opts", "sheet", "spans", "chunk", "a_depth", "link_chars")
+    __slots__ = (
+        "opts", "sheet", "spans", "chunk", "a_depth", "link_chars",
+        "meta_mode", "chunk_meta", "chunk_href",
+    )
 
     def __init__(self, opts: ExtractOptions, sheet: _css.Stylesheet | None):
         self.opts = opts
         self.sheet = sheet
-        # spans: list of [kind, text, media_ref, link_chars]
+        # spans: list of [kind, text, media_ref, link_chars, meta|None]
         self.spans: list[list] = []
         self.chunk: list[str] = []
         self.a_depth = 0
         self.link_chars = 0
+        self.meta_mode = opts.with_meta
+        self.chunk_meta: dict | None = None  # block context for the chunk
+        self.chunk_href: str | None = None
 
     # ---- chunk management -------------------------------------------------
     def _add_text(self, text: str) -> None:
@@ -112,12 +121,21 @@ class _Walker:
     def _flush(self, emit_empty: bool = False) -> None:
         text = "".join(self.chunk)
         if text or emit_empty:
-            self.spans.append([TEXT, text, None, self.link_chars])
+            meta = None
+            if self.meta_mode:
+                meta = dict(self.chunk_meta) if self.chunk_meta else {}
+                if self.chunk_href is not None:
+                    meta["href"] = self.chunk_href
+            self.spans.append([TEXT, text, None, self.link_chars, meta])
         self.chunk.clear()
         self.link_chars = 0
+        self.chunk_href = None
 
-    def _emit(self, kind: str, text: str | None, ref: str | None) -> None:
-        self.spans.append([kind, text, ref, 0])
+    def _emit(self, kind: str, text: str | None, ref: str | None,
+              meta: dict | None = None) -> None:
+        self.spans.append(
+            [kind, text, ref, 0, meta if self.meta_mode else None]
+        )
 
     # ---- dispatch ---------------------------------------------------------
     def _kind_of(self, tag: str, attrs: dict | None) -> str:
@@ -183,7 +201,8 @@ class _Walker:
                 self._add_text("\n")
             elif kind == "img":
                 self._flush()
-                self._emit(IMAGE, None, (attrs or {}).get("src"))
+                self._emit(IMAGE, None, (attrs or {}).get("src"),
+                           self._img_meta(attrs))
             else:
                 self._flush()
                 self._block(node, kind, is_last=(i == n - 1))
@@ -194,6 +213,8 @@ class _Walker:
         is_anchor = tag == "a"
         if is_anchor:
             self.a_depth += 1
+            if self.meta_mode and self.chunk_href is None:
+                self.chunk_href = (node[1] or {}).get("href")
         for child in node[2]:
             if child[0] == "#text":
                 self._add_text(child[1])
@@ -208,23 +229,38 @@ class _Walker:
                 self._add_text("\n")
             elif kind == "img":
                 self._flush()
-                self._emit(IMAGE, None, (cattrs or {}).get("src"))
+                self._emit(IMAGE, None, (cattrs or {}).get("src"),
+                           self._img_meta(cattrs))
             else:
                 self._flush()
                 self._block(child, kind, is_last=False)
         if is_anchor:
             self.a_depth -= 1
 
+    def _img_meta(self, attrs: dict | None) -> dict | None:
+        if not self.meta_mode:
+            return None
+        out = {"tag": "img"}
+        if attrs and attrs.get("alt"):
+            out["alt"] = attrs["alt"]
+        return out
+
     def _block(self, node: list, kind: str, is_last: bool) -> None:
         tag, attrs, kids = node
         if kind == "paragraph":
+            if self.meta_mode:
+                self.chunk_meta = {"tag": tag}
+                if tag in HEADING_TAGS:
+                    self.chunk_meta["level"] = tag[1]
             self._paragraph(node)
+            if self.meta_mode:
+                self.chunk_meta = None
         elif kind == "list":
             self._list(node)
         elif kind == "table":
             self._table(node)
         elif kind == "hr":
-            self._emit(TEXT, "", None)
+            self._emit(TEXT, "", None, {"tag": "hr"} if self.meta_mode else None)
         elif kind == "page-break":
             self._emit(PAGEBREAK, None, None)
         elif kind == "page":
@@ -252,7 +288,8 @@ class _Walker:
                 self._add_text("\n")
             elif kind == "img":
                 self._flush()
-                self._emit(IMAGE, None, (cattrs or {}).get("src"))
+                self._emit(IMAGE, None, (cattrs or {}).get("src"),
+                           self._img_meta(cattrs))
             else:
                 self._flush()
                 self._block(child, kind, is_last=False)
@@ -262,21 +299,23 @@ class _Walker:
             # genuinely empty paragraph -> empty text span (docx parity)
             self._flush(emit_empty=True)
 
-    def _list(self, node: list) -> None:
+    def _list(self, node: list, depth: int = 0) -> None:
         for child in node[2]:
             if child[0] == "#text":
                 continue  # inter-item whitespace (minify drops it anyway)
             ctag, cattrs, _ = child
             if ctag == "li":
-                self._list_item(child)
+                self._list_item(child, depth)
             elif ctag in LIST_TAGS:
-                self._list(child)
+                self._list(child, depth)
             # anything else inside a list container is ignored
 
-    def _list_item(self, li: list) -> None:
+    def _list_item(self, li: list, depth: int = 0) -> None:
         """One text span per item; nested paragraphs inlined with
         synthesized breaks (converter.ts:324-359)."""
         before = len(self.spans)
+        if self.meta_mode:
+            self.chunk_meta = {"tag": "li", "level": str(depth)}
         content = li[2]
         has_block_child = False
         n = len(content)
@@ -294,7 +333,8 @@ class _Walker:
                 self._add_text("\n")
             elif kind == "img":
                 self._flush()
-                self._emit(IMAGE, None, (cattrs or {}).get("src"))
+                self._emit(IMAGE, None, (cattrs or {}).get("src"),
+                           self._img_meta(cattrs))
             elif kind == "paragraph" and ctag == "p":
                 # inlineParagraphs: '\n' before when non-first, non-empty,
                 # prev sibling not a paragraph; '\n' after when non-last
@@ -318,7 +358,12 @@ class _Walker:
                 has_block_child = True
                 if self.chunk:
                     self._flush()
-                self._block(child, kind, is_last=False)
+                if kind == "list":
+                    self._list(child, depth + 1)
+                else:
+                    self._block(child, kind, is_last=False)
+                if self.meta_mode:
+                    self.chunk_meta = {"tag": "li", "level": str(depth)}
         if self.chunk:
             self._flush()
         elif len(self.spans) == before and not has_block_child:
@@ -355,11 +400,13 @@ class _Walker:
         )
         text = _linearize_grid(ordered)
 
+        cap_meta = {"tag": "caption"} if self.meta_mode else None
         if caption_text and caption_side != "bottom":
-            self._emit(TEXT, caption_text, None)
-        self._emit(TABLE, text, None)
+            self._emit(TEXT, caption_text, None, cap_meta)
+        self._emit(TABLE, text, None,
+                   {"tag": "table"} if self.meta_mode else None)
         if caption_text and caption_side == "bottom":
-            self._emit(TEXT, caption_text, None)
+            self._emit(TEXT, caption_text, None, cap_meta)
 
     def _row_cells(self, tr: list) -> list:
         cells = []
@@ -524,7 +571,11 @@ def extract_document(
                 and s[3] / len(s[1]) > thr
             )
         ]
-    return [(k, t, r, i) for i, (k, t, r, _) in enumerate(spans)]
+    if options.with_meta:
+        return [
+            (k, t, r, i, m) for i, (k, t, r, _, m) in enumerate(spans)
+        ]
+    return [(k, t, r, i) for i, (k, t, r, _, _m) in enumerate(spans)]
 
 
 def assemble_html(in_spans: list) -> str:

@@ -41,6 +41,12 @@ if TYPE_CHECKING:  # pragma: no cover
 # output schema per BASELINE.json input_hint
 SPANS_TYPE = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 OUTPUT_SCHEMA = f"doc_id string, spans {SPANS_TYPE}"
+# metadata-bearing variant (ExtractOptions.with_meta)
+META_SPANS_TYPE = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int,"
+    "meta:map<string,string>>>"
+)
+META_OUTPUT_SCHEMA = f"doc_id string, spans {META_SPANS_TYPE}"
 
 # docs whose assembled HTML exceeds this are routed to the fine-grained
 # pool by extract_spans_balanced (giant-page skew)
@@ -73,7 +79,7 @@ def _html_expr():
     )
 
 
-def _spans_record_batch(doc_ids, spans_lists):
+def _spans_record_batch(doc_ids, spans_lists, with_meta: bool = False):
     """Build the output RecordBatch natively (no pandas round-trip)."""
     import pyarrow as pa
 
@@ -81,23 +87,29 @@ def _spans_record_batch(doc_ids, spans_lists):
     texts: list = []
     refs: list = []
     offs: list = []
+    metas: list = []
     offsets = [0]
     for spans in spans_lists:
-        for k, t, r, o in spans:
-            kinds.append(k)
-            texts.append(t)
-            refs.append(r)
-            offs.append(o)
+        for span in spans:
+            kinds.append(span[0])
+            texts.append(span[1])
+            refs.append(span[2])
+            offs.append(span[3])
+            if with_meta:
+                m = span[4]
+                metas.append(sorted(m.items()) if m else [])
         offsets.append(len(kinds))
-    struct = pa.StructArray.from_arrays(
-        [
-            pa.array(kinds, pa.string()),
-            pa.array(texts, pa.string()),
-            pa.array(refs, pa.string()),
-            pa.array(offs, pa.int32()),
-        ],
-        names=["kind", "text", "media_ref", "offset"],
-    )
+    cols = [
+        pa.array(kinds, pa.string()),
+        pa.array(texts, pa.string()),
+        pa.array(refs, pa.string()),
+        pa.array(offs, pa.int32()),
+    ]
+    names = ["kind", "text", "media_ref", "offset"]
+    if with_meta:
+        cols.append(pa.array(metas, pa.map_(pa.string(), pa.string())))
+        names.append("meta")
+    struct = pa.StructArray.from_arrays(cols, names=names)
     lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
     return pa.RecordBatch.from_arrays([doc_ids, lst], names=["doc_id", "spans"])
 
@@ -116,7 +128,7 @@ def _arrow_extract_fn(options: ExtractOptions, fail_col: str | None):
             doc_ids = batch.column("doc_id")
             htmls = batch.column("html").to_pylist()
             spans = [extract_document(h or "", options) for h in htmls]
-            yield _spans_record_batch(doc_ids, spans)
+            yield _spans_record_batch(doc_ids, spans, options.with_meta)
 
     return fn
 
@@ -126,8 +138,9 @@ def _run_extract(
     options: ExtractOptions,
     fail_col: str | None = None,
 ) -> "DataFrame":
+    schema = META_OUTPUT_SCHEMA if options.with_meta else OUTPUT_SCHEMA
     return df_with_html.mapInArrow(
-        _arrow_extract_fn(options, fail_col), OUTPUT_SCHEMA
+        _arrow_extract_fn(options, fail_col), schema
     )
 
 

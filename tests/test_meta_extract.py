@@ -1,0 +1,43 @@
+"""Metadata-bearing extraction (T7 list levels, T9 tag names, L6
+heading levels, L10 hrefs, L12 image alt — SURVEY.md §2)."""
+
+from html_to_document_spark.core.extract import ExtractOptions, extract_document
+
+OPTS = ExtractOptions(with_meta=True)
+
+
+def spans_of(html):
+    return extract_document(html, OPTS)
+
+
+def test_heading_and_paragraph_meta():
+    got = spans_of("<h2>Title</h2><p>Body</p>")
+    assert got[0][:4] == ("text", "Title", None, 0)
+    assert got[0][4] == {"tag": "h2", "level": "2"}
+    assert got[1][4] == {"tag": "p"}
+
+
+def test_list_levels():
+    html = ("<ul><li>a<ul><li>b<ol><li>c</li></ol></li></ul></li>"
+            "<li>d</li></ul>")
+    got = spans_of(html)
+    levels = [(s[1], s[4]["level"]) for s in got]
+    assert levels == [("a", "0"), ("b", "1"), ("c", "2"), ("d", "0")]
+    assert all(s[4]["tag"] == "li" for s in got)
+
+
+def test_href_and_image_meta():
+    got = spans_of('<p>go <a href="/x">here</a></p>'
+                   '<img src="media://1" alt="pic">')
+    assert got[0][4] == {"tag": "p", "href": "/x"}
+    assert got[1][0] == "image" and got[1][4] == {"tag": "img", "alt": "pic"}
+
+
+def test_table_caption_hr_meta():
+    got = spans_of("<table><caption>C</caption><tr><td>A</td></tr></table><hr>")
+    assert [s[4]["tag"] for s in got] == ["caption", "table", "hr"]
+
+
+def test_meta_off_keeps_four_tuple():
+    got = extract_document("<p>x</p>")
+    assert got == [("text", "x", None, 0)]

@@ -130,3 +130,20 @@ def test_balanced_matches_plain(spark):
         ).collect()
     }
     assert bal == plain
+
+
+def test_meta_output_schema(spark):
+    from html_to_document_spark.core.extract import ExtractOptions
+    from html_to_document_spark.operators.extract_spans import (
+        extract_spans_from_html,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", '<h1>T</h1><p>go <a href="/x">here</a></p>')],
+        "doc_id string, html string",
+    )
+    out = extract_spans_from_html(df, options=ExtractOptions(with_meta=True))
+    [row] = out.collect()
+    metas = [dict(s.meta) for s in row.spans]
+    assert metas[0] == {"tag": "h1", "level": "1"}
+    assert metas[1] == {"tag": "p", "href": "/x"}
