@@ -84,6 +84,32 @@ def seeded_style(tag: str, exclude: frozenset | bool = False) -> dict[str, str]:
     return dict(SEEDED_DEFAULTS.get(tag, {}))
 
 
+# StyleScope property validity (style-inheritance.ts scopes registry,
+# types.ts:10-15): which properties a consumer scope may apply
+_SCOPE_PREFIXES: dict[str, tuple] = {
+    "inline": ("font", "color", "text-decoration", "vertical-align",
+               "letter-spacing", "background"),
+    "block": ("font", "color", "text-", "line-height", "margin",
+              "padding", "border", "background", "white-space"),
+    "table": ("border", "background", "width", "margin", "caption-side"),
+    "tableRow": ("background", "height"),
+    "tableCell": ("border", "background", "padding", "vertical-align",
+                  "text-align", "width", "font", "color"),
+}
+
+
+def filter_for_scope(styles: dict[str, str], scope: str) -> dict[str, str]:
+    """Keep only properties valid at the consumer scope
+    (filterForScope, style-inheritance.ts:271-286)."""
+    prefixes = _SCOPE_PREFIXES.get(scope)
+    if prefixes is None:
+        return dict(styles)
+    return {
+        k: v for k, v in styles.items()
+        if any(k.startswith(p) for p in prefixes)
+    }
+
+
 def cascade_down(parent_styles: dict[str, str],
                  child_styles: dict[str, str]) -> dict[str, str]:
     """Inheritable parent properties flow to the child unless the child

@@ -75,8 +75,10 @@ class ExtractOptions:
     # link-density boilerplate scoring; None disables
     boilerplate_max_link_density: float | None = None
     boilerplate_min_keep_len: int = 80
-    # extra per-tag kind overrides, parity with registerTagHandler
-    # (parser.ts:77-80): tag -> one of 'drop'|'inline'|'paragraph'|'fragment'
+    # per-tag overrides, parity with registerTagHandler (parser.ts:77-80):
+    # tag -> one of 'drop'|'inline'|'paragraph'|'fragment'|'list'|'table',
+    # OR a callable(walker, node) that emits spans itself (UDTF-like,
+    # one node -> many spans; use walker.emit_text / walker.emit)
     tag_overrides: dict = field(default_factory=dict)
     # plugin hooks, parity with the 3-phase Plugin surface
     # (types.ts:260-319; execution converter.ts:129-190):
@@ -237,6 +239,16 @@ class _Walker:
         if is_anchor:
             self.a_depth -= 1
 
+    # ---- public surface for custom tag handlers (U2/U5) ------------------
+    def emit_text(self, text: str, meta: dict | None = None) -> None:
+        self._flush()
+        self._emit(TEXT, text, None, meta)
+
+    def emit(self, kind: str, text: str | None, ref: str | None,
+             meta: dict | None = None) -> None:
+        self._flush()
+        self._emit(kind, text, ref, meta)
+
     def _img_meta(self, attrs: dict | None) -> dict | None:
         if not self.meta_mode:
             return None
@@ -245,7 +257,10 @@ class _Walker:
             out["alt"] = attrs["alt"]
         return out
 
-    def _block(self, node: list, kind: str, is_last: bool) -> None:
+    def _block(self, node: list, kind, is_last: bool) -> None:
+        if not isinstance(kind, str):  # custom callable tag handler
+            kind(self, node)
+            return
         tag, attrs, kids = node
         if kind == "paragraph":
             if self.meta_mode:

@@ -102,3 +102,31 @@ def test_plugin_hooks():
     html = ('<p>aSECRETb</p><section class="page-break"></section><p>c</p>')
     got = extract_document(html, opts)
     assert got == [("text", "ab", None, 0), ("text", "c", None, 1)]
+
+
+def test_custom_callable_tag_handler():
+    """U5: a python-callable handler emits custom spans for its tag."""
+    def figure_handler(walker, node):
+        walker.emit_text("[figure]")
+        walker.emit("image", None, "media://fig")
+
+    opts = ExtractOptions(tag_overrides={"figure": figure_handler})
+    got = extract_document("<p>a</p><figure><p>cap</p></figure><p>b</p>", opts)
+    assert got == [
+        ("text", "a", None, 0),
+        ("text", "[figure]", None, 1),
+        ("image", None, "media://fig", 2),
+        ("text", "b", None, 3),
+    ]
+
+
+def test_filter_for_scope():
+    from html_to_document_spark.core.defaults import filter_for_scope
+
+    styles = {"font-size": "10px", "margin-left": "4px",
+              "border-top-width": "1px", "caption-side": "bottom"}
+    assert "margin-left" not in filter_for_scope(styles, "inline")
+    assert "font-size" in filter_for_scope(styles, "inline")
+    assert filter_for_scope(styles, "tableRow") == {}
+    assert "caption-side" in filter_for_scope(styles, "table")
+    assert filter_for_scope(styles, "unknown-scope") == styles
