@@ -14,7 +14,7 @@ BENCH/BASELINE.md.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     H2D_BENCH_DOCS (default 200000).
+     H2D_BENCH_DOCS (default 200000), H2D_BENCH_ROUNDS (default 1).
 """
 
 from __future__ import annotations
@@ -31,6 +31,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("H2D_BENCH_DOCS", "200000"))
+ROUNDS = int(os.environ.get("H2D_BENCH_ROUNDS", "1"))
 CORPUS = os.path.join(REPO, ".data", f"bench_corpus_{N_DOCS}")
 
 
@@ -216,8 +217,10 @@ def main() -> None:
 
     # interleave config rounds (8,32,8,32) so slow drift in host noise
     # hits both configs; keep the best round per config
+    # (H2D_BENCH_ROUNDS=2+ for tighter numbers; 1 keeps the per-round
+    # driver invocation ~5 min)
     best: dict[int, dict] = {}
-    for _ in range(2):
+    for _ in range(ROUNDS):
         for cpus in (8, 32):
             r = worker(cpus)
             if cpus not in best or r["docs_per_sec"] > best[cpus]["docs_per_sec"]:
@@ -225,7 +228,7 @@ def main() -> None:
     r8, r32 = best[8], best[32]
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / (32 / 8)
     jbest: dict[int, dict] = {}
-    for _ in range(2):
+    for _ in range(ROUNDS):
         for cpus in (8, 32):
             j = jvm_scaling_run(cpus)
             if cpus not in jbest or j["sec"] < jbest[cpus]["sec"]:
