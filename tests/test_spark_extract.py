@@ -147,3 +147,37 @@ def test_meta_output_schema(spark):
     metas = [dict(s.meta) for s in row.spans]
     assert metas[0] == {"tag": "h1", "level": "1"}
     assert metas[1] == {"tag": "p", "href": "/x"}
+
+
+def test_callable_tag_override_on_executors(spark):
+    """Callable tag handlers must survive cloudpickle to executors."""
+    from html_to_document_spark.core.extract import ExtractOptions
+    from html_to_document_spark.operators.extract_spans import (
+        extract_spans_from_html,
+    )
+
+    def aside_handler(walker, node):
+        walker.emit_text("[aside]")
+
+    df = spark.createDataFrame(
+        [("d1", "<p>a</p><aside>x</aside>")], "doc_id string, html string"
+    )
+    out = extract_spans_from_html(
+        df, options=ExtractOptions(tag_overrides={"aside": aside_handler})
+    )
+    [row] = out.collect()
+    assert [(s.kind, s.text) for s in row.spans] == [
+        ("text", "a"), ("text", "[aside]")
+    ]
+
+
+def test_before_parse_hooks_ordered(spark):
+    from html_to_document_spark.core.extract import ExtractOptions, extract_document
+
+    opts = ExtractOptions(
+        before_parse=(
+            lambda h: h.replace("A", "B"),
+            lambda h: h.replace("B", "C"),  # sees the first hook's output
+        )
+    )
+    assert extract_document("<p>A</p>", opts) == [("text", "C", None, 0)]
