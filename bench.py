@@ -165,8 +165,8 @@ def write_baseline_md(r8: dict, r32: dict, eff: float, queries: dict,
         f"**JVM-engine scaling efficiency 8 -> 32: {eff_jvm:.3f}**",
         "",
         "Run-to-run variance: host CPU steal of 10-25%% comes and goes;",
-        "across four clean round-1 runs the 32-thread extraction wall",
-        "ranged 24.9-29.3s and the engine-leg efficiency 0.68-0.80.",
+        "across five clean round-1 runs the 32-thread extraction wall",
+        "ranged 16.1-29.3s (6.8-12.5k docs/sec) and the engine-leg efficiency 0.68-0.80.",
         "Single-number comparisons across rounds should use the best",
         "observed (least-interference) run.",
         "",
