@@ -84,7 +84,7 @@ def tokenize(html: str) -> list:
         if m is None:
             out.append(token)
         elif m.group(1) == "/":
-            out.append(("c", m.group(2).lower()))
+            out.append(("c", m.group(2).lower(), token))
         else:
             out.append(("o", m.group(2).lower(), token))
     return out

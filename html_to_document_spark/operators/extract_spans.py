@@ -214,6 +214,107 @@ def extract_spans_balanced(
     return small_out.unionByName(giant_out)
 
 
+def extract_spans_sharded(
+    df: "DataFrame",
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    num_partitions: int = 64,
+    max_segment_bytes: int = GIANT_HTML_BYTES,
+    salt_seed: int = 42,
+) -> "DataFrame":
+    """Intra-document parallel extraction for giant pages.
+
+    Stage 1 (mapInArrow) splits each doc's HTML at safe top-level block
+    boundaries (core/shard.py — concat-equality proven in
+    tests/test_shard.py); stage 2 repartitions SEGMENTS by
+    xxhash64(doc_id, seg_id) so one huge page fans out across tasks;
+    stage 3 extracts per segment; stage 4 reassembles per doc
+    (array_sort by seg_id, flatten, reassign offsets) — the one
+    unavoidable extra shuffle, sized by output spans not input HTML.
+
+    Equality with ``extract_spans`` is tested; docs the splitter deems
+    unsafe (style sheets, page sections) pass through whole."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.core.shard import split_document
+
+    flat = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _html_expr().alias("html"),
+    )
+
+    def shard_fn(batches):
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            out_ids, out_seg, out_html = [], [], []
+            for d, h in zip(doc_ids, htmls):
+                for i, seg in enumerate(split_document(h or "", max_segment_bytes)):
+                    out_ids.append(d)
+                    out_seg.append(i)
+                    out_html.append(seg)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, pa.string()),
+                    pa.array(out_seg, pa.int32()),
+                    pa.array(out_html, pa.string()),
+                ],
+                names=["doc_id", "seg_id", "html"],
+            )
+
+    shards = flat.mapInArrow(
+        shard_fn, "doc_id string, seg_id int, html string"
+    ).repartition(
+        num_partitions, F.xxhash64("doc_id", F.col("seg_id"), F.lit(salt_seed))
+    )
+
+    def extract_seg_fn(batches):
+        for batch in batches:
+            htmls = batch.column("html").to_pylist()
+            spans = [extract_document(h or "", options) for h in htmls]
+            rb = _spans_record_batch(batch.column("doc_id"), spans,
+                                     options.with_meta)
+            yield rb.append_column("seg_id", batch.column("seg_id"))
+
+    spans_type = META_SPANS_TYPE if options.with_meta else SPANS_TYPE
+    seg_out = shards.mapInArrow(
+        extract_seg_fn, f"doc_id string, spans {spans_type}, seg_id int"
+    )
+
+    assembled = (
+        seg_out.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_id", "spans"))
+                    ),
+                    lambda x: x["spans"],
+                )
+            ).alias("_flat")
+        )
+    )
+    if options.with_meta:
+        reoff = F.transform(
+            "_flat",
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"), i.cast("int").alias("offset"),
+                s["meta"].alias("meta"),
+            ),
+        )
+    else:
+        reoff = F.transform(
+            "_flat",
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"), i.cast("int").alias("offset"),
+            ),
+        )
+    return assembled.select("doc_id", reoff.alias("spans"))
+
+
 def exploded(df: "DataFrame") -> "DataFrame":
     """(doc_id, spans) -> one row per span — the relational projection
     used by oracle comparisons and downstream text operators."""

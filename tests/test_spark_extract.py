@@ -181,3 +181,19 @@ def test_before_parse_hooks_ordered(spark):
         )
     )
     assert extract_document("<p>A</p>", opts) == [("text", "C", None, 0)]
+
+
+def test_sharded_matches_plain(spark):
+    from html_to_document_spark.operators.extract_spans import (
+        extract_spans_sharded,
+    )
+
+    corpus = generate_corpus(spark, 60, seed=33, giant_frac=0.03)
+    plain = {r.doc_id: r.spans for r in extract_spans(corpus).collect()}
+    sharded = {
+        r.doc_id: r.spans
+        for r in extract_spans_sharded(
+            corpus, num_partitions=8, max_segment_bytes=4096
+        ).collect()
+    }
+    assert sharded == plain
