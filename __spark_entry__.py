@@ -300,6 +300,15 @@ def q_embedding_norms(spark, sf_dir):
     return emb.select("vec_id", TA.r4(norm).alias("l2_norm"))
 
 
+def q_embedding_near_dup(spark, sf_dir):  # rows-only (driver-seeded planes)
+    emb = _emb(spark, sf_dir)
+    mirror = emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                        "embedding", "label")
+    return SIM.embedding_near_dup_pairs(
+        emb.unionByName(mirror), threshold=0.99
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):  # rows-only (driver-seeded hyperplanes)
     emb = _emb(spark, sf_dir)
     return SIM.lsh_ann_topk(
@@ -502,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "embedding_norms": q_embedding_norms,
         # relational / scale patterns
         "pricing_summary": q_pricing_summary,

@@ -107,6 +107,63 @@ def _bucket_expr(vec_col, planes) -> "Column":
     return bucket
 
 
+def embedding_near_dup_pairs(
+    corpus: "DataFrame",
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits_per_table: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Embedding-cosine near-duplicate pairs (dedup mode): LSH-bucket
+    candidate join within the corpus, exact cosine verification, keep
+    pairs with cosine >= threshold. Returns (id_a, id_b, cosine),
+    id_a < id_b. High thresholds pair with more hyperplane bits (tight
+    buckets); the only shuffle is the bucket equi-join."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.text_analysis import r4
+
+    tables = [
+        _hyperplanes(dim, bits_per_table, seed + 1000 * t)
+        for t in range(num_tables)
+    ]
+    base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    bucketed = base.select(
+        "_id",
+        "_v",
+        F.posexplode(
+            F.array(*[_bucket_expr(F.col("_v"), planes) for planes in tables])
+        ).alias("table_id", "bucket"),
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.table_id") == F.col("r.table_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._v").alias("_va"),
+            F.col("r._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            r4(cosine_similarity(F.col("_va"), F.col("_vb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_ann_topk(
     queries: "DataFrame",
     corpus: "DataFrame",

@@ -38,3 +38,27 @@ def test_lsh_ann_recall(spark, emb):
     approx_set = {(r.query_id, r.candidate_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    """Planted duplicates + slight perturbations must be found."""
+    from pyspark.sql import functions as F
+    from html_to_document_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    base = emb.filter("vec_id < 100")
+    exact_dup = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionByName(exact_dup)
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(corpus, threshold=0.99).collect()
+    }
+    # every planted exact duplicate is recovered (identical vectors ->
+    # identical buckets in every table)
+    for i in range(100):
+        assert (i, i + 1000) in pairs and pairs[(i, i + 1000)] == 1.0
+    # no spurious high-cosine pairs among random vectors
+    assert all(a + 1000 == b for (a, b) in pairs)
