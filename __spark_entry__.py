@@ -128,6 +128,40 @@ def q_extract_pages(spark, sf_dir):
     return _extract_exploded(_with_html(_docs(spark, sf_dir), html))
 
 
+def q_extract_sharded(spark, sf_dir):
+    """Intra-document sharding path (core/shard.py + reassembly): the
+    same multi-block document forced through per-block segments must
+    produce the identical span sequence (oracle shared shape with
+    extract_multi_block, minus nav/script which sit mid-segment)."""
+    from html_to_document_spark.operators.extract_spans import (
+        extract_spans_sharded,
+    )
+
+    html = F.concat(
+        F.lit("<h1>"), F.col("source"), F.lit("</h1>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<img src="media://'), F.col("doc_id").cast("string"), F.lit('">'),
+        F.lit("<hr>"),
+    )
+    df = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"), html.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    out = extract_spans_sharded(df, num_partitions=8, max_segment_bytes=16)
+    flat = exploded(out)
+    return flat.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("offset").cast("int").alias("offset"),
+        "kind", "text", "media_ref",
+    )
+
+
 def q_extract_boilerplate(spark, sf_dir):
     html = F.concat(
         F.lit('<div><a href="/a">x y</a></div><p>'), F.col("text"), F.lit("</p>")
@@ -494,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_caption_side": q_extract_caption_side,
         "extract_pages": q_extract_pages,
         "extract_boilerplate": q_extract_boilerplate,
+        "extract_sharded": q_extract_sharded,
         "minify_normalize": q_minify_normalize,
         "style_normalize": q_style_normalize,
         "extract_synthetic": q_extract_synthetic,
@@ -589,6 +624,20 @@ def oracle_sql() -> dict[str, str]:
         "extract_boilerplate": (
             "select doc_id, cast(0 as int) as offset, 'text' as kind, text "
             "from documents"
+        ),
+        "extract_sharded": " union all ".join(
+            [
+                span.format(off="cast(0 as int)", kind="'text'", text="source",
+                            ref=null_s),
+                span.format(off="cast(1 as int)", kind="'text'", text="text",
+                            ref=null_s),
+                span.format(
+                    off="cast(2 as int)", kind="'image'", text=null_s,
+                    ref="'media://' || cast(doc_id as varchar)",
+                ),
+                span.format(off="cast(3 as int)", kind="'text'", text="''",
+                            ref=null_s),
+            ]
         ),
         "minify_normalize": (
             "select doc_id, '<div>' || text || '</div>' as minified "

@@ -83,8 +83,11 @@ class ExtractOptions:
     # plugin hooks, parity with the 3-phase Plugin surface
     # (types.ts:260-319; execution converter.ts:129-190):
     #   before_parse: callables html -> html (run in order, pre-minify)
+    #   on_document:  callables nodes -> nodes (post-parse node tree,
+    #                 the css-parser plugin phase)
     #   after_parse:  callables spans -> spans (post-walk, pre-offset)
     before_parse: tuple = ()
+    on_document: tuple = ()
     after_parse: tuple = ()
     # metadata-bearing output (T7/T9/L6/L10 parity): each span carries a
     # map with source tag, heading/list level, first href, image alt
@@ -561,6 +564,9 @@ def extract_document(
     else:
         nodes = parse_html(html)
         has_style = True  # cheap conservative default off the fast path
+
+    for hook in options.on_document:
+        nodes = hook(nodes)
 
     sheet = _css.Stylesheet()
     if has_style:

@@ -130,3 +130,20 @@ def test_filter_for_scope():
     assert filter_for_scope(styles, "tableRow") == {}
     assert "caption-side" in filter_for_scope(styles, "table")
     assert filter_for_scope(styles, "unknown-scope") == styles
+
+
+def test_on_document_hook():
+    """U1 middle phase: node-tree rewriters (css-parser plugin shape)."""
+    def drop_first_paragraph(nodes):
+        out = []
+        dropped = False
+        for n in nodes:
+            if not dropped and n[0] == "p":
+                dropped = True
+                continue
+            out.append(n)
+        return out
+
+    opts = ExtractOptions(on_document=(drop_first_paragraph,))
+    got = extract_document("<p>a</p><p>b</p>", opts)
+    assert got == [("text", "b", None, 0)]
