@@ -45,7 +45,11 @@ def exact_dedup_groups(
 def exact_dedup(
     df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
 ) -> "DataFrame":
-    """Keep the min-id row per exact text; one shuffle on the digest."""
+    """Keep the min-id row per exact text; one shuffle on the 64-bit
+    digest (shuffle keys are 8 bytes, never the document text; a cross-
+    text xxhash64 collision — P ~ n^2/2^65 — would merge two distinct
+    texts, acceptable for corpus dedup; use exact_dedup_groups joined
+    back on text for bit-exact guarantees)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
