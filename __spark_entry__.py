@@ -493,6 +493,15 @@ def q_multimodal_decode(spark, sf_dir):  # rows-only (binary plumbing)
     return decode_media(media, fake=True, feature_dim=8)
 
 
+def q_training_pipeline(spark, sf_dir):  # rows-only (generator-defined)
+    """Composed pipeline: extract -> lang/quality filter -> dedup."""
+    from html_to_document_spark.plans.pipeline import build_training_pipeline
+
+    docs = generate_corpus(spark, 150, seed=42, giant_frac=0.0)
+    out = build_training_pipeline(docs, num_partitions=8, min_quality=0.0)
+    return out.select("doc_id", "text", "lang_pred", "quality")
+
+
 def q_extract_synthetic(spark, sf_dir):  # rows-only (generator-defined)
     corpus = generate_corpus(spark, 200, seed=42, giant_frac=0.0)
     out = extract_spans(corpus)
@@ -532,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minify_normalize": q_minify_normalize,
         "style_normalize": q_style_normalize,
         "extract_synthetic": q_extract_synthetic,
+        "training_pipeline": q_training_pipeline,
         # text analysis
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
