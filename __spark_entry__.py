@@ -490,7 +490,10 @@ def q_multimodal_decode(spark, sf_dir):  # rows-only (binary plumbing)
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
-    return decode_media(media, fake=True, feature_dim=8)
+    out = decode_media(media, fake=True, feature_dim=8)
+    # serialize the array<float> column so the driver's rows-only canonical
+    # sort (pandas factorize) can hash it — lists are unhashable (VERDICT r1 #2)
+    return out.withColumn("feature", F.to_json("feature"))
 
 
 def q_training_pipeline(spark, sf_dir):  # rows-only (generator-defined)
@@ -668,10 +671,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": (
             "with s as (select doc_id, "
-            "len(regexp_extract_all(text, '\\b(the|and|of|to|is)\\b')) as score_en, "
-            "len(regexp_extract_all(text, '\\b(el|la|de|que|los)\\b')) as score_es, "
-            "len(regexp_extract_all(text, '\\b(le|la|les|et|des)\\b')) as score_fr, "
-            "len(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b')) as score_de "
+            "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) as score_en, "
+            "len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b')) as score_es, "
+            "len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des)\\b')) as score_fr, "
+            "len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) as score_de "
             "from documents) "
             "select doc_id, score_en, score_es, score_fr, score_de, "
             "case when greatest(score_en, score_es, score_fr, score_de) = 0 "
@@ -685,7 +688,7 @@ def oracle_sql() -> dict[str, str]:
             "with s as (select doc_id, length(text) as n_chars_measured, "
             "len(string_split_regex(trim(text), '\\s+')) as n_words, "
             "len(regexp_extract_all(text, '[^\\w\\s]')) as n_punct, "
-            "len(regexp_extract_all(text, '\\b(the|and|of|to|is)\\b')) as n_stop "
+            "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) as n_stop "
             "from documents) "
             ", r as (select doc_id, n_chars_measured, n_words, "
             "floor(n_punct * 1.0 / greatest(n_chars_measured, 1) * 10000 + 0.5) / 10000.0 as punct_ratio, "
@@ -700,9 +703,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "with w as (select doc_id, "
             "string_split_regex(trim(text), '\\s+') as l from documents) "
-            "select doc_id, list_sum(list_transform(range(1, len(l) + 1), "
+            "select doc_id, cast(list_sum(list_transform(range(1, len(l) + 1), "
             "i -> i * (ascii(l[i][1]) * 31 + length(l[i])))) "
-            f"% {FINGERPRINT_MOD} as fp from w"
+            f"% {FINGERPRINT_MOD} as bigint) as fp from w"
         ),
         "dedup_exact_groups": (
             "with u as (select doc_id, text from documents "
@@ -780,7 +783,7 @@ def oracle_sql() -> dict[str, str]:
             "cast(floor(epoch(lag(ts) over w)) as bigint) > 1800 "
             "then 1 else 0 end as is_new from events "
             "window w as (partition by user_id order by ts, event_id)) "
-            "select user_id, sum(is_new) as n_sessions, "
+            "select user_id, cast(sum(is_new) as bigint) as n_sessions, "
             "count(*) as n_events from g group by user_id"
         ),
         "windowed_counts": (

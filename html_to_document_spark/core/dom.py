@@ -40,7 +40,13 @@ _P_CLOSERS = frozenset(
     "table ul".split()
 )
 
-_TOKEN_RE = re.compile(r"<[^>]+>|[^<]+")
+# quote-aware tag token: a '>' inside a quoted attribute value does not
+# end the tag (ADVICE r1 — '<a title="a>b" href="/x">' is ONE tag token).
+# Falls back to the naive '<[^>]+>' form for malformed/unterminated
+# quotes so degenerate inputs keep their old tokenization.
+_TOKEN_RE = re.compile(
+    r"""<[^>"']*(?:(?:"[^"]*"|'[^']*')[^>"']*)*>|<[^>]+>|[^<]+"""
+)
 _TAG_NAME_RE = re.compile(r"^<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)")
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>/]+))?"""

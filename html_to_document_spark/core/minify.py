@@ -35,7 +35,12 @@ _BLOCK_TAGS = frozenset({"div", "p", "ol", "ul", "li"})
 # identical so whitespace decisions match)
 _VOID = frozenset({"br", "img", "hr", "input", "link", "meta", "col"})
 
-_TOKEN_RE = re.compile(r"<[^>]+>|[^<]+")
+# quote-aware (a '>' inside a quoted attribute value does not end the
+# tag), with a naive fallback for unterminated quotes — kept in lockstep
+# with dom._TOKEN_RE so the fused minify+parse path tokenizes identically
+_TOKEN_RE = re.compile(
+    r"""<[^>"']*(?:(?:"[^"]*"|'[^']*')[^>"']*)*>|<[^>]+>|[^<]+"""
+)
 _COMMENT_RE = re.compile(r"<!--[\s\S]*?-->")
 _CLOSE_RE = re.compile(r"^<\/\s*([a-zA-Z0-9]+)")
 _OPEN_RE = re.compile(r"^<\s*([a-zA-Z0-9]+)")
@@ -65,10 +70,15 @@ def _parse_tree(html: str) -> list:
     return root[3]
 
 
+# any whitespace char other than a plain space (\f, \v, NBSP, unicode
+# spaces — JS /\s/ semantics), or a double space: text needs collapsing
+_NEEDS_COLLAPSE_RE = re.compile(r"[^\S ]|  ")
+
+
 def _collapse(text: str) -> str:
     """newlines -> space, whitespace runs -> single space (fast path
     when the text is already collapsed)."""
-    if "\n" in text or "\r" in text or "\t" in text or "  " in text:
+    if _NEEDS_COLLAPSE_RE.search(text):
         return _WS_RE.sub(" ", text)
     return text
 

@@ -60,11 +60,15 @@ def token_stats(df: "DataFrame", text_col: str = "text") -> "DataFrame":
 
 
 def lang_scores(col, lang: str) -> "Column":
-    """Count of the language's stopwords as standalone words."""
+    """Count of the language's stopwords as standalone words.
+
+    Case-insensitive ('The', 'El', 'Der' at sentence starts count):
+    matching lowercased text avoids the systematic undercount that made
+    short docs fall back to 'und' (ADVICE r1)."""
     from pyspark.sql import functions as F
 
     pat = r"\b(" + "|".join(LANG_PROFILES[lang]) + r")\b"
-    return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(0)))
 
 
 def lang_id(df: "DataFrame", text_col: str = "text") -> "DataFrame":

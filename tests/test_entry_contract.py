@@ -56,6 +56,14 @@ def test_query_vs_oracle(spark, ddb, name):
     s_cols, s_rows = _rowset(spark_df)
     o_cols, o_rows = _rowset(oracle_df)
     assert s_cols == o_cols
+    # the driver hashes raw values, so float64-vs-int64 (e.g. DuckDB
+    # HUGEINT sums) is a real mismatch even when == holds (VERDICT r1 #3)
+    s_kinds = [spark_df[c].dtype.kind for c in s_cols]
+    o_kinds = [oracle_df[c].dtype.kind for c in o_cols]
+    assert s_kinds == o_kinds, (
+        f"{name}: dtype kinds differ spark={list(zip(s_cols, s_kinds))} "
+        f"oracle={list(zip(o_cols, o_kinds))}"
+    )
     assert len(s_rows) == len(o_rows)
     mismatches = [
         (a, b) for a, b in zip(s_rows, o_rows) if a != b

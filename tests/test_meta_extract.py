@@ -41,3 +41,24 @@ def test_table_caption_hr_meta():
 def test_meta_off_keeps_four_tuple():
     got = extract_document("<p>x</p>")
     assert got == [("text", "x", None, 0)]
+
+
+def test_dom_quoted_gt_in_attribute():
+    """Tokenizer regression (ADVICE r1): '>' inside a quoted attribute
+    value must not truncate the tag and leak attr garbage into text."""
+    from html_to_document_spark.core.dom import parse_html
+
+    nodes = parse_html('<p><a title="a>b" href="/x">link</a></p>')
+    assert nodes == [
+        ["p", None, [["a", {"title": "a>b", "href": "/x"}, [("#text", "link")]]]]
+    ]
+
+
+def test_dom_unterminated_quote_fallback():
+    """Malformed (unterminated quote / unquoted apostrophe) tags keep
+    the naive '<[^>]+>' tokenization."""
+    from html_to_document_spark.core.dom import parse_html
+
+    assert parse_html("<a title=don't>x</a>") == [
+        ["a", {"title": "don't"}, [("#text", "x")]]
+    ]

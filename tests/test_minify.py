@@ -57,3 +57,26 @@ CASES = [
 @pytest.mark.parametrize("html,expected", CASES, ids=range(len(CASES)))
 def test_minify(html, expected):
     assert minify_html(html) == expected
+
+
+# regression: whitespace beyond \n\r\t and double-space must collapse
+# (JS /\s+/ semantics — \f, \v, NBSP, unicode spaces; ADVICE r1)
+EXOTIC_WS_CASES = [
+    ("<p>a\fb</p>", "<p>a b</p>"),
+    ("<p>a\vb</p>", "<p>a b</p>"),
+    ("<p>a\xa0\xa0b</p>", "<p>a b</p>"),
+    ("<p>a b</p>", "<p>a b</p>"),
+]
+
+
+@pytest.mark.parametrize("html,expected", EXOTIC_WS_CASES, ids=range(len(EXOTIC_WS_CASES)))
+def test_minify_exotic_whitespace(html, expected):
+    assert minify_html(html) == expected
+
+
+def test_minify_quoted_gt_in_attribute():
+    """A '>' inside a quoted attribute value does not end the tag."""
+    assert (
+        minify_html('<div title="a>b">  c  </div>')
+        == '<div title="a>b">c</div>'
+    )

@@ -38,6 +38,17 @@ def test_lang_id(spark, docs):
     assert rows[3] == "und"
 
 
+def test_lang_id_case_insensitive(spark):
+    """Sentence-initial stopwords ('The', 'El') must count (ADVICE r1)."""
+    docs = spark.createDataFrame(
+        [(1, "The dog. The cat. The bird."), (2, "El perro. La casa. Los gatos.")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "es"
+
+
 def test_quality_score_bounds(spark, docs):
     for r in quality_score(docs).collect():
         assert 0.0 <= r.quality <= 1.0
