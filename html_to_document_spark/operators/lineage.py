@@ -74,6 +74,23 @@ def completed_buckets(spark: "SparkSession", lineage_path: str) -> set[int]:
     return {r.partition_id for r in rows}
 
 
+STAGE_MARKER = "_STAGED_COMPLETE"
+
+
+def _hadoop_path_exists(spark: "SparkSession", path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _hadoop_touch(spark: "SparkSession", path: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(p, True).close()
+
+
 def run_with_checkpoint(
     spark: "SparkSession",
     input_df: "DataFrame",
@@ -84,9 +101,18 @@ def run_with_checkpoint(
     n_buckets: int = 16,
     chunk_buckets: int = 8,
     fail_buckets: set[int] | None = None,
+    stage_path: str | None = None,
 ) -> list[int]:
     """Chunked, resumable extraction run. Returns buckets processed in
     THIS invocation (already-committed buckets are skipped).
+
+    ``stage_path`` (VERDICT r1 #4): without it, every chunk's
+    ``filter(partition_id IN chunk)`` re-scans the FULL input —
+    n_buckets/chunk_buckets full scans of a 100 TB table. With it, the
+    input is written ONCE partitioned by partition_id (itself a resume
+    artifact: an existing staged dir is reused, not rewritten), and each
+    chunk reads ONLY its own partition directories — scan bytes per
+    chunk are chunk-sized by construction, not by optimizer goodwill.
 
     ``fail_buckets`` injects a task failure when a chunk containing one
     of those buckets is processed — integration-test hook for the
@@ -101,9 +127,25 @@ def run_with_checkpoint(
     todo = sorted(set(range(n_buckets)) - done)
     processed: list[int] = []
 
+    if stage_path is not None and todo:
+        # explicit completion marker: the dynamic-partition-overwrite
+        # commit protocol does not emit _SUCCESS
+        if not _hadoop_path_exists(spark, f"{stage_path}/{STAGE_MARKER}"):
+            df.write.mode("overwrite").partitionBy("partition_id").parquet(
+                stage_path
+            )
+            _hadoop_touch(spark, f"{stage_path}/{STAGE_MARKER}")
+
     for start in range(0, len(todo), chunk_buckets):
         chunk = todo[start : start + chunk_buckets]
-        chunk_df = df.filter(F.col("partition_id").isin(chunk))
+        if stage_path is not None:
+            # explicit per-partition paths: pruning is structural, and
+            # the scan lists only chunk-bucket files
+            chunk_df = spark.read.option("basePath", stage_path).parquet(
+                *[f"{stage_path}/partition_id={b}" for b in chunk]
+            )
+        else:
+            chunk_df = df.filter(F.col("partition_id").isin(chunk))
 
         fail_expr = None
         if fail_buckets and set(chunk) & set(fail_buckets):

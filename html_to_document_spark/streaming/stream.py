@@ -34,22 +34,22 @@ def extract_stream(
     return extract_spans(stream_df, options)
 
 
-def run_stream(
-    spark: "SparkSession",
-    in_path: str,
-    out_path: str,
-    checkpoint: str,
-    lineage_path: str | None = None,
-    options: ExtractOptions = DEFAULT_OPTIONS,
-    available_now: bool = True,
-):
-    """Start (and with available_now=True, drain) the streaming job."""
+def make_sink(out_path: str, lineage_path: str | None = None):
+    """Idempotent foreachBatch sink (exposed for retry testing)."""
     from pyspark.sql import functions as F
 
-    stream = extract_stream(read_doc_stream(spark, in_path), options)
-
     def sink(batch_df: "DataFrame", batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_path)
+        # foreachBatch is at-least-once: a retried micro-batch must
+        # REPLACE its own output, not append a second copy (ADVICE r1).
+        # Partitioning by batch_id + dynamic partition overwrite makes
+        # both the data and lineage writes idempotent per batch_id.
+        (
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
         if lineage_path:
             (
                 batch_df.groupBy(F.lit(int(batch_id)).alias("partition_id"))
@@ -62,13 +62,30 @@ def run_stream(
                         16,
                     ).alias("checksum"),
                 )
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("partition_id")
                 .parquet(lineage_path)
             )
 
-    writer = stream.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint
-    )
+    return sink
+
+
+def run_stream(
+    spark: "SparkSession",
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    lineage_path: str | None = None,
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    available_now: bool = True,
+):
+    """Start (and with available_now=True, drain) the streaming job."""
+    stream = extract_stream(read_doc_stream(spark, in_path), options)
+
+    writer = stream.writeStream.foreachBatch(
+        make_sink(out_path, lineage_path)
+    ).option("checkpointLocation", checkpoint)
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()

@@ -14,6 +14,12 @@ def test_color_normalize():
     assert color_normalize("#abc") == "AABBCC"
     assert color_normalize("red") == "FF0000"
     assert color_normalize("grey") == "808080"
+    # full CSS named-color table (VERDICT r1): names beyond the old
+    # 24-entry subset must resolve, not fall back to 000000
+    assert color_normalize("tomato") == "FF6347"
+    assert color_normalize("rebeccapurple") == "663399"
+    assert color_normalize("DodgerBlue") == "1E90FF"
+    assert color_normalize("lightgoldenrodyellow") == "FAFAD2"
     assert color_normalize("notacolor") == "000000"
     assert color_normalize(None) == "000000"
 

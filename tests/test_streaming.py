@@ -30,3 +30,26 @@ def test_stream_matches_batch(spark, tmp_path):
     assert diff == 0
     lin = spark.read.parquet(lineage)
     assert lin.agg(F.sum("input_count")).first()[0] == 40
+
+
+def test_sink_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the sink with the same
+    batch_id must replace, not duplicate, data and lineage (ADVICE r1)."""
+    from html_to_document_spark.streaming.stream import make_sink
+
+    out_path = str(tmp_path / "out")
+    lineage = str(tmp_path / "lineage")
+    corpus = generate_corpus(spark, 20, seed=9, giant_frac=0.0)
+    batch = extract_spans(corpus)
+
+    sink = make_sink(out_path, lineage)
+    sink(batch, 0)
+    sink(batch, 0)  # simulated retry of the same micro-batch
+    sink(batch, 1)  # a different batch appends normally
+
+    out = spark.read.parquet(out_path)
+    assert out.filter(F.col("batch_id") == 0).count() == 20
+    assert out.count() == 40
+    lin = spark.read.parquet(lineage)
+    assert lin.filter(F.col("partition_id") == 0).count() == 1
+    assert lin.agg(F.sum("input_count")).first()[0] == 40
