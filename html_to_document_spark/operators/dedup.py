@@ -61,18 +61,37 @@ def exact_dedup(
     )
 
 
-def word_shingles(col, n: int = 3) -> "Column":
-    """Distinct word n-grams as an array column (pure JVM exprs)."""
+def word_shingles(col, n: int = 3, max_words: int | None = None) -> "Column":
+    """Distinct word n-grams as an array column (pure JVM exprs).
+
+    PERF (round-2 find): an expression referenced inside a higher-order
+    lambda is RE-EVALUATED per element — the obvious
+    ``transform(sequence(...), i -> slice(split(text), i, n))`` re-split
+    the full text for every shingle, O(words^2): a 200k-word page took
+    >240 s for one row. The one-element-array ``transform(array(words),
+    wb -> ...)`` wrapper gives let-binding semantics (``wb`` is a bound
+    lambda variable, evaluated once) — same row: 1.3 s. Keeps the whole
+    computation a single Column expression, so callers need no extra
+    projection.
+
+    ``max_words`` caps the words considered (prefix) — bounds per-row
+    memory and CPU on giant pages; shingles over a long prefix remain a
+    faithful Jaccard proxy for near-dup detection.
+    """
     from pyspark.sql import functions as F
 
     words = F.split(F.trim(col), r"\s+")
-    k = F.size(words) - (n - 1)
-    return F.array_distinct(
-        F.transform(
+    if max_words is not None:
+        words = F.slice(words, 1, max_words)
+
+    def shingle(wb):
+        k = F.size(wb) - (n - 1)
+        return F.transform(
             F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            lambda i: F.concat_ws(" ", F.slice(wb, i + 1, n)),
         )
-    )
+
+    return F.array_distinct(F.flatten(F.transform(F.array(words), shingle)))
 
 
 def minhash_signature(
@@ -81,6 +100,7 @@ def minhash_signature(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    max_words: int | None = 20_000,
 ) -> "DataFrame":
     """MinHash signatures as ``(id, minhash array)``.
 
@@ -94,7 +114,9 @@ def minhash_signature(
 
     sh = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+        F.explode(
+            word_shingles(F.col(text_col), shingle_n, max_words=max_words)
+        ).alias("_sh"),
     )
     sigs = sh.groupBy("_id").agg(
         *[
@@ -117,6 +139,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     persist_sigs: bool = True,
+    max_words: int | None = 20_000,
 ) -> "DataFrame":
     """Near-duplicate candidate pairs via banded LSH over MinHash
     signatures, with estimated Jaccard = fraction of agreeing hashes.
@@ -134,7 +157,7 @@ def minhash_lsh_pairs(
 
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(
-        df, text_col, id_col, num_hashes, shingle_n
+        df, text_col, id_col, num_hashes, shingle_n, max_words=max_words
     ).select(F.col(id_col).alias("_id"), "minhash")
     if persist_sigs:
         from pyspark.storagelevel import StorageLevel
