@@ -323,17 +323,18 @@ class _Walker:
                 continue  # inter-item whitespace (minify drops it anyway)
             ctag, cattrs, _ = child
             if ctag == "li":
-                self._list_item(child, depth)
+                self._list_item(child, depth, node[0])
             elif ctag in LIST_TAGS:
                 self._list(child, depth)
             # anything else inside a list container is ignored
 
-    def _list_item(self, li: list, depth: int = 0) -> None:
+    def _list_item(self, li: list, depth: int = 0, list_tag: str = "ul") -> None:
         """One text span per item; nested paragraphs inlined with
         synthesized breaks (converter.ts:324-359)."""
         before = len(self.spans)
         if self.meta_mode:
-            self.chunk_meta = {"tag": "li", "level": str(depth)}
+            self.chunk_meta = {"tag": "li", "level": str(depth),
+                               "list": list_tag}
         content = li[2]
         has_block_child = False
         n = len(content)
@@ -381,7 +382,8 @@ class _Walker:
                 else:
                     self._block(child, kind, is_last=False)
                 if self.meta_mode:
-                    self.chunk_meta = {"tag": "li", "level": str(depth)}
+                    self.chunk_meta = {"tag": "li", "level": str(depth),
+                                       "list": list_tag}
         if self.chunk:
             self._flush()
         elif len(self.spans) == before and not has_block_child:
@@ -419,11 +421,19 @@ class _Walker:
         text = _linearize_grid(ordered)
 
         cap_meta = {"tag": "caption"} if self.meta_mode else None
+        tbl_meta = None
+        if self.meta_mode:
+            tbl_meta = {"tag": "table"}
+            n_thead = sum(1 for s, _ in rows if s == "thead")
+            if n_thead:
+                # serializer (Z1) regroups the first n rows into <thead>
+                tbl_meta["thead_rows"] = str(n_thead)
         if caption_text and caption_side != "bottom":
             self._emit(TEXT, caption_text, None, cap_meta)
-        self._emit(TABLE, text, None,
-                   {"tag": "table"} if self.meta_mode else None)
+        self._emit(TABLE, text, None, tbl_meta)
         if caption_text and caption_side == "bottom":
+            if cap_meta is not None:
+                cap_meta = dict(cap_meta, side="bottom")
             self._emit(TEXT, caption_text, None, cap_meta)
 
     def _row_cells(self, tr: list) -> list:
