@@ -147,3 +147,91 @@ def test_on_document_hook():
     opts = ExtractOptions(on_document=(drop_first_paragraph,))
     got = extract_document("<p>a</p><p>b</p>", opts)
     assert got == [("text", "b", None, 0)]
+
+
+# ---------------------------------------------------------------------------
+# C6-C9 parity: the explicit per-property registry must agree with the
+# reference's DEFAULT_STYLE_META (style-inheritance.ts:4-189) on every
+# property it enumerates. Expectation table transcribed from the
+# reference (camelCase -> kebab-case).
+# ---------------------------------------------------------------------------
+
+_TYPO_EXP = (True, {"block", "inline", "tableCell"}, {"block", "inline"})
+_BORDER_EXP = (False, {"tableCell", "block", "table"}, None)
+_MARGIN_EXP = (False, {"block"}, None)
+_PADDING_EXP = (False, {"tableCell", "block", "table"}, None)
+
+REFERENCE_STYLE_META = {
+    **{p: _TYPO_EXP for p in (
+        "font-family", "font-size", "color", "font-style", "font-weight",
+        "font", "white-space")},
+    "text-align": (True, {"block", "tableCell"}, {"block"}),
+    **{p: _BORDER_EXP for p in (
+        "border", "border-top", "border-right", "border-bottom",
+        "border-left", "border-width", "border-top-width",
+        "border-right-width", "border-bottom-width", "border-left-width",
+        "border-color", "border-top-color", "border-right-color",
+        "border-bottom-color", "border-left-color", "border-style",
+        "border-top-style", "border-right-style", "border-bottom-style",
+        "border-left-style")},
+    **{p: _MARGIN_EXP for p in (
+        "margin", "margin-top", "margin-right", "margin-bottom",
+        "margin-left")},
+    **{p: _PADDING_EXP for p in (
+        "padding", "padding-top", "padding-right", "padding-bottom",
+        "padding-left")},
+    "background-color": (False, {"block", "tableCell", "table"}, None),
+    "width": (False, {"table", "tableCell", "block"}, None),
+    "height": (False, {"table", "tableCell", "block"}, None),
+    "vertical-align": (False, {"tableCell", "inline"}, None),
+}
+
+
+@pytest.mark.parametrize("prop", sorted(REFERENCE_STYLE_META), ids=str)
+def test_style_meta_matches_reference_registry(prop):
+    from html_to_document_spark.core.defaults import get_style_meta
+
+    exp_inh, exp_scopes, exp_cascade = REFERENCE_STYLE_META[prop]
+    inh, scopes, cascade_to = get_style_meta(prop)
+    assert inh == exp_inh
+    assert set(scopes) == exp_scopes
+    if exp_cascade is None:
+        assert cascade_to is None
+    else:
+        assert set(cascade_to) == exp_cascade
+
+
+def test_unknown_property_defaults():
+    """getStyleMeta fallback: not inherited, valid everywhere."""
+    from html_to_document_spark.core.defaults import get_style_meta
+
+    inh, scopes, cascade_to = get_style_meta("text-decoration")
+    assert not inh
+    assert set(scopes) == {"block", "inline", "table", "tableRow", "tableCell"}
+    assert cascade_to is None
+
+
+def test_compute_inherited_and_cascade():
+    from html_to_document_spark.core.defaults import (
+        cascade_styles,
+        compute_inherited_styles,
+    )
+
+    parent = {"font-family": "serif", "border-top": "1px solid 000000",
+              "text-align": "center", "vertical-align": "middle"}
+    # tableCell -> block: typography flows; border (not inherited) and
+    # vertical-align (not inherited) do not; text-align's parent scope
+    # includes tableCell and cascadeTo includes block -> flows
+    got = compute_inherited_styles(parent, "tableCell", "block")
+    assert got == {"font-family": "serif", "text-align": "center"}
+    # block -> inline: text-align cascadeTo is block-only -> filtered
+    got = compute_inherited_styles(parent, "block", "inline")
+    assert got == {"font-family": "serif"}
+    # cascade-through: width consumed at table scope stops; unknown
+    # custom prop is consumed everywhere (scopes=all) so also stops;
+    # inherited typography always continues
+    styles = {"width": "50%", "font-size": "10px", "x-custom": "1"}
+    assert cascade_styles(styles, "table") == {"font-size": "10px"}
+    # width is NOT consumed at inline scope -> cascades on
+    assert cascade_styles(styles, "inline") == {"width": "50%",
+                                                "font-size": "10px"}
