@@ -107,53 +107,53 @@ def parse_tokens(tokens: list) -> list:
     root = ["#root", None, []]
     stack = [root]  # open element stack
     open_tags = ["#root"]
+    children = root[2]  # stack[-1][2], maintained incrementally (hot loop)
+
+    def _pop():
+        nonlocal children
+        stack.pop()
+        open_tags.pop()
+        children = stack[-1][2]
 
     i = 0
     n = len(tokens)
     while i < n:
         token = tokens[i]
         i += 1
-        if isinstance(token, str):
-            stack[-1][2].append(("#text", _decode(token)))
+        if token.__class__ is str:
+            children.append(("#text", _decode(token)))
             continue
-        closing = token[0] == "c"
         tag = token[1]
 
-        if closing:
+        if token[0] == "c":
             if tag in open_tags:
                 while open_tags[-1] != tag:
-                    stack.pop()
-                    open_tags.pop()
-                stack.pop()
-                open_tags.pop()
+                    _pop()
+                _pop()
             # unmatched close tag: ignored (browser behavior)
             continue
 
         # implied closes before opening this tag
+        top = open_tags[-1]
         if tag in _P_CLOSERS and "p" in open_tags:
             # only when <p> is still open below; close up to and incl. p
             while open_tags[-1] != "p":
                 # don't cross structural containers
                 if open_tags[-1] in ("#root", "td", "th", "table", "li"):
                     break
-                stack.pop()
-                open_tags.pop()
+                _pop()
             if open_tags[-1] == "p":
-                stack.pop()
-                open_tags.pop()
-        if tag == "li" and open_tags[-1] == "li":
-            stack.pop()
-            open_tags.pop()
-        elif tag in ("td", "th") and open_tags[-1] in ("td", "th"):
-            stack.pop()
-            open_tags.pop()
+                _pop()
+            top = open_tags[-1]
+        if tag == "li" and top == "li":
+            _pop()
+        elif tag in ("td", "th") and top in ("td", "th"):
+            _pop()
         elif tag == "tr":
             while open_tags[-1] in ("td", "th", "tr"):
-                stack.pop()
-                open_tags.pop()
-        elif tag == "option" and open_tags[-1] == "option":
-            stack.pop()
-            open_tags.pop()
+                _pop()
+        elif tag == "option" and top == "option":
+            _pop()
 
         raw = token[2]
         # fast path: bare tags like <p> / <td> carry no attributes
@@ -163,9 +163,10 @@ def parse_tokens(tokens: list) -> list:
             else None
         )
         node = [tag, attrs, []]
-        stack[-1][2].append(node)
+        children.append(node)
 
-        self_closing = raw.rstrip().endswith("/>") or tag in VOID_ELEMENTS
+        # raw tag tokens always end in '>', so '/>' reduces to raw[-2]
+        self_closing = tag in VOID_ELEMENTS or raw[-2] == "/"
         if self_closing:
             continue
 
@@ -195,5 +196,6 @@ def parse_tokens(tokens: list) -> list:
 
         stack.append(node)
         open_tags.append(tag)
+        children = node[2]
 
     return root[2]

@@ -36,9 +36,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import re as _re
+
 from html_to_document_spark.core import css as _css
 from html_to_document_spark.core.dom import parse_html, parse_tokens
 from html_to_document_spark.core.minify import minify_tokens
+
+_STYLE_SCAN_RE = _re.compile(r"<\s*style", _re.IGNORECASE)
 
 TEXT, IMAGE, TABLE, PAGEBREAK = "text", "image", "table", "pagebreak"
 
@@ -505,6 +509,14 @@ def _linearize_grid(rows: list[list]) -> str:
     slots are empty strings."""
     if not rows:
         return ""
+    # fast path: no spans anywhere (the overwhelmingly common case) —
+    # plain row-major join with ragged rows padded to the widest
+    if all(cs == 1 and rs == 1 for cells in rows for _, cs, rs in cells):
+        width = max(len(cells) for cells in rows)
+        return "\n".join(
+            "\t".join(c[0] for c in cells) + "\t" * (width - len(cells))
+            for cells in rows
+        )
     # first pass: grid width
     n_rows = len(rows)
     # occupancy: dict[(r,c)] -> True for slots consumed by earlier spans
@@ -566,10 +578,9 @@ def extract_document(
     if options.minify:
         # fused fast path: one tokenization for minify + parse
         tokens = minify_tokens(html)
-        has_style = any(
-            type(t) is tuple and t[0] == "o" and t[1] == "style"
-            for t in tokens
-        )
+        # conservative C-speed scan (false positives just run the cheap
+        # style collection; scanning the token list cost ~2% of wall)
+        has_style = _STYLE_SCAN_RE.search(html) is not None
         nodes = parse_tokens(tokens)
     else:
         nodes = parse_html(html)

@@ -45,28 +45,35 @@ _COMMENT_RE = re.compile(r"<!--[\s\S]*?-->")
 _CLOSE_RE = re.compile(r"^<\/\s*([a-zA-Z0-9]+)")
 _OPEN_RE = re.compile(r"^<\s*([a-zA-Z0-9]+)")
 _WS_RE = re.compile(r"\s+")
+_PRE_SCAN_RE = re.compile(r"<\s*pre", re.IGNORECASE)
 
 
 def _parse_tree(html: str) -> list:
     """Token tree: tag node = [tag, raw, self_closing, children]; text = str."""
     root = ["root", "", False, []]
     stack = [root]
+    children = root[3]  # stack[-1][3], maintained incrementally (hot loop)
+    close_match = _CLOSE_RE.match
+    open_match = _OPEN_RE.match
     for token in _TOKEN_RE.findall(html):
         if token[0] == "<":
             c1 = token[1] if len(token) > 1 else ""
-            if c1 == "/" or (c1 == " " and _CLOSE_RE.match(token)):
+            if c1 == "/" or (c1 == " " and close_match(token)):
                 if len(stack) > 1:
                     stack.pop()
+                    children = stack[-1][3]
             else:
-                m = _OPEN_RE.match(token)
+                m = open_match(token)
                 tag = m.group(1).lower() if m else ""
-                self_closing = token.rstrip().endswith("/>") or tag in _VOID
+                # tokens always end in '>', so '/>' reduces to token[-2]
+                self_closing = tag in _VOID or token[-2] == "/"
                 node = [tag, token, self_closing, []]
-                stack[-1][3].append(node)
+                children.append(node)
                 if not self_closing:
                     stack.append(node)
+                    children = node[3]
         else:
-            stack[-1][3].append(token)
+            children.append(token)
     return root[3]
 
 
@@ -98,37 +105,34 @@ def _emit(nodes: list, parent_tag: str | None, out: list) -> None:
                     out.append(("c", tag))
         return
 
-    # local view for the sibling-adjacency trim pass:
-    # text -> [True, text]; tag node -> [False, node]
-    items: list[list] = [
-        [True, _collapse(node)] if isinstance(node, str) else [False, node]
-        for node in nodes
-    ]
+    # single fused pass: the trim decisions only depend on NEIGHBOR
+    # TYPES (tag-vs-text and block-tag membership), never on neighbor
+    # text values, so collapse+trim+emit need no intermediate item list
     trim_edges = parent_tag is None or parent_tag in _BLOCK_TAGS
-    n = len(items)
-    for i, item in enumerate(items):
-        if not item[0]:
-            continue
-        t = item[1]
-        prev = items[i - 1] if i > 0 else None
-        nxt = items[i + 1] if i + 1 < n else None
-        if prev is not None and not prev[0] and prev[1][0] in _BLOCK_TAGS:
-            t = t.lstrip()
-        if nxt is not None and not nxt[0] and nxt[1][0] in _BLOCK_TAGS:
-            if t and t[-1].isspace():
-                t = t.rstrip() + " "
-        if i == 0 and trim_edges:
-            t = t.lstrip()
-        if i == n - 1 and trim_edges:
-            t = t.rstrip()
-        item[1] = t
-
-    for is_text, val in items:
-        if is_text:
-            if val.strip() != "":  # drop whitespace-only text nodes
-                out.append(val)
+    n = len(nodes)
+    last = n - 1
+    for i, node in enumerate(nodes):
+        if node.__class__ is str:
+            t = _collapse(node)
+            if i > 0:
+                prev = nodes[i - 1]
+                if prev.__class__ is not str and prev[0] in _BLOCK_TAGS:
+                    t = t.lstrip()
+            if i < last:
+                nxt = nodes[i + 1]
+                if nxt.__class__ is not str and nxt[0] in _BLOCK_TAGS:
+                    # post-collapse whitespace is single spaces only
+                    if t and t[-1].isspace():
+                        t = t.rstrip() + " "
+            if trim_edges:
+                if i == 0:
+                    t = t.lstrip()
+                if i == last:
+                    t = t.rstrip()
+            if t and not t.isspace():  # drop whitespace-only text nodes
+                out.append(t)
         else:
-            tag, raw, self_closing, children = val
+            tag, raw, self_closing, children = node
             out.append(("o", tag, raw))
             _emit(children, tag, out)
             if not self_closing:
@@ -137,14 +141,19 @@ def _emit(nodes: list, parent_tag: str | None, out: list) -> None:
 
 def minify_tokens(html: str) -> list:
     """Minified document as a classified token stream (fused path)."""
-    html = _COMMENT_RE.sub("", html)
+    if "<!--" in html:
+        html = _COMMENT_RE.sub("", html)
     nodes = _parse_tree(html)
     out: list = []
     _emit(nodes, None, out)
 
     # the ">\s+<" pass in token space: remove runs of whitespace-only
-    # text tokens flanked by tags on both sides (only pre interiors can
-    # still contain them at this point)
+    # text tokens flanked by tags on both sides. Only <pre> interiors
+    # can still contain such tokens (non-pre _emit drops them and edge-
+    # trims the root), so the scan is gated on pre presence (one
+    # C-speed regex scan; real pages rarely contain <pre>).
+    if _PRE_SCAN_RE.search(html) is None:
+        return out
     res: list = []
     i, n = 0, len(out)
     while i < n:
