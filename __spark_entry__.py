@@ -497,6 +497,62 @@ def q_multimodal_decode(spark, sf_dir):  # rows-only (binary plumbing)
     return out.withColumn("feature", F.to_json("feature"))
 
 
+def q_serialize_typed(spark, sf_dir):
+    """Z1 typed serializer as a distributed operator: extract spans from
+    constructed HTML, serialize back, return the reconstructed HTML.
+    Inputs are canonical-by-construction (single-word columns), so the
+    oracle can state the exact typed output string."""
+    import pandas as pd
+    from html_to_document_spark.core.extract import ExtractOptions, extract_document
+    from html_to_document_spark.core.serializer import serialize_spans
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("<h2>"), F.col("lang"), F.lit("</h2><ul><li>"),
+            F.col("source"), F.lit("</li><li>x</li></ul><p>"),
+            F.col("lang"), F.lit(" tail</p>"),
+        ).alias("html"),
+    )
+
+    opts = ExtractOptions(with_meta=True)
+
+    def fn(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "html_out": [
+                        serialize_spans(extract_document(h, opts))
+                        for h in pdf["html"]
+                    ],
+                }
+            )
+
+    return d.mapInPandas(fn, "doc_id long, html_out string")
+
+
+def q_multimodal_frames(spark, sf_dir):  # rows-only (binary plumbing)
+    """Video frame-sampling plumbing: one row per sampled frame position."""
+    from html_to_document_spark.operators.multimodal import frame_sample
+
+    d = _docs(spark, sf_dir).limit(50)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("media://v/"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.encode("source", "utf-8").alias("content"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("doc_id") % 5 + 1) * 1000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return frame_sample(media, every_ms=500, fake=True)
+
+
 def q_training_pipeline(spark, sf_dir):  # rows-only (generator-defined)
     """Composed pipeline: extract -> lang/quality filter -> dedup."""
     from html_to_document_spark.plans.pipeline import build_training_pipeline
@@ -573,6 +629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_antijoin": q_resume_antijoin,
         # multimodal
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        # serializer (Z1)
+        "serialize_typed": q_serialize_typed,
     }
 
 
@@ -815,6 +874,13 @@ def oracle_sql() -> dict[str, str]:
             "select cast(doc_id % 32 as int) as partition_id, "
             "count(*) as n_remaining from documents "
             "where doc_id % 32 >= 16 group by 1"
+        ),
+        "serialize_typed": (
+            # extract∘serialize is the identity on this canonical input,
+            # so the oracle is the constructed HTML itself
+            "select doc_id, '<h2>' || lang || '</h2><ul><li>' || source "
+            "|| '</li><li>x</li></ul><p>' || lang || ' tail</p>' "
+            "as html_out from documents"
         ),
         # rows-only (non-SQL-portable hashing / driver-seeded planes /
         # binary plumbing / generator-defined): dedup_minhash_pairs,

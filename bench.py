@@ -136,6 +136,22 @@ def run_headline_queries() -> dict[str, float]:
         n = qs[name](spark, SF_DIR).count()
         out[name] = round(time.time() - t0, 2)
         assert n >= 0
+
+    # composed training pipeline end-to-end over 20k bench-corpus docs:
+    # extract -> lang/quality projections -> exact dedup -> materialize
+    # once -> MinHash-LSH near-dup removal (round-2 plan shape)
+    from pyspark.sql import functions as F
+    from html_to_document_spark.plans.pipeline import build_training_pipeline
+
+    docs = spark.read.parquet(CORPUS).filter(
+        F.col("doc_id") < "doc-000000020000"
+    )
+    t0 = time.time()
+    n = build_training_pipeline(
+        docs, num_partitions=CPUS * 2, min_quality=0.0
+    ).count()
+    out["training_pipeline_20k"] = round(time.time() - t0, 2)
+    assert n > 0
     spark.stop()
     return out
 
