@@ -352,6 +352,15 @@ def q_ann_lsh_topk(spark, sf_dir):  # rows-only (driver-seeded hyperplanes)
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):  # rows-only (KMeans coarse quantizer)
+    """IVF ANN scale path: KMeans cells -> n_probe routing -> exact
+    re-rank inside probed cells (recall-vs-exact pytest-gated)."""
+    emb = _emb(spark, sf_dir)
+    return SIM.ivf_ann_topk(
+        emb.filter("vec_id < 5"), emb, k=3, n_cells=8, n_probe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational / scale patterns (TPC-H-ish)
 # ---------------------------------------------------------------------------
@@ -616,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_norms": q_embedding_norms,
         # relational / scale patterns

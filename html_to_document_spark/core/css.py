@@ -157,6 +157,73 @@ class Stylesheet:
             out.update(r.decls)
         return out
 
+    def subtract_by_selector(
+        self, selector: str, keys: set[str] | frozenset | None = None
+    ) -> "Stylesheet":
+        """C12 (subtractStylesBySelector, sheet.ts:139-206): a DERIVED
+        stylesheet with rules matching ``selector`` removed — or, with
+        ``keys``, only those declaration keys removed from matching
+        rules (rules keeping other declarations survive). The base
+        stylesheet is never mutated; unparsable selectors derive an
+        unchanged copy (reference behavior for empty target lists)."""
+        targets = []
+        for part in selector.split(","):
+            t = _selector_to_target(part)
+            if t is not None:
+                targets.append(t)
+        derived = Stylesheet()
+        if not targets:
+            derived.rules = list(self.rules)
+            return derived
+        for r in self.rules:
+            hit = any(r.matches(tag, attrs) for tag, attrs in targets)
+            if not hit:
+                derived.rules.append(r)
+                continue
+            if keys is not None:
+                remaining = {k: v for k, v in r.decls.items() if k not in keys}
+                if remaining:
+                    derived.rules.append(_clone_rule(r, remaining))
+        return derived
+
+
+def _selector_to_target(sel: str) -> tuple[str, dict] | None:
+    """Parse a simple selector into a synthetic element (tag, attrs)
+    that rules can be matched AGAINST (toTargetFromSelector,
+    sheet.ts:380-430). Combinator selectors are not targetable."""
+    probe = Rule(sel, {}, 0)
+    if probe._unmatchable:
+        return None
+    attrs: dict[str, str] = {}
+    if probe.ident:
+        attrs["id"] = probe.ident
+    if probe.classes:
+        attrs["class"] = " ".join(probe.classes)
+    for name, op, val, _ci in probe.attrs:
+        if op in (None, "=", "~=", "|=", "^=", "$=", "*="):
+            attrs[name] = val or ""
+    return (probe.tag or "", attrs)
+
+
+def _clone_rule(rule: Rule, decls: dict[str, str]) -> Rule:
+    clone = Rule.__new__(Rule)
+    clone.tag = rule.tag
+    clone.ident = rule.ident
+    clone.classes = list(rule.classes)
+    clone.attrs = list(rule.attrs)
+    clone.specificity = rule.specificity
+    clone.order = rule.order
+    clone.decls = decls
+    clone._unmatchable = rule._unmatchable
+    return clone
+
+
+def subtract_styles(styles: dict[str, str],
+                    base: dict[str, str]) -> dict[str, str]:
+    """Residual declarations differing from the base
+    (subtractStyles, stylesheet-seeding.ts:262-272)."""
+    return {k: v for k, v in styles.items() if base.get(k) != v}
+
 
 def _strip_at_blocks(css: str) -> str:
     """Remove ``@media{...}``-style blocks (balanced braces)."""

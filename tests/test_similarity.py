@@ -62,3 +62,23 @@ def test_embedding_near_dup_pairs(spark, emb):
         assert (i, i + 1000) in pairs and pairs[(i, i + 1000)] == 1.0
     # no spurious high-cosine pairs among random vectors
     assert all(a + 1000 == b for (a, b) in pairs)
+
+
+def test_ivf_ann_recall(spark, emb):
+    """IVF coarse-quantized ANN recovers most of the exact top-k; with
+    n_probe == n_cells it degenerates to exact search (recall 1.0)."""
+    from html_to_document_spark.operators.similarity import ivf_ann_topk
+
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk(queries, emb, k=5).collect()
+    exact_set = {(r.query_id, r.candidate_id) for r in exact}
+
+    approx = ivf_ann_topk(queries, emb, k=5, n_cells=8, n_probe=4).collect()
+    approx_set = {(r.query_id, r.candidate_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+    # full probe == exact: every cell is searched
+    full = ivf_ann_topk(queries, emb, k=5, n_cells=8, n_probe=8).collect()
+    full_set = {(r.query_id, r.candidate_id) for r in full}
+    assert full_set == exact_set

@@ -235,3 +235,38 @@ def test_compute_inherited_and_cascade():
     # width is NOT consumed at inline scope -> cascades on
     assert cascade_styles(styles, "inline") == {"width": "50%",
                                                 "font-size": "10px"}
+
+
+def test_subtract_by_selector():
+    """C12 parity (subtractStylesBySelector, sheet.ts:139-206)."""
+    from html_to_document_spark.core.css import Stylesheet, subtract_styles
+
+    sheet = Stylesheet()
+    sheet.add_css(
+        ".hot { color: red; font-size: 10px } "
+        "p { margin: 0 } "
+        "#main { width: 50% }"
+    )
+    # full removal of matching rules
+    derived = sheet.subtract_by_selector(".hot")
+    assert derived.resolve("div", {"class": "hot"}) == {}
+    assert derived.resolve("p", None) == {"margin": "0"}
+    # base unchanged (derived, not mutated)
+    assert sheet.resolve("div", {"class": "hot"}) == {
+        "color": "red", "font-size": "10px"}
+    # per-key subtraction keeps the rest of the rule
+    derived2 = sheet.subtract_by_selector(".hot", keys={"color"})
+    assert derived2.resolve("div", {"class": "hot"}) == {"font-size": "10px"}
+    # selector list + id targets
+    derived3 = sheet.subtract_by_selector("#main, p")
+    assert derived3.resolve("div", {"id": "main"}) == {}
+    assert derived3.resolve("p", None) == {}
+    assert derived3.resolve("span", {"class": "hot"}) == {
+        "color": "red", "font-size": "10px"}
+    # unparsable (combinator) selector -> unchanged copy
+    derived4 = sheet.subtract_by_selector("div > p")
+    assert derived4.resolve("p", None) == {"margin": "0"}
+    # free-function residual subtract (stylesheet-seeding.ts:262-272)
+    assert subtract_styles(
+        {"color": "red", "font-weight": "bold"}, {"font-weight": "bold"}
+    ) == {"color": "red"}
