@@ -147,8 +147,13 @@ def run_headline_queries() -> dict[str, float]:
         F.col("doc_id") < "doc-000000020000"
     )
     t0 = time.time()
+    # localCheckpoint: row-format storage beats the columnar cache's
+    # build+decode for a once-written, thrice-read intermediate
+    # (measured 19.2s vs 25.4s at 20k docs); at 100 TB this knob is a
+    # write/read of an intermediate table instead
     n = build_training_pipeline(
-        docs, num_partitions=CPUS * 2, min_quality=0.0
+        docs, num_partitions=CPUS * 2, min_quality=0.0,
+        materialize="checkpoint",
     ).count()
     out["training_pipeline_20k"] = round(time.time() - t0, 2)
     assert n > 0
