@@ -139,13 +139,90 @@ def _emit(nodes: list, parent_tag: str | None, out: list) -> None:
                 out.append(("c", tag))
 
 
+def _stream_minify(html: str) -> list:
+    """SINGLE-PASS fusion of ``_parse_tree`` + ``_emit``: classified
+    tokens with whitespace resolved, straight from the regex, no
+    intermediate tree. Semantics are pinned identical to the two-pass
+    form by the minify goldens (``_parse_tree``/``_emit`` are retained
+    as the executable specification and for tree-shaped callers).
+
+    The only future-dependent decision on a text node is its TRAILING
+    treatment (single-space before a block sibling; rstrip when last
+    child of a trimming parent), so one pending text slot per open
+    element suffices — texts are never adjacent in the token stream.
+    Frame: [tag, is_pre, trim_edges, is_first_child, last_was_block,
+    pending_text]."""
+    out: list = []
+    # root frame: trims its edges, not pre
+    frames: list[list] = [[None, False, True, True, False, None]]
+    f = frames[-1]
+    close_match = _CLOSE_RE.match
+    open_match = _OPEN_RE.match
+
+    def _resolve(frame: list, next_is_block: bool, closing: bool) -> None:
+        t = frame[5]
+        frame[5] = None
+        if next_is_block:
+            if t and t[-1].isspace():
+                t = t.rstrip() + " "
+        elif closing and frame[2]:
+            t = t.rstrip()
+        if t and not t.isspace():
+            out.append(t)
+
+    for token in _TOKEN_RE.findall(html):
+        if token[0] != "<":
+            if f[1]:  # pre interior: raw, whitespace preserved
+                out.append(token)
+                continue
+            t = _collapse(token)
+            if f[4]:  # previous sibling was a block tag
+                t = t.lstrip()
+            if f[3] and f[2]:  # first child of a trimming parent
+                t = t.lstrip()
+            f[3] = False
+            f[4] = False
+            f[5] = t
+            continue
+        c1 = token[1] if len(token) > 1 else ""
+        if c1 == "/" or (c1 == " " and close_match(token)):
+            if len(frames) > 1:
+                if f[5] is not None:
+                    _resolve(f, False, True)
+                out.append(("c", f[0]))
+                frames.pop()
+                f = frames[-1]
+            continue
+        m = open_match(token)
+        tag = m.group(1).lower() if m else ""
+        self_closing = tag in _VOID or token[-2] == "/"
+        if f[5] is not None:
+            _resolve(f, tag in _BLOCK_TAGS, False)
+        out.append(("o", tag, token))
+        f[3] = False
+        f[4] = tag in _BLOCK_TAGS
+        if not self_closing:
+            f = [tag, tag == "pre", tag in _BLOCK_TAGS, True, False, None]
+            frames.append(f)
+
+    # EOF: unclosed elements close here (fixture parser.test.ts:159-169)
+    while len(frames) > 1:
+        f = frames[-1]
+        if f[5] is not None:
+            _resolve(f, False, True)
+        out.append(("c", f[0]))
+        frames.pop()
+    root = frames[0]
+    if root[5] is not None:
+        _resolve(root, False, True)
+    return out
+
+
 def minify_tokens(html: str) -> list:
     """Minified document as a classified token stream (fused path)."""
     if "<!--" in html:
         html = _COMMENT_RE.sub("", html)
-    nodes = _parse_tree(html)
-    out: list = []
-    _emit(nodes, None, out)
+    out = _stream_minify(html)
 
     # the ">\s+<" pass in token space: remove runs of whitespace-only
     # text tokens flanked by tags on both sides. Only <pre> interiors

@@ -80,3 +80,19 @@ def test_minify_quoted_gt_in_attribute():
         minify_html('<div title="a>b">  c  </div>')
         == '<div title="a>b">c</div>'
     )
+
+
+@pytest.mark.parametrize("html,expected", CASES + EXOTIC_WS_CASES, ids=lambda x: None)
+def test_stream_minify_matches_tree_form(html, expected):
+    """The fused single-pass must be token-identical to the two-pass
+    tree form (_parse_tree + _emit), which is the executable spec."""
+    from html_to_document_spark.core.minify import (
+        _COMMENT_RE, _emit, _parse_tree, _stream_minify,
+    )
+
+    if isinstance(html, tuple):  # ids quirk guard
+        html = html[0]
+    stripped = _COMMENT_RE.sub("", html)
+    tree_out: list = []
+    _emit(_parse_tree(stripped), None, tree_out)
+    assert _stream_minify(stripped) == tree_out
