@@ -69,6 +69,10 @@ def main() -> None:
     p.add_argument("--lineage", required=True)
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--chunk-buckets", type=int, default=32)
+    p.add_argument("--stage", default=None,
+                   help="stage dir: write the input bucketed by "
+                        "partition_id once so each chunk reads only its "
+                        "own files (required shape at large scale)")
     p.add_argument("--cpus", default="*")
     p.add_argument("--boilerplate-max-link-density", type=float, default=None)
     args = p.parse_args()
@@ -92,6 +96,7 @@ def main() -> None:
         options=opts,
         n_buckets=args.buckets,
         chunk_buckets=args.chunk_buckets,
+        stage_path=args.stage,
     )
     dt = time.time() - t0
     n = spark.read.parquet(args.output).count()
