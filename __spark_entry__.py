@@ -562,6 +562,31 @@ def q_multimodal_frames(spark, sf_dir):  # rows-only (binary plumbing)
     return frame_sample(media, every_ms=500, fake=True)
 
 
+def q_multimodal_resize(spark, sf_dir):  # rows-only (binary plumbing)
+    """Resize -> decode chain over binary media columns."""
+    from html_to_document_spark.operators.multimodal import (
+        decode_media,
+        resize_images,
+    )
+
+    d = _docs(spark, sf_dir).limit(50)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("media://i/"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(256).alias("width"),
+            F.lit(256).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    out = decode_media(resize_images(media, 64, 64), fake=True, feature_dim=8)
+    return out.withColumn("feature", F.to_json("feature"))
+
+
 def q_training_pipeline(spark, sf_dir):  # rows-only (generator-defined)
     """Composed pipeline: extract -> lang/quality filter -> dedup."""
     from html_to_document_spark.plans.pipeline import build_training_pipeline
@@ -640,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         # serializer (Z1)
         "serialize_typed": q_serialize_typed,
     }

@@ -72,6 +72,53 @@ def decode_media(
     return df.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+def resize_images(
+    df: "DataFrame", width: int = 64, height: int = 64, *, fake: bool = True
+) -> "DataFrame":
+    """Image resize plumbing: binary in -> binary out with updated meta.
+    Real pixel decode/resample requires PIL (absent here): the ``fake``
+    path emits a deterministic content surrogate (sha256 of input bytes
+    + target dims) with the real schema/batching so the Spark-side
+    pipeline (partitioning, meta propagation, byte budgets) is tested.
+    """
+    import pandas as pd
+
+    schema = (
+        "doc_id string, media_ref string, content binary, "
+        "meta struct<mime:string, width:int, height:int, duration_ms:int>"
+    )
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL; unavailable here"
+                )
+            contents, metas = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                c = bytes(content) if content is not None else b""
+                digest = hashlib.sha256(
+                    c + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+                ).digest()
+                # deterministic surrogate sized like a tiny thumbnail
+                contents.append(digest * 4)
+                m = dict(meta or {})
+                m["width"], m["height"] = width, height
+                m.setdefault("mime", None)
+                m.setdefault("duration_ms", None)
+                metas.append(m)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return df.mapInPandas(fn, schema)
+
+
 def frame_sample(
     df: "DataFrame", every_ms: int = 1000, *, fake: bool = True
 ) -> "DataFrame":

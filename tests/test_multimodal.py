@@ -45,3 +45,23 @@ def test_frame_sample(spark, media):
         by_doc.setdefault(r.doc_id, []).append(r.frame_ms)
     assert sorted(by_doc["d2"]) == [0, 1000, 2000, 3000]
     assert by_doc["d1"] == [0]  # no duration -> single frame at 0
+
+
+def test_resize_images_plumbing(spark, media):
+    from html_to_document_spark.operators.multimodal import resize_images
+
+    out = {r.doc_id: r for r in
+           resize_images(media, width=32, height=16).collect()}
+    assert set(out) == {"d1", "d2", "d3"}
+    for r in out.values():
+        assert r.meta.width == 32 and r.meta.height == 16
+        assert isinstance(bytes(r.content), bytes) and len(r.content) == 128
+    # original mime travels through; deterministic surrogate bytes
+    assert out["d1"].meta.mime == "image/png"
+    again = {r.doc_id: r for r in
+             resize_images(media, width=32, height=16).collect()}
+    assert bytes(out["d1"].content) == bytes(again["d1"].content)
+    assert bytes(out["d1"].content) != bytes(out["d2"].content)
+    # resized output chains into decode_media (schema-compatible)
+    feats = decode_media(resize_images(media), fake=True, feature_dim=4).collect()
+    assert len(feats) == 3 and all(len(r.feature) == 4 for r in feats)
