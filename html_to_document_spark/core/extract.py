@@ -101,10 +101,54 @@ class ExtractOptions:
 DEFAULT_OPTIONS = ExtractOptions()
 
 
+def _build_kind_map(opts: ExtractOptions) -> dict:
+    """Flatten the tag-dispatch chain into one dict (hot path: one dict
+    hit per element instead of up to ten frozenset probes). Precedence
+    matches the original chain: overrides > drop > built-in kinds.
+    'section' keeps a sentinel for its class-dependent dispatch."""
+    km = dict(_BASE_KIND_MAP)
+    if opts.drop_tags is not DROP_TAGS:
+        # un-drop: every default drop tag resolves to 'inline' in the
+        # original chain when removed from drop_tags (none of them are
+        # in any other built-in set)
+        for t in DROP_TAGS:
+            km[t] = "inline"
+    for t in opts.drop_tags:
+        km[t] = "drop"
+    if opts.tag_overrides:
+        km.update(opts.tag_overrides)
+    return km
+
+
+def _make_base_kind_map() -> dict:
+    km: dict = {}
+    for t in INLINE_TAGS:
+        km[t] = "inline"
+    for t in PARAGRAPH_TAGS | HEADING_TAGS:
+        km[t] = "paragraph"
+    for t in LIST_TAGS:
+        km[t] = "list"
+    km.update(table="table", img="img", br="br", hr="hr")
+    km["section"] = "@section"
+    for t in FRAGMENT_TAGS | {"header", "footer"}:
+        km[t] = "fragment"
+    for t in ("thead", "tbody", "tfoot", "tr", "td", "th", "caption",
+              "colgroup", "col", "option", "optgroup"):
+        # table/select internals outside their container: fragment
+        km[t] = "fragment"
+    for t in DROP_TAGS:
+        km[t] = "drop"
+    return km
+
+
+_BASE_KIND_MAP = _make_base_kind_map()
+_DEFAULT_KIND_MAP = _build_kind_map(DEFAULT_OPTIONS)
+
+
 class _Walker:
     __slots__ = (
         "opts", "sheet", "spans", "chunk", "a_depth", "link_chars",
-        "meta_mode", "chunk_meta", "chunk_href",
+        "meta_mode", "chunk_meta", "chunk_href", "_kind_map",
     )
 
     def __init__(self, opts: ExtractOptions, sheet: _css.Stylesheet | None):
@@ -118,6 +162,11 @@ class _Walker:
         self.meta_mode = opts.with_meta
         self.chunk_meta: dict | None = None  # block context for the chunk
         self.chunk_href: str | None = None
+        # per-doc copy: _kind_slow memoizes unknown tags into it
+        self._kind_map = (
+            dict(_DEFAULT_KIND_MAP) if opts is DEFAULT_OPTIONS
+            else _build_kind_map(opts)
+        )
 
     # ---- chunk management -------------------------------------------------
     def _add_text(self, text: str) -> None:
@@ -148,41 +197,24 @@ class _Walker:
 
     # ---- dispatch ---------------------------------------------------------
     def _kind_of(self, tag: str, attrs: dict | None) -> str:
-        ov = self.opts.tag_overrides.get(tag)
-        if ov is not None:
-            return ov
-        if tag in self.opts.drop_tags:
-            return "drop"
-        if tag in INLINE_TAGS:
-            return "inline"
-        if tag in PARAGRAPH_TAGS or tag in HEADING_TAGS:
-            return "paragraph"
-        if tag in LIST_TAGS:
-            return "list"
-        if tag == "table":
-            return "table"
-        if tag == "img":
-            return "img"
-        if tag == "br":
-            return "br"
-        if tag == "hr":
-            return "hr"
-        if tag == "section":
+        kind = self._kind_map.get(tag)
+        if kind is None:
+            return self._kind_slow(tag)
+        if kind == "@section":
             classes = ((attrs or {}).get("class") or "").split()
             if "page-break" in classes:
                 return "page-break"
             if "page" in classes:
                 return "page"
             return "fragment"
-        if tag in FRAGMENT_TAGS or tag in ("header", "footer"):
-            return "fragment"
-        if tag in ("thead", "tbody", "tfoot", "tr", "td", "th", "caption",
-                   "colgroup", "col", "option", "optgroup"):
-            # table/select internals outside their container: fragment
-            return "fragment"
+        return kind
+
+    def _kind_slow(self, tag: str) -> str:
         # unknown tag -> 'custom' element; the reference treats custom
         # elements as inline (no block converter -> merged into chunks,
-        # element-converters/converter.ts:98-133,361-376)
+        # element-converters/converter.ts:98-133,361-376). Memoize so
+        # repeated custom tags take the dict hit only once per doc.
+        self._kind_map[tag] = "inline"
         return "inline"
 
     def _hidden(self, tag: str, attrs: dict | None) -> bool:

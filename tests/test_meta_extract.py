@@ -62,3 +62,19 @@ def test_dom_unterminated_quote_fallback():
     assert parse_html("<a title=don't>x</a>") == [
         ["a", {"title": "don't"}, [("#text", "x")]]
     ]
+
+
+def test_custom_drop_tags():
+    """Custom drop_tags: removed default drop tags fall back to inline
+    (the original dispatch chain's default), added tags drop."""
+    from html_to_document_spark.core.extract import (
+        DROP_TAGS, ExtractOptions, extract_document,
+    )
+
+    # un-drop nav, drop p
+    opts = ExtractOptions(drop_tags=frozenset(DROP_TAGS - {"nav"}) | {"em"})
+    got = extract_document(
+        "<p>a <em>gone</em> b</p><nav>menu</nav>", opts
+    )
+    # dropping <em> skips the node: the flanking single spaces remain
+    assert got == [("text", "a  b", None, 0), ("text", "menu", None, 1)]
