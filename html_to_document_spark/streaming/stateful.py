@@ -1,0 +1,99 @@
+"""Custom stateful streaming operator (task brief:
+``applyInPandasWithState`` for operators Structured Streaming lacks).
+
+``streaming_exact_dedup``: exact-duplicate suppression over an
+unbounded document stream — the streaming counterpart of
+``operators.dedup.exact_dedup``. Semantics are ARRIVAL-ORDER (first
+occurrence wins; within one micro-batch the min doc_id wins), the
+natural contract for a continuously-ingesting crawl pipeline where
+"the" keeper cannot be a global min over an unbounded stream.
+
+Scale shape:
+- groups are keyed by the 64-bit ``xxhash64(text)`` digest, so state
+  per distinct document is ONE tiny row (the shuffle and the state
+  store never carry document text);
+- state never expires (``NoTimeout``): dedup state is append-only by
+  design — at 10^12 docs, bound the state store by sharding the stream
+  on digest ranges or aging out via a TTL variant;
+- batch==stream equivalence for single-batch input and cross-batch
+  suppression are pytest-gated (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+OUT_SCHEMA = "doc_id string, text string"
+STATE_SCHEMA = "seen byte"
+
+
+def streaming_exact_dedup(
+    stream_df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """(id, text) stream -> first-seen rows only, exactly once per
+    distinct text across all micro-batches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream_df.select(
+        F.xxhash64(F.col(text_col)).alias("digest"),
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+
+    def dedup_fn(key, pdf_iter, state):
+        if state.exists:
+            for _ in pdf_iter:  # drain: this digest was already emitted
+                pass
+            return
+        best = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.loc[pdf["doc_id"].idxmin()]
+            if best is None or cand["doc_id"] < best["doc_id"]:
+                best = cand
+        state.update((1,))
+        if best is not None:
+            yield pd.DataFrame(
+                {"doc_id": [best["doc_id"]], "text": [best["text"]]}
+            )
+
+    return keyed.groupBy("digest").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_dedup(
+    spark,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+):
+    """File-source wiring: drain available input through the stateful
+    dedup into parquet (append sink; state lives in the checkpoint)."""
+    reader = spark.readStream.schema("doc_id string, text string")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(in_path)
+    out = streaming_exact_dedup(stream, text_col=text_col)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

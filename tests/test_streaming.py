@@ -53,3 +53,34 @@ def test_sink_retry_is_idempotent(spark, tmp_path):
     lin = spark.read.parquet(lineage)
     assert lin.filter(F.col("partition_id") == 0).count() == 1
     assert lin.agg(F.sum("input_count")).first()[0] == 40
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState exact dedup: first occurrence wins across
+    micro-batches; state persists in the checkpoint between runs."""
+    from html_to_document_spark.streaming.stateful import run_streaming_dedup
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = spark.createDataFrame(
+        [("a1", "alpha"), ("a2", "alpha"), ("b1", "beta")],
+        "doc_id string, text string",
+    )
+    batch1.write.parquet(in_path)
+    run_streaming_dedup(spark, in_path, out_path, ckpt)
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(out_path).collect()}
+    # within one batch: min doc_id wins
+    assert got == {("a1", "alpha"), ("b1", "beta")}
+
+    # second run with new files: previously-seen texts suppressed by
+    # state, new text emitted
+    batch2 = spark.createDataFrame(
+        [("a9", "alpha"), ("c1", "gamma"), ("c2", "gamma")],
+        "doc_id string, text string",
+    )
+    batch2.write.mode("append").parquet(in_path)
+    run_streaming_dedup(spark, in_path, out_path, ckpt)
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(out_path).collect()}
+    assert got == {("a1", "alpha"), ("b1", "beta"), ("c1", "gamma")}
