@@ -459,7 +459,13 @@ def q_windowed_counts(spark, sf_dir):
     from html_to_document_spark.streaming.windows import windowed_event_counts
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return windowed_event_counts(ev, exact_sums=True)
+    out = windowed_event_counts(ev, exact_sums=True)
+    # epoch seconds, not a timestamp: pandas hashes the raw int64 under
+    # a datetime column, so Spark's ns vs DuckDB's us resolution would
+    # hash-mismatch on identical instants
+    return out.withColumn(
+        "window_start", F.unix_timestamp("window_start").cast("long")
+    )
 
 
 def q_media_catalog(spark, sf_dir):
@@ -883,7 +889,8 @@ def oracle_sql() -> dict[str, str]:
             "count(*) as n_events from g group by user_id"
         ),
         "windowed_counts": (
-            "select time_bucket(interval '1 hour', ts) as window_start, "
+            "select cast(floor(epoch(time_bucket(interval '1 hour', ts))) "
+            "as bigint) as window_start, "
             "event_type, count(*) as n_events, "
             "cast(sum(cast(value as decimal(28,10))) as double) as sum_value "
             "from events group by 1, 2"
