@@ -87,3 +87,85 @@ def test_serializer_fixpoint(html):
         return
     spans2 = extract_document(serialize_spans(spans1))
     assert spans2 == spans1
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: typed-serializer meta fixpoint and quote-aware
+# tokenizer fuzz
+# ---------------------------------------------------------------------------
+
+_WORD = st.text(alphabet="abcdefgxyz", min_size=1, max_size=6)
+
+
+@st.composite
+def structured_html(draw):
+    """Canonical structured fragments (single-space words) hitting the
+    serializer's TYPED paths: headings, paragraphs, nested lists,
+    tables with optional thead, hr, images."""
+    parts = []
+    for _ in range(draw(st.integers(1, 5))):
+        kind = draw(st.sampled_from(
+            ["h", "p", "list", "table", "hr", "img"]))
+        words = " ".join(draw(st.lists(_WORD, min_size=1, max_size=4)))
+        if kind == "h":
+            lvl = draw(st.integers(1, 6))
+            parts.append(f"<h{lvl}>{words}</h{lvl}>")
+        elif kind == "p":
+            parts.append(f"<p>{words}</p>")
+        elif kind == "list":
+            tag = draw(st.sampled_from(["ul", "ol"]))
+            items = draw(st.lists(_WORD, min_size=1, max_size=3))
+            inner = "".join(f"<li>{w}</li>" for w in items)
+            nested = draw(st.booleans())
+            if nested:
+                sub = draw(st.sampled_from(["ul", "ol"]))
+                inner += f"<li>{draw(_WORD)}<{sub}><li>{draw(_WORD)}</li></{sub}></li>"
+            parts.append(f"<{tag}>{inner}</{tag}>")
+        elif kind == "table":
+            head = draw(st.booleans())
+            h = f"<thead><tr><th>{draw(_WORD)}</th></tr></thead>" if head else ""
+            parts.append(
+                f"<table>{h}<tr><td>{draw(_WORD)}</td><td>{words}</td></tr></table>"
+            )
+        elif kind == "hr":
+            parts.append("<hr>")
+        else:
+            parts.append(f'<img src="media://{draw(_WORD)}">')
+    return "".join(parts)
+
+
+@given(structured_html())
+@settings(max_examples=200, deadline=None)
+def test_typed_serializer_meta_fixpoint(html):
+    """extract∘serialize is the identity on meta-bearing spans for
+    generated structured HTML (all typed serializer paths)."""
+    from html_to_document_spark.core.extract import ExtractOptions
+
+    opts = ExtractOptions(with_meta=True)
+    spans1 = extract_document(html, opts)
+    html2 = serialize_spans(spans1)
+    spans2 = extract_document(html2, opts)
+    assert spans2 == spans1, f"serialized: {html2!r}"
+
+
+_ATTR_VAL = st.text(
+    alphabet="ab> /='\"<", min_size=0, max_size=8
+)
+
+
+@given(_WORD, _ATTR_VAL, _WORD)
+@settings(max_examples=200, deadline=None)
+def test_tokenizer_quoted_attr_fuzz(attr_word, val, text_word):
+    """Quote-aware tokenizer: for any double-quoted attribute value
+    without a double quote inside, the tag parses whole and no attr
+    garbage leaks into extracted text."""
+    from html_to_document_spark.core.dom import parse_html
+
+    val = val.replace('"', "")
+    html = f'<p><a title="{val}" id="{attr_word}">{text_word}</a></p>'
+    nodes = parse_html(html)
+    assert nodes[0][0] == "p"
+    a = nodes[0][2][0]
+    assert a[0] == "a"
+    assert a[1]["id"] == attr_word
+    assert a[2] == [("#text", text_word)]
