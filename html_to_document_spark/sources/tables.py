@@ -38,14 +38,29 @@ def _iceberg_available(spark: "SparkSession") -> bool:
         return False
 
 
-def write_spans(df: "DataFrame", target: str) -> None:
+def write_spans(
+    df: "DataFrame", target: str, partition_cols: tuple | list | None = None
+) -> None:
     """Write an extracted-spans table. ``target`` is an Iceberg table
-    name when a catalog is configured, else a parquet directory path."""
+    name when a catalog is configured, else a parquet directory path.
+
+    ``partition_cols`` (e.g. ``("partition_id",)`` for the resume
+    layout): on Iceberg this becomes the table's partition spec so
+    chunk predicates prune at the manifest level; on parquet it is the
+    directory layout run_with_checkpoint's stage/chunk reads rely on."""
     spark = df.sparkSession
     if _iceberg_available(spark):
-        df.writeTo(target).createOrReplace()
+        w = df.writeTo(target)
+        if partition_cols:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_cols])
+        w.createOrReplace()
     else:
-        df.write.mode("overwrite").parquet(target)
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*list(partition_cols))
+        w.parquet(target)
 
 
 def read_spans(spark: "SparkSession", target: str) -> "DataFrame":
