@@ -173,6 +173,19 @@ def q_extract_boilerplate(spark, sf_dir):
     return out.select("doc_id", "offset", "kind", "text")
 
 
+def q_extract_text_density(spark, sf_dir):
+    """Text-density boilerplate scoring (north_star): a many-tag
+    low-text menu chunk drops; the long article text survives."""
+    html = F.concat(
+        F.lit("<div><b>Home</b><b>About</b><b>Contact</b><b>Blog</b>"
+              "<b>Shop</b></div><p>"),
+        F.col("text"), F.lit("</p>"),
+    )
+    df = _with_html(_docs(spark, sf_dir), html)
+    out = _extract_exploded(df, ExtractOptions(boilerplate_min_text_density=6.0))
+    return out.select("doc_id", "offset", "kind", "text")
+
+
 def q_minify_normalize(spark, sf_dir):
     """Pre-parse normalization as a standalone string->string operator."""
     import pandas as pd
@@ -637,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_caption_side": q_extract_caption_side,
         "extract_pages": q_extract_pages,
         "extract_boilerplate": q_extract_boilerplate,
+        "extract_text_density": q_extract_text_density,
         "extract_sharded": q_extract_sharded,
         "minify_normalize": q_minify_normalize,
         "style_normalize": q_style_normalize,
@@ -737,6 +751,10 @@ def oracle_sql() -> dict[str, str]:
             ]
         ),
         "extract_boilerplate": (
+            "select doc_id, cast(0 as int) as offset, 'text' as kind, text "
+            "from documents"
+        ),
+        "extract_text_density": (
             "select doc_id, cast(0 as int) as offset, 'text' as kind, text "
             "from documents"
         ),

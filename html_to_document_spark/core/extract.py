@@ -79,6 +79,10 @@ class ExtractOptions:
     # link-density boilerplate scoring; None disables
     boilerplate_max_link_density: float | None = None
     boilerplate_min_keep_len: int = 80
+    # text-density boilerplate scoring (north_star): chars per merged
+    # inline element in the chunk; short low-density chunks (menus,
+    # button rows: many tags, little text) drop. None disables.
+    boilerplate_min_text_density: float | None = None
     # per-tag overrides, parity with registerTagHandler (parser.ts:77-80):
     # tag -> one of 'drop'|'inline'|'paragraph'|'fragment'|'list'|'table',
     # OR a callable(walker, node) that emits spans itself (UDTF-like,
@@ -148,7 +152,8 @@ _DEFAULT_KIND_MAP = _build_kind_map(DEFAULT_OPTIONS)
 class _Walker:
     __slots__ = (
         "opts", "sheet", "spans", "chunk", "a_depth", "link_chars",
-        "meta_mode", "chunk_meta", "chunk_href", "_kind_map",
+        "meta_mode", "chunk_meta", "chunk_href", "chunk_tag_n",
+        "_kind_map",
     )
 
     def __init__(self, opts: ExtractOptions, sheet: _css.Stylesheet | None):
@@ -162,6 +167,7 @@ class _Walker:
         self.meta_mode = opts.with_meta
         self.chunk_meta: dict | None = None  # block context for the chunk
         self.chunk_href: str | None = None
+        self.chunk_tag_n = 0  # inline elements merged into the chunk
         # per-doc copy: _kind_slow memoizes unknown tags into it
         self._kind_map = (
             dict(_DEFAULT_KIND_MAP) if opts is DEFAULT_OPTIONS
@@ -184,15 +190,18 @@ class _Walker:
                 meta = dict(self.chunk_meta) if self.chunk_meta else {}
                 if self.chunk_href is not None:
                     meta["href"] = self.chunk_href
-            self.spans.append([TEXT, text, None, self.link_chars, meta])
+            self.spans.append(
+                [TEXT, text, None, self.link_chars, meta, self.chunk_tag_n]
+            )
         self.chunk.clear()
         self.link_chars = 0
         self.chunk_href = None
+        self.chunk_tag_n = 0
 
     def _emit(self, kind: str, text: str | None, ref: str | None,
               meta: dict | None = None) -> None:
         self.spans.append(
-            [kind, text, ref, 0, meta if self.meta_mode else None]
+            [kind, text, ref, 0, meta if self.meta_mode else None, 0]
         )
 
     # ---- dispatch ---------------------------------------------------------
@@ -251,6 +260,7 @@ class _Walker:
 
     def walk_inline(self, node: list) -> None:
         tag = node[0]
+        self.chunk_tag_n += 1
         is_anchor = tag == "a"
         if is_anchor:
             self.a_depth += 1
@@ -645,11 +655,24 @@ def extract_document(
                 and s[3] / len(s[1]) > thr
             )
         ]
+    dens = options.boilerplate_min_text_density
+    if dens is not None:
+        keep_len = options.boilerplate_min_keep_len
+        spans = [
+            s
+            for s in spans
+            if not (
+                s[0] == TEXT
+                and s[1]
+                and len(s[1]) < keep_len
+                and len(s[1]) / (1 + (s[5] if len(s) > 5 else 0)) < dens
+            )
+        ]
     if options.with_meta:
         return [
-            (k, t, r, i, m) for i, (k, t, r, _, m) in enumerate(spans)
+            (k, t, r, i, m) for i, (k, t, r, _, m, *_x) in enumerate(spans)
         ]
-    return [(k, t, r, i) for i, (k, t, r, _, _m) in enumerate(spans)]
+    return [(k, t, r, i) for i, (k, t, r, _, _m, *_x) in enumerate(spans)]
 
 
 def assemble_html(in_spans: list) -> str:

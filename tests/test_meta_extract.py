@@ -78,3 +78,33 @@ def test_custom_drop_tags():
     )
     # dropping <em> skips the node: the flanking single spaces remain
     assert got == [("text", "a  b", None, 0), ("text", "menu", None, 1)]
+
+
+def test_text_density_boilerplate():
+    """north_star text-density scoring: short many-tag chunks drop."""
+    from html_to_document_spark.core.extract import (
+        ExtractOptions, extract_document,
+    )
+
+    html = ("<div><b>Home</b><b>About</b><b>Contact</b><b>Blog</b></div>"
+            "<p>This is a real paragraph of genuine article content with "
+            "enough words to stand on its own.</p>")
+    plain = extract_document(html)
+    assert [s[1] for s in plain] == [
+        "HomeAboutContactBlog",
+        "This is a real paragraph of genuine article content with enough "
+        "words to stand on its own.",
+    ]
+    dense = extract_document(
+        html, ExtractOptions(boilerplate_min_text_density=6.0)
+    )
+    assert [s[1] for s in dense] == [
+        "This is a real paragraph of genuine article content with enough "
+        "words to stand on its own.",
+    ]
+    # long chunks survive regardless of density (min_keep_len guard)
+    long_menu = "<div>" + "<b>word </b>" * 30 + "</div>"
+    kept = extract_document(
+        long_menu, ExtractOptions(boilerplate_min_text_density=6.0)
+    )
+    assert len(kept) == 1
