@@ -276,6 +276,23 @@ def q_fingerprint(spark, sf_dir):
     return TA.fingerprint(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition signals over planted
+    duplicate-line docs (documents.text has few natural dup lines)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"), F.col("source"), F.lit("\n"),
+            F.col("source"), F.lit("\nunique-"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return TA.repetition_stats(d)
+
+
+def q_corpus_stats(spark, sf_dir):
+    return TA.corpus_stats(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -661,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "corpus_stats": q_corpus_stats,
         # dedup
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
@@ -826,6 +845,34 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, cast(list_sum(list_transform(range(1, len(l) + 1), "
             "i -> i * (ascii(l[i][1]) * 31 + length(l[i])))) "
             f"% {FINGERPRINT_MOD} as bigint) as fp from w"
+        ),
+        "repetition_stats": (
+            "with d as (select doc_id, text || chr(10) || source || chr(10) "
+            "|| source || chr(10) || 'unique-' || cast(doc_id as varchar) "
+            "as text from documents), "
+            "l as (select doc_id, unnest(string_split(text, chr(10))) as line "
+            "from d), "
+            "f as (select doc_id, line from l where trim(line) <> ''), "
+            "p as (select doc_id, line, count(*) as n, length(line) as len "
+            "from f group by doc_id, line) "
+            "select doc_id, cast(sum(n) as bigint) as n_lines, "
+            "count(*) as n_distinct_lines, "
+            "floor((1 - count(*) * 1.0 / sum(n)) * 10000 + 0.5) / 10000.0 "
+            "as dup_line_frac, "
+            "floor(sum(case when n > 1 then n * len else 0 end) * 1.0 "
+            "/ sum(n * len) * 10000 + 0.5) / 10000.0 as dup_line_char_frac, "
+            "cast(max(len) as bigint) as max_line_len "
+            "from p group by doc_id"
+        ),
+        "corpus_stats": (
+            "select lang, count(*) as n_docs, "
+            "cast(sum(length(text)) as bigint) as total_chars, "
+            "floor(quantile_cont(length(text), 0.5) * 10000 + 0.5) / 10000.0 "
+            "as p50_chars, "
+            "floor(quantile_cont(length(text), 0.9) * 10000 + 0.5) / 10000.0 "
+            "as p90_chars, "
+            "cast(max(length(text)) as bigint) as max_chars "
+            "from documents group by lang"
         ),
         "dedup_exact_groups": (
             "with u as (select doc_id, text from documents "

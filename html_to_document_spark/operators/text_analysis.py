@@ -167,3 +167,49 @@ def fingerprint(df: "DataFrame", text_col: str = "text") -> "DataFrame":
         words.groupBy("doc_id")
         .agg((F.sum(term) % FINGERPRINT_MOD).alias("fp"))
     )
+
+
+def repetition_stats(df: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Within-document repetition signals (Gopher-style quality rules,
+    public: Rae et al. 2021 §A1.1 — fraction of duplicate lines and the
+    fraction of characters inside duplicated lines).
+
+    One explode + one per-(doc, line) count + one per-doc agg — a single
+    shuffle keyed by doc_id; all expressions JVM-side.
+    """
+    from pyspark.sql import functions as F
+
+    lines = df.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), r"\n")).alias("line"),
+    ).filter(F.trim("line") != "")
+    per_line = lines.groupBy("doc_id", "line").agg(
+        F.count("*").alias("n"), F.length("line").alias("len")
+    )
+    return per_line.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_lines"),
+        F.count("*").cast("long").alias("n_distinct_lines"),
+        r4(1 - F.count("*") / F.sum("n")).alias("dup_line_frac"),
+        r4(
+            F.sum(F.when(F.col("n") > 1, F.col("n") * F.col("len")).otherwise(0))
+            / F.sum(F.col("n") * F.col("len"))
+        ).alias("dup_line_char_frac"),
+        F.max("len").cast("long").alias("max_line_len"),
+    )
+
+
+def corpus_stats(df: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Per-language corpus profile: doc counts and EXACT length
+    percentiles (exact `percentile`, not approx, so the result is
+    engine-portable; at 100 TB switch to percentile_approx and drop the
+    oracle row to rows-only)."""
+    from pyspark.sql import functions as F
+
+    n = F.length(F.col(text_col))
+    return df.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n).cast("long").alias("total_chars"),
+        r4(F.expr(f"percentile(length({text_col}), 0.5)")).alias("p50_chars"),
+        r4(F.expr(f"percentile(length({text_col}), 0.9)")).alias("p90_chars"),
+        F.max(n).cast("long").alias("max_chars"),
+    )

@@ -69,3 +69,32 @@ def test_fingerprint_matches_reference_formula(spark, docs):
     assert rows[1] == ref_fp("the cat and the dog of the house is big")
     assert rows[3] == ref_fp("xyzzy plugh")
     assert rows[4] == ref_fp("a b c")
+
+
+def test_repetition_stats(spark):
+    from html_to_document_spark.operators.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "aaa\nbbb\naaa\nccc"), (2, "x\ny"), (3, "only\n\nonly")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].n_lines == 4 and rows[1].n_distinct_lines == 3
+    assert rows[1].dup_line_frac == 0.25
+    assert rows[1].dup_line_char_frac == 0.5  # 'aaa' twice = 6 of 12 chars
+    assert rows[2].dup_line_frac == 0.0
+    assert rows[3].n_lines == 2  # blank line dropped
+    assert rows[3].dup_line_frac == 0.5
+
+
+def test_corpus_stats(spark):
+    from html_to_document_spark.operators.text_analysis import corpus_stats
+
+    df = spark.createDataFrame(
+        [(1, "aaaa", "en"), (2, "bb", "en"), (3, "c", "de")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.lang: r for r in corpus_stats(df).collect()}
+    assert rows["en"].n_docs == 2 and rows["en"].total_chars == 6
+    assert rows["en"].p50_chars == 3.0  # exact interpolated median of {2,4}
+    assert rows["de"].max_chars == 1
