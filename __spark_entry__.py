@@ -334,6 +334,15 @@ def q_dedup_simhash(spark, sf_dir):  # rows-only (xxhash64-based)
     return D.simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):  # rows-only (iterative algorithm)
+    """Near-dup clustering: LSH pairs -> connected components. The
+    planted mirrors must cluster onto their originals."""
+    df = _docs_with_planted_dups(spark, sf_dir)
+    # limit corpus for bounded per-round iteration cost in the gate
+    df = df.filter((F.col("doc_id") % 10_000_000) < 200)
+    return D.dedup_clusters(df, threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------
@@ -686,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_profile": q_ngram_profile,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         # similarity
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,

@@ -338,3 +338,98 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: "DataFrame",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> "DataFrame":
+    """Near-duplicate CLUSTERS: connected components over a candidate-
+    pair graph via min-label propagation. Returns (id, component) where
+    component is the minimum id reachable from the node.
+
+    Iterative (not SQL-expressible as one query): each round joins
+    labels across edges and takes the elementwise min; converges in
+    O(graph diameter) rounds — near-dup graphs are unions of small
+    cliques/chains, so the practical round count is tiny. Lineage is cut
+    every round (localCheckpoint) so the plan does not grow; at 100 TB
+    swap the label frame's checkpoint for an intermediate table and use
+    large-star/small-star if diameters are adversarial.
+    """
+    from pyspark.sql import functions as F
+
+    # undirected edge list, deduped
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+
+    for _ in range(max_iter):
+        # candidate label for each node: min over neighbors' labels
+        cand = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(cand, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_min", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.85,
+    **lsh_kwargs,
+) -> "DataFrame":
+    """End-to-end near-dup clustering: MinHash-LSH pairs -> connected
+    components -> (doc_id, component, is_representative). Docs with no
+    near-dup edges are their own singleton component."""
+    from pyspark.sql import functions as F
+
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, threshold=threshold, **lsh_kwargs
+    )
+    comp = connected_components(pairs)
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+    )
+    return out.withColumn(
+        "is_representative", (F.col(id_col) == F.col("component"))
+    )

@@ -79,3 +79,44 @@ def test_minhash_signature_positions_independent(spark, docs):
             f"select doc_id, min(xxhash64(s, {j})) m from _sh_check group by doc_id"
         ).collect()
         assert all(sigs[r.doc_id][j] == r.m for r in rows)
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation: a 4-chain (found only as consecutive
+    pairs) and a separate 3-clique each collapse to one component."""
+    from html_to_document_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (10, 12), (11, 12)], # clique 10-11-12
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_clusters_end_to_end(spark):
+    """Planted triplicates cluster to the min id; unique docs are
+    singleton representatives."""
+    from pyspark.sql import functions as F
+    from html_to_document_spark.operators.dedup import dedup_clusters
+
+    base = spark.createDataFrame(
+        [(i, f"totally unique document number {i} " * 5 + f"tail {i}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    dups = base.filter(F.col("doc_id") < 3)
+    corpus = base.unionByName(
+        dups.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    ).unionByName(dups.select((F.col("doc_id") + 200).alias("doc_id"), "text"))
+
+    out = {r.doc_id: r for r in
+           dedup_clusters(corpus, threshold=0.9).collect()}
+    assert len(out) == 26
+    for i in range(3):
+        assert out[i].component == i and out[i].is_representative
+        assert out[i + 100].component == i and not out[i + 100].is_representative
+        assert out[i + 200].component == i
+    for i in range(3, 20):
+        assert out[i].component == i and out[i].is_representative
