@@ -34,7 +34,11 @@ from __future__ import annotations
 from typing import TYPE_CHECKING, Callable, Union
 
 from html_to_document_spark.core.extract import DEFAULT_OPTIONS, ExtractOptions
-from html_to_document_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from html_to_document_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
 from html_to_document_spark.operators.extract_spans import (
     extract_spans_balanced,
 )
@@ -78,6 +82,7 @@ def build_training_pipeline(
     keep_langs: tuple = ("en", "es", "fr", "de"),
     min_quality: float = 0.3,
     near_dup_threshold: float = 0.85,
+    near_dup_mode: str = "pairs",
     materialize: Union[str, Callable] = "persist",
 ) -> "DataFrame":
     """(doc_id, spans[interleaved]) -> filtered, deduplicated corpus."""
@@ -120,7 +125,22 @@ def build_training_pipeline(
     corpus = _materialize(exact_dedup(corpus), materialize)
 
     near = minhash_lsh_pairs(corpus, threshold=near_dup_threshold)
-    losers = near.select(F.col("id_b").alias("doc_id")).distinct()
+    if near_dup_mode == "clusters":
+        # transitively-closed removal: keep only each connected
+        # component's min-id representative (a~b, b~c also drops c even
+        # when (a,c) never surfaced as a pair); costs O(diameter)
+        # iterative rounds over the (small) pair graph
+        comp = connected_components(near)
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("doc_id")
+        )
+    elif near_dup_mode == "pairs":
+        # drop the higher id of every surfaced pair (single anti-join,
+        # no iteration; may keep both endpoints of an unsurfaced
+        # transitive pair)
+        losers = near.select(F.col("id_b").alias("doc_id")).distinct()
+    else:
+        raise ValueError(f"unknown near_dup_mode: {near_dup_mode!r}")
     corpus = corpus.join(losers, "doc_id", "left_anti")
 
     return corpus.select(

@@ -87,3 +87,29 @@ def test_pipeline_plan_has_no_extraction_above_cache(spark):
     above_cache = [n for n in nodes if "MapInArrow" in n]
     assert not above_cache, f"MapInArrow above the cache: {nodes}"
     assert any("InMemoryTableScan" in n for n in nodes)
+
+
+def test_pipeline_cluster_mode(spark):
+    """near_dup_mode='clusters': transitively-closed removal keeps one
+    representative per component and still extracts each doc once."""
+    from html_to_document_spark.operators import extract_spans as ES
+
+    base = generate_corpus(spark, 60, seed=17, giant_frac=0.0)
+    dups = base.filter(F.col("doc_id") < "doc-000000000008").select(
+        F.concat(F.lit("dup-"), "doc_id").alias("doc_id"), "spans"
+    )
+    docs = base.unionByName(dups)
+    acc = spark.sparkContext.accumulator(0)
+    ES._ROWS_PROCESSED_ACCUMULATOR = acc
+    try:
+        out = build_training_pipeline(
+            docs, num_partitions=4, min_quality=0.0,
+            near_dup_threshold=0.95, near_dup_mode="clusters",
+        ).collect()
+    finally:
+        ES._ROWS_PROCESSED_ACCUMULATOR = None
+    ids = {r.doc_id for r in out}
+    assert not any(i.startswith("dup-") for i in ids)
+    texts = [r.text for r in out]
+    assert len(set(texts)) == len(texts)
+    assert acc.value == docs.count()
