@@ -109,12 +109,6 @@ def parse_tokens(tokens: list) -> list:
     open_tags = ["#root"]
     children = root[2]  # stack[-1][2], maintained incrementally (hot loop)
 
-    def _pop():
-        nonlocal children
-        stack.pop()
-        open_tags.pop()
-        children = stack[-1][2]
-
     i = 0
     n = len(tokens)
     while i < n:
@@ -128,8 +122,11 @@ def parse_tokens(tokens: list) -> list:
         if token[0] == "c":
             if tag in open_tags:
                 while open_tags[-1] != tag:
-                    _pop()
-                _pop()
+                    stack.pop()
+                    open_tags.pop()
+                stack.pop()
+                open_tags.pop()
+                children = stack[-1][2]
             # unmatched close tag: ignored (browser behavior)
             continue
 
@@ -141,19 +138,30 @@ def parse_tokens(tokens: list) -> list:
                 # don't cross structural containers
                 if open_tags[-1] in ("#root", "td", "th", "table", "li"):
                     break
-                _pop()
+                stack.pop()
+                open_tags.pop()
             if open_tags[-1] == "p":
-                _pop()
+                stack.pop()
+                open_tags.pop()
+            children = stack[-1][2]
             top = open_tags[-1]
         if tag == "li" and top == "li":
-            _pop()
+            stack.pop()
+            open_tags.pop()
+            children = stack[-1][2]
         elif tag in ("td", "th") and top in ("td", "th"):
-            _pop()
+            stack.pop()
+            open_tags.pop()
+            children = stack[-1][2]
         elif tag == "tr":
             while open_tags[-1] in ("td", "th", "tr"):
-                _pop()
+                stack.pop()
+                open_tags.pop()
+            children = stack[-1][2]
         elif tag == "option" and top == "option":
-            _pop()
+            stack.pop()
+            open_tags.pop()
+            children = stack[-1][2]
 
         raw = token[2]
         # fast path: bare tags like <p> / <td> carry no attributes

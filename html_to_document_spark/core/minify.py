@@ -187,8 +187,13 @@ def _stream_minify(html: str) -> list:
         c1 = token[1] if len(token) > 1 else ""
         if c1 == "/" or (c1 == " " and close_match(token)):
             if len(frames) > 1:
-                if f[5] is not None:
-                    _resolve(f, False, True)
+                t = f[5]
+                if t is not None:  # inline _resolve(closing=True)
+                    f[5] = None
+                    if f[2]:
+                        t = t.rstrip()
+                    if t and not t.isspace():
+                        out.append(t)
                 out.append(("c", f[0]))
                 frames.pop()
                 f = frames[-1]
@@ -196,8 +201,13 @@ def _stream_minify(html: str) -> list:
         m = open_match(token)
         tag = m.group(1).lower() if m else ""
         self_closing = tag in _VOID or token[-2] == "/"
-        if f[5] is not None:
-            _resolve(f, tag in _BLOCK_TAGS, False)
+        t = f[5]
+        if t is not None:  # inline _resolve(next_is_block=...)
+            f[5] = None
+            if tag in _BLOCK_TAGS and t and t[-1].isspace():
+                t = t.rstrip() + " "
+            if t and not t.isspace():
+                out.append(t)
         out.append(("o", tag, token))
         f[3] = False
         f[4] = tag in _BLOCK_TAGS
