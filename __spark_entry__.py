@@ -293,6 +293,10 @@ def q_corpus_stats(spark, sf_dir):
     return TA.corpus_stats(_docs(spark, sf_dir))
 
 
+def q_top_ngram_stats(spark, sf_dir):
+    return TA.top_ngram_stats(_docs(spark, sf_dir), n=2)
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -689,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "corpus_stats": q_corpus_stats,
+        "top_ngram_stats": q_top_ngram_stats,
         # dedup
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
@@ -883,6 +888,23 @@ def oracle_sql() -> dict[str, str]:
             "as p90_chars, "
             "cast(max(length(text)) as bigint) as max_chars "
             "from documents group by lang"
+        ),
+        "top_ngram_stats": (
+            "with w as (select doc_id, length(text) as chars, "
+            "string_split_regex(trim(text), '\\s+') as l from documents), "
+            "g as (select doc_id, chars, list_transform("
+            "range(1, greatest(len(l) - 1, 1) + 1), "
+            "i -> array_to_string(l[i:least(i + 1, len(l))], ' ')) as gs "
+            "from w), "
+            "e as (select doc_id, chars, unnest(gs) as g from g), "
+            "c as (select doc_id, chars, g, count(*) as cnt from e "
+            "group by doc_id, chars, g), "
+            "r as (select *, row_number() over (partition by doc_id "
+            "order by cnt desc, g asc) as rn from c) "
+            "select doc_id, g as top_gram, cast(cnt as bigint) "
+            "as top_gram_count, "
+            "floor(cnt * length(g) * 1.0 / greatest(chars, 1) * 10000 + 0.5) "
+            "/ 10000.0 as top_gram_char_frac from r where rn = 1"
         ),
         "dedup_exact_groups": (
             "with u as (select doc_id, text from documents "

@@ -213,3 +213,51 @@ def corpus_stats(df: "DataFrame", text_col: str = "text") -> "DataFrame":
         r4(F.expr(f"percentile(length({text_col}), 0.9)")).alias("p90_chars"),
         F.max(n).cast("long").alias("max_chars"),
     )
+
+
+def top_ngram_stats(
+    df: "DataFrame", text_col: str = "text", n: int = 2
+) -> "DataFrame":
+    """Remaining Gopher repetition rule (Rae et al. 2021 §A1.1): the
+    fraction of characters covered by the single most frequent word
+    n-gram. High values flag templated/spammy documents.
+
+    Shape: explode n-grams (contiguous, NOT deduped — counts matter),
+    per-(doc, gram) counts, keep the max-count gram per doc via one
+    ordered window. Two shuffles, both keyed by doc_id.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def grams(wb):
+        k = F.size(wb) - (n - 1)
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
+            lambda i: F.concat_ws(" ", F.slice(wb, i + 1, n)),
+        )
+
+    exploded_g = df.select(
+        "doc_id",
+        F.length(F.col(text_col)).alias("_chars"),
+        F.explode(F.flatten(F.transform(F.array(words), grams))).alias("g"),
+    )
+    counts = exploded_g.groupBy("doc_id", "_chars", "g").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.asc("g")
+    )
+    top = counts.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return top.select(
+        "doc_id",
+        F.col("g").alias("top_gram"),
+        F.col("cnt").cast("long").alias("top_gram_count"),
+        r4(
+            (F.col("cnt") * F.length("g"))
+            / F.greatest(F.col("_chars"), F.lit(1))
+        ).alias("top_gram_char_frac"),
+    )

@@ -98,3 +98,17 @@ def test_corpus_stats(spark):
     assert rows["en"].n_docs == 2 and rows["en"].total_chars == 6
     assert rows["en"].p50_chars == 3.0  # exact interpolated median of {2,4}
     assert rows["de"].max_chars == 1
+
+
+def test_top_ngram_stats(spark):
+    from html_to_document_spark.operators.text_analysis import top_ngram_stats
+
+    df = spark.createDataFrame(
+        [(1, "buy now buy now buy now ok"), (2, "single")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in top_ngram_stats(df, n=2).collect()}
+    assert rows[1].top_gram == "buy now" and rows[1].top_gram_count == 3
+    assert rows[1].top_gram_char_frac == 0.8077  # 3*7 chars of 26
+    # single-word doc: the "gram" degenerates to the word itself
+    assert rows[2].top_gram == "single" and rows[2].top_gram_count == 1
