@@ -295,13 +295,21 @@ def extract_spans_sharded(
         extract_seg_fn, f"doc_id string, spans {spans_type}, seg_id int"
     )
 
+    # explicit seg_id comparator: the default struct ordering cannot
+    # compare structs whose spans carry a MAP meta field (with_meta) —
+    # and we only ever want seg order anyway
+    seg_cmp = lambda a, b: (
+        F.when(a["seg_id"] < b["seg_id"], -1)
+        .when(a["seg_id"] > b["seg_id"], 1)
+        .otherwise(0)
+    )
     assembled = (
         seg_out.groupBy("doc_id")
         .agg(
             F.flatten(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("seg_id", "spans"))
+                        F.collect_list(F.struct("seg_id", "spans")), seg_cmp
                     ),
                     lambda x: x["spans"],
                 )

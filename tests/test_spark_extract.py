@@ -197,3 +197,28 @@ def test_sharded_matches_plain(spark):
         ).collect()
     }
     assert sharded == plain
+
+
+def test_sharded_matches_plain_with_meta(spark):
+    """Sharded reassembly preserves per-span meta maps (with_meta)."""
+    from html_to_document_spark.core.extract import ExtractOptions
+    from html_to_document_spark.operators.extract_spans import (
+        extract_spans,
+        extract_spans_sharded,
+    )
+    from html_to_document_spark.sources.synthetic import generate_corpus
+    from pyspark.sql import functions as F
+
+    docs = generate_corpus(spark, 24, seed=33, giant_frac=0.0)
+    opts = ExtractOptions(with_meta=True)
+    plain = {
+        r.doc_id: r.spans
+        for r in extract_spans(docs, opts).collect()
+    }
+    sharded = {
+        r.doc_id: r.spans
+        for r in extract_spans_sharded(
+            docs, opts, num_partitions=4, max_segment_bytes=64
+        ).collect()
+    }
+    assert sharded == plain
