@@ -471,9 +471,13 @@ class _Walker:
         if self.meta_mode:
             tbl_meta = {"tag": "table"}
             n_thead = sum(1 for s, _ in rows if s == "thead")
+            n_tfoot = sum(1 for s, _ in rows if s == "tfoot")
             if n_thead:
                 # serializer (Z1) regroups the first n rows into <thead>
                 tbl_meta["thead_rows"] = str(n_thead)
+            if n_tfoot:
+                # ...and the last n rows into <tfoot>
+                tbl_meta["tfoot_rows"] = str(n_tfoot)
         if caption_text and caption_side != "bottom":
             self._emit(TEXT, caption_text, None, cap_meta)
         self._emit(TABLE, text, None, tbl_meta)

@@ -97,12 +97,17 @@ def _cell(tag: str, c: str) -> str:
 def _table(text: str | None, meta: dict | None,
            caption: tuple[str, str] | None) -> str:
     rows = (text or "").split("\n")
-    thead_n = 0
-    if meta and meta.get("thead_rows"):
+
+    def _n(key: str) -> int:
+        if not meta or not meta.get(key):
+            return 0
         try:
-            thead_n = min(int(meta["thead_rows"]), len(rows))
+            return max(0, min(int(meta[key]), len(rows)))
         except ValueError:
-            thead_n = 0
+            return 0
+
+    thead_n = _n("thead_rows")
+    tfoot_n = min(_n("tfoot_rows"), len(rows) - thead_n)
     row_html = []
     for r, row in enumerate(rows):
         cell_tag = "th" if r < thead_n else "td"
@@ -113,11 +118,17 @@ def _table(text: str | None, meta: dict | None,
         ctext, side = caption
         style = ' style="caption-side: bottom"' if side == "bottom" else ""
         cap = f"<caption{style}>{escape_html(ctext)}</caption>"
-    if thead_n:
-        inner = cap + "<thead>" + "".join(row_html[:thead_n]) + "</thead>"
-        body = row_html[thead_n:]
+    if thead_n or tfoot_n:
+        # reference shape (html.serializer.ts:262-304): thead rows
+        # first, remaining mid rows wrapped in tbody, tfoot rows last
+        inner = cap
+        if thead_n:
+            inner += "<thead>" + "".join(row_html[:thead_n]) + "</thead>"
+        body = row_html[thead_n:len(row_html) - tfoot_n]
         if body:
             inner += "<tbody>" + "".join(body) + "</tbody>"
+        if tfoot_n:
+            inner += "<tfoot>" + "".join(row_html[-tfoot_n:]) + "</tfoot>"
     else:
         inner = cap + "".join(row_html)
     return f"<table>{inner}</table>"

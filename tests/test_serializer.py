@@ -26,6 +26,14 @@ GOLDEN = [
         "<tbody><tr><td>a</td><td>b</td></tr></tbody></table>",
     ),
     (
+        "<table><thead><tr><th>Head</th></tr></thead>"
+        "<tbody><tr><td>Body</td></tr></tbody>"
+        "<tfoot><tr><td>Foot</td></tr></tfoot></table>",
+        "<table><thead><tr><th>Head</th></tr></thead>"
+        "<tbody><tr><td>Body</td></tr></tbody>"
+        "<tfoot><tr><td>Foot</td></tr></tfoot></table>",
+    ),
+    (
         '<table><caption style="caption-side: bottom">Cap</caption>'
         "<tr><td>x</td></tr></table>",
         '<table><caption style="caption-side: bottom">Cap</caption>'
@@ -58,6 +66,8 @@ META_FIXPOINT_CASES = [
     "<ul><li>a</li><li>b<ol><li>c</li><li>d</li></ol></li><li>e</li></ul>",
     "<table><thead><tr><th>h</th></tr></thead><tr><td>a</td><td>b</td></tr>"
     "<tfoot><tr><td>f</td></tr></tfoot></table>",
+    "<table><tfoot><tr><td>only-foot</td></tr></tfoot>"
+    "<tr><td>mid</td></tr></table>",
     "<table><caption>Top</caption><tr><td>x</td></tr></table>",
     '<table><caption style="caption-side: bottom">Bot</caption>'
     "<tr><td>x</td></tr></table>",
