@@ -186,6 +186,29 @@ def q_extract_text_density(spark, sf_dir):
     return out.select("doc_id", "offset", "kind", "text")
 
 
+def q_extract_meta(spark, sf_dir):
+    """Metadata-bearing extraction (T7 list level, T9 tagName, L6
+    heading level, L10 href) as relational columns."""
+    from html_to_document_spark.operators.extract_spans import (
+        exploded_with_meta,
+    )
+
+    html = F.concat(
+        F.lit("<h2>"), F.col("lang"), F.lit("</h2><ul><li>"),
+        F.col("source"), F.lit('</li></ul><p>go <a href="/'),
+        F.col("doc_id").cast("string"), F.lit('">on</a></p>'),
+    )
+    df = _with_html(_docs(spark, sf_dir), html)
+    out = exploded_with_meta(
+        extract_spans_from_html(df, options=ExtractOptions(with_meta=True))
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("offset").cast("int").alias("offset"),
+        "kind", "text", "tag", "level", "href",
+    )
+
+
 def q_minify_normalize(spark, sf_dir):
     """Pre-parse normalization as a standalone string->string operator."""
     import pandas as pd
@@ -681,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pages": q_extract_pages,
         "extract_boilerplate": q_extract_boilerplate,
         "extract_text_density": q_extract_text_density,
+        "extract_meta": q_extract_meta,
         "extract_sharded": q_extract_sharded,
         "minify_normalize": q_minify_normalize,
         "style_normalize": q_style_normalize,
@@ -791,6 +815,19 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_density": (
             "select doc_id, cast(0 as int) as offset, 'text' as kind, text "
             "from documents"
+        ),
+        "extract_meta": " union all ".join(
+            [
+                "select doc_id, cast(0 as int) as offset, 'text' as kind, "
+                "lang as text, 'h2' as tag, '2' as level, "
+                "cast(NULL as varchar) as href from documents",
+                "select doc_id, cast(1 as int) as offset, 'text' as kind, "
+                "source as text, 'li' as tag, '0' as level, "
+                "cast(NULL as varchar) as href from documents",
+                "select doc_id, cast(2 as int) as offset, 'text' as kind, "
+                "'go on' as text, 'p' as tag, cast(NULL as varchar) as level, "
+                "'/' || cast(doc_id as varchar) as href from documents",
+            ]
         ),
         "extract_sharded": " union all ".join(
             [

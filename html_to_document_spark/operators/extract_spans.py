@@ -352,6 +352,27 @@ def exploded(df: "DataFrame") -> "DataFrame":
     )
 
 
+def exploded_with_meta(df: "DataFrame") -> "DataFrame":
+    """Meta-bearing variant of ``exploded`` for spans extracted with
+    ``with_meta=True``: adds the meta map plus the common keys (tag,
+    level, href) as top-level columns for relational consumers."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.meta").alias("meta"),
+        F.col("s.meta")["tag"].alias("tag"),
+        F.col("s.meta")["level"].alias("level"),
+        F.col("s.meta")["href"].alias("href"),
+    )
+
+
 def salted_repartition(
     df: "DataFrame", num_partitions: int, salt_seed: int = 42
 ) -> "DataFrame":

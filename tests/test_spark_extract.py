@@ -222,3 +222,22 @@ def test_sharded_matches_plain_with_meta(spark):
         ).collect()
     }
     assert sharded == plain
+
+
+def test_exploded_with_meta(spark):
+    from html_to_document_spark.core.extract import ExtractOptions
+    from html_to_document_spark.operators.extract_spans import (
+        exploded_with_meta,
+        extract_spans_from_html,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", '<h2>T</h2><ul><li>a</li></ul><p>go <a href="/x">on</a></p>')],
+        "doc_id string, html string",
+    )
+    out = extract_spans_from_html(df, options=ExtractOptions(with_meta=True))
+    rows = {r.offset: r for r in exploded_with_meta(out).collect()}
+    assert rows[0].tag == "h2" and rows[0].level == "2"
+    assert rows[1].tag == "li" and rows[1].level == "0"
+    assert rows[2].tag == "p" and rows[2].href == "/x"
+    assert rows[2].meta["href"] == "/x"
