@@ -557,6 +557,22 @@ def q_media_catalog(spark, sf_dir):
     )
 
 
+def q_link_stats(spark, sf_dir):
+    """Outlink inventory over constructed pages (crawl-pipeline staple):
+    one relative link, one duplicate, one absolute per doc."""
+    from html_to_document_spark.functions.scalars import link_stats_cols
+
+    html = F.concat(
+        F.lit('<a href="/p/'), F.col("doc_id").cast("string"),
+        F.lit('">x</a><a href="/p/'), F.col("doc_id").cast("string"),
+        F.lit("\">y</a><a href='https://ex.com/"), F.col("source"),
+        F.lit("'>z</a><p>"), F.col("text"), F.lit("</p>"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
+    stats = link_stats_cols(F.col("html"))
+    return d.select("doc_id", *[v.alias(k) for k, v in stats.items()])
+
+
 def q_multimodal_decode(spark, sf_dir):  # rows-only (binary plumbing)
     d = _docs(spark, sf_dir).limit(50)
     media = d.select(
@@ -739,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_counts": q_lineage_counts,
         "windowed_counts": q_windowed_counts,
         "media_catalog": q_media_catalog,
+        "link_stats": q_link_stats,
         "resume_antijoin": q_resume_antijoin,
         # multimodal
         "multimodal_decode": q_multimodal_decode,
@@ -1040,6 +1057,14 @@ def oracle_sql() -> dict[str, str]:
             "when doc_id % 4 = 2 then 'files/' || cast(doc_id as varchar) || '.webp' "
             "else 'media://' || cast(doc_id as varchar) end as media_ref "
             "from documents)"
+        ),
+        "link_stats": (
+            # doc text contains no href= patterns (plain words), so the
+            # constructed page has exactly 3 links: 2 duplicate relative
+            # + 1 absolute
+            "select doc_id, cast(3 as bigint) as n_links, "
+            "cast(2 as bigint) as n_unique_links, "
+            "cast(1 as bigint) as n_absolute_links from documents"
         ),
         "lineage_counts": (
             "select cast(doc_id % 32 as int) as partition_id, "

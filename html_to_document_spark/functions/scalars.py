@@ -159,3 +159,30 @@ def html_escape_col(col):
     out = F.regexp_replace(col, "&", "&amp;")
     out = F.regexp_replace(out, "<", "&lt;")
     return F.regexp_replace(out, ">", "&gt;")
+
+
+def outlinks_col(html_col):
+    """All href targets in an HTML column as array<string> (JVM regexp —
+    double- or single-quoted attribute values). A crawl pipeline's
+    outlink inventory; pair with ``F.explode`` for a link table."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.regexp_extract_all(html_col, F.lit(r'href\s*=\s*"([^"]*)"'), F.lit(1)),
+        F.regexp_extract_all(html_col, F.lit(r"href\s*=\s*'([^']*)'"), F.lit(1)),
+    )
+
+
+def link_stats_cols(html_col) -> dict:
+    """Outlink summary columns: total, distinct, absolute (scheme'd)
+    counts — keyed dict so callers can select(**) or subset."""
+    from pyspark.sql import functions as F
+
+    links = outlinks_col(html_col)
+    return {
+        "n_links": F.size(links).cast("long"),
+        "n_unique_links": F.size(F.array_distinct(links)).cast("long"),
+        "n_absolute_links": F.size(
+            F.filter(links, lambda x: x.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"))
+        ).cast("long"),
+    }

@@ -56,3 +56,25 @@ def test_image_type_col_matches_python(spark):
     df = spark.createDataFrame([(r,) for r in refs], "ref string")
     got = [r.t for r in df.select(image_type_col("ref").alias("t")).collect()]
     assert got == [image_type_parse(r) for r in refs]
+
+
+def test_outlinks_and_link_stats(spark):
+    from pyspark.sql import functions as F
+    from html_to_document_spark.functions.scalars import (
+        link_stats_cols,
+        outlinks_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '<a href="/a">x</a><a href=\'/a\'>y</a>'
+             '<a href="https://e.com/b">z</a><p>href = nope</p>')],
+        "doc_id long, html string",
+    )
+    row = df.select(
+        outlinks_col(F.col("html")).alias("links"),
+        *[v.alias(k) for k, v in link_stats_cols(F.col("html")).items()],
+    ).first()
+    assert sorted(row.links) == ["/a", "/a", "https://e.com/b"]
+    assert row.n_links == 3
+    assert row.n_unique_links == 2
+    assert row.n_absolute_links == 1
