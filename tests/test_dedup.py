@@ -120,3 +120,24 @@ def test_dedup_clusters_end_to_end(spark):
         assert out[i + 200].component == i
     for i in range(3, 20):
         assert out[i].component == i and out[i].is_representative
+
+
+def test_word_shingles_linear_time_canary(spark):
+    """Perf regression guard (round-2 find): an expression referenced
+    inside a HOF lambda is re-evaluated per element — the unbound form
+    of word_shingles was O(words^2) and took >240s for ONE 200k-word
+    row. The let-bound form runs in ~1s; 60s is pure headroom for host
+    noise, not a tight bound."""
+    import time
+
+    from pyspark.sql import functions as F
+    from html_to_document_spark.operators.dedup import word_shingles
+
+    text = " ".join(f"w{i % 5000}" for i in range(200_000))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    t0 = time.time()
+    n = df.select(
+        F.size(word_shingles(F.col("text"), 3)).alias("k")
+    ).first().k
+    assert n > 0
+    assert time.time() - t0 < 60, "word_shingles is superlinear again"
