@@ -97,3 +97,66 @@ def run_streaming_dedup(
     )
     q.awaitTermination()
     return q
+
+
+def run_stream_pipeline(
+    spark,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    keep_langs: tuple = ("en", "es", "fr", "de"),
+    min_quality: float = 0.0,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming counterpart of plans.build_training_pipeline: continuous
+    ingest -> span extraction -> lang/quality projections -> filter ->
+    STATEFUL exact dedup (first occurrence wins across micro-batches) ->
+    parquet sink. Near-dup LSH stays a periodic batch job over the
+    accumulated output (its self-joins don't stream); this covers the
+    always-on part of the ingestion path."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.extract_spans import extract_spans
+    from html_to_document_spark.operators.text_analysis import (
+        lang_pred_col,
+        quality_col,
+    )
+    from html_to_document_spark.sources.synthetic import DOC_SCHEMA
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = extract_spans(reader.parquet(in_path))
+
+    text = F.concat_ws(
+        " ",
+        F.filter(
+            F.transform("spans", lambda s: F.when(s["kind"] == "text", s["text"])),
+            lambda x: x.isNotNull() & (x != ""),
+        ),
+    )
+    corpus = (
+        stream.select("doc_id", text.alias("text"))
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            "text",
+            lang_pred_col(F.col("text")).alias("lang_pred"),
+            quality_col(F.col("text")).alias("quality"),
+        )
+        .filter(
+            F.col("lang_pred").isin(*keep_langs)
+            & (F.col("quality") >= min_quality)
+        )
+    )
+    deduped = streaming_exact_dedup(corpus.select("doc_id", "text"))
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -84,3 +84,37 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     run_streaming_dedup(spark, in_path, out_path, ckpt)
     got = {(r.doc_id, r.text) for r in spark.read.parquet(out_path).collect()}
     assert got == {("a1", "alpha"), ("b1", "beta"), ("c1", "gamma")}
+
+
+def test_stream_pipeline_dedup_across_batches(spark, tmp_path):
+    """Streaming ingest pipeline: extraction + scoring + stateful dedup
+    across two drains; re-ingested duplicates are suppressed by state."""
+    from html_to_document_spark.streaming.stateful import run_stream_pipeline
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus = generate_corpus(spark, 30, seed=23, giant_frac=0.0)
+    corpus.write.parquet(in_path)
+    run_stream_pipeline(spark, in_path, out_path, ckpt)
+    first = spark.read.parquet(out_path)
+    n1 = first.count()
+    assert 0 < n1 <= 30
+    assert first.select("doc_id").distinct().count() == n1
+
+    # re-ingest the same docs under new ids + some fresh docs
+    corpus.select(
+        F.concat(F.lit("re-"), "doc_id").alias("doc_id"), "spans"
+    ).write.mode("append").parquet(in_path)
+    generate_corpus(spark, 10, seed=77, giant_frac=0.0).select(
+        F.concat(F.lit("new-"), "doc_id").alias("doc_id"), "spans"
+    ).write.mode("append").parquet(in_path)
+    run_stream_pipeline(spark, in_path, out_path, ckpt)
+    out = spark.read.parquet(out_path)
+    ids = [r.doc_id for r in out.select("doc_id").collect()]
+    # no re-ingested duplicate survives; fresh docs flow through
+    assert not any(i.startswith("re-") for i in ids)
+    assert any(i.startswith("new-") for i in ids)
+    texts = [r.text for r in out.collect()]
+    assert len(set(texts)) == len(texts)
