@@ -124,6 +124,21 @@ def build_training_pipeline(
     # anti-join) re-reads this one materialized corpus
     corpus = _materialize(exact_dedup(corpus), materialize)
 
+    if near_dup_mode == "simhash":
+        # cheapest candidate generator: 64-bit sketch + 16-bit chunk
+        # pigeonhole join (Hamming <= 3); coarser than MinHash-LSH but
+        # one-eighth the hash work — the "fast pass" for lightly-edited
+        # duplicates (boilerplate variants, tracking-param mirrors)
+        from html_to_document_spark.operators.dedup import simhash_near_pairs
+
+        near = simhash_near_pairs(corpus)
+        losers = near.select(F.col("id_b").alias("doc_id")).distinct()
+        corpus = corpus.join(losers, "doc_id", "left_anti")
+        return corpus.select(
+            "doc_id", "text", "lang_pred", "quality",
+            F.from_json("_spans_json", spans_type).alias("spans"),
+        )
+
     near = minhash_lsh_pairs(corpus, threshold=near_dup_threshold)
     if near_dup_mode == "clusters":
         # transitively-closed removal: keep only each connected

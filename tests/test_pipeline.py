@@ -113,3 +113,20 @@ def test_pipeline_cluster_mode(spark):
     texts = [r.text for r in out]
     assert len(set(texts)) == len(texts)
     assert acc.value == docs.count()
+
+
+def test_pipeline_simhash_mode(spark):
+    """near_dup_mode='simhash': exact planted duplicates (Hamming 0)
+    are removed by the sketch pass."""
+    base = generate_corpus(spark, 50, seed=19, giant_frac=0.0)
+    dups = base.filter(F.col("doc_id") < "doc-000000000006").select(
+        F.concat(F.lit("dup-"), "doc_id").alias("doc_id"), "spans"
+    )
+    out = build_training_pipeline(
+        base.unionByName(dups), num_partitions=4, min_quality=0.0,
+        near_dup_mode="simhash",
+    ).collect()
+    ids = {r.doc_id for r in out}
+    assert not any(i.startswith("dup-") for i in ids)
+    texts = [r.text for r in out]
+    assert len(set(texts)) == len(texts)
