@@ -316,6 +316,10 @@ class _Walker:
                 self.chunk_meta = {"tag": tag}
                 if tag in HEADING_TAGS:
                     self.chunk_meta["level"] = tag[1]
+                # L11 bookmark/id wrap (fallthrough/id.ts:32-116):
+                # element ids surface as span metadata
+                if attrs and attrs.get("id"):
+                    self.chunk_meta["id"] = attrs["id"]
             self._paragraph(node)
             if self.meta_mode:
                 self.chunk_meta = None

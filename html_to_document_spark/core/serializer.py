@@ -74,6 +74,12 @@ def _inner_html(text: str, meta: dict | None) -> str:
     return inner
 
 
+def _id_attr(meta: dict | None) -> str:
+    """L11 bookmark id re-emission (element id from span metadata)."""
+    elem_id = meta.get("id") if meta else None
+    return f' id="{escape_attr(elem_id)}"' if elem_id else ""
+
+
 def _pre(text: str) -> str:
     return f"<pre>{escape_html(text or '')}</pre>"
 
@@ -185,7 +191,7 @@ def _typed_text(text: str, meta: dict | None) -> str:
         return _pre(text)
     inner = _inner_html(text, meta)
     if tag in _HEADING_TAGS or tag in _PARA_TAGS:
-        return f"<{tag}>{inner}</{tag}>"
+        return f"<{tag}{_id_attr(meta)}>{inner}</{tag}>"
     if meta is not None and tag is None:
         # fragment-dissolved / root-level text: <div> dissolves back to
         # a bare chunk with empty meta on re-parse

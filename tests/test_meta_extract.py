@@ -108,3 +108,18 @@ def test_text_density_boilerplate():
         long_menu, ExtractOptions(boilerplate_min_text_density=6.0)
     )
     assert len(kept) == 1
+
+
+def test_id_bookmark_meta_roundtrip():
+    """L11 bookmark/id: element ids surface in span metadata and
+    round-trip through the typed serializer."""
+    from html_to_document_spark.core.serializer import serialize_spans
+
+    html = '<h2 id="intro">Title</h2><p id="p1">Body</p><p>plain</p>'
+    spans = spans_of(html)
+    assert spans[0][4] == {"tag": "h2", "level": "2", "id": "intro"}
+    assert spans[1][4] == {"tag": "p", "id": "p1"}
+    assert spans[2][4] == {"tag": "p"}
+    out = serialize_spans(spans)
+    assert out == html
+    assert spans_of(out) == spans
