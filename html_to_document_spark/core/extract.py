@@ -385,6 +385,8 @@ class _Walker:
         if self.meta_mode:
             self.chunk_meta = {"tag": "li", "level": str(depth),
                                "list": list_tag}
+            if li[1] and li[1].get("id"):
+                self.chunk_meta["id"] = li[1]["id"]
         content = li[2]
         has_block_child = False
         n = len(content)
@@ -434,6 +436,8 @@ class _Walker:
                 if self.meta_mode:
                     self.chunk_meta = {"tag": "li", "level": str(depth),
                                        "list": list_tag}
+                    if li[1] and li[1].get("id"):
+                        self.chunk_meta["id"] = li[1]["id"]
         if self.chunk:
             self._flush()
         elif len(self.spans) == before and not has_block_child:

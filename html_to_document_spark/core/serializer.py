@@ -140,8 +140,9 @@ def _table(text: str | None, meta: dict | None,
     return f"<table>{inner}</table>"
 
 
-def _list_html(items: list[tuple[int, str, str]]) -> str:
-    """(level, inner_html, list_tag) run -> nested <ul>/<ol> markup.
+def _list_html(items: list[tuple[int, str, str, str]]) -> str:
+    """(level, inner_html, list_tag, id_attr) run -> nested <ul>/<ol>
+    markup.
     Deeper runs nest inside the previous <li> (extract's _list walks
     nested list containers at depth+1 inside their parent item)."""
 
@@ -163,7 +164,7 @@ def _list_html(items: list[tuple[int, str, str]]) -> str:
                 continue
             if items[idx][2] != tag:
                 break  # adjacent sibling list of the other type (ol vs ul)
-            parts.append(f"<li>{items[idx][1]}</li>")
+            parts.append(f"<li{items[idx][3]}>{items[idx][1]}</li>")
             has_li = True
             idx += 1
         parts.append(f"</{tag}>")
@@ -257,7 +258,7 @@ def serialize_spans(spans: list) -> str:
                     lv = 0
                 items.append(
                     (max(lv, 0), _inner_html(s2[1] or "", m2),
-                     m2.get("list") or "ul")
+                     m2.get("list") or "ul", _id_attr(m2))
                 )
                 i += 1
             parts.append(_list_html(items))

@@ -123,3 +123,14 @@ def test_id_bookmark_meta_roundtrip():
     out = serialize_spans(spans)
     assert out == html
     assert spans_of(out) == spans
+
+
+def test_li_id_roundtrip():
+    from html_to_document_spark.core.serializer import serialize_spans
+
+    html = '<ul><li id="first">a</li><li>b</li></ul>'
+    spans = spans_of(html)
+    assert spans[0][4]["id"] == "first" and "id" not in spans[1][4]
+    out = serialize_spans(spans)
+    assert out == html
+    assert spans_of(out) == spans
