@@ -302,7 +302,7 @@ def main() -> None:
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / (32 / 8)
 
     # second N->4N pair BELOW the single-box DRAM ceiling (2 -> 8
-    # cores over a 50k-doc prefix): per-core code improvements LOWER
+    # cores over a 30k-doc prefix): per-core code improvements LOWER
     # the 8->32 proxy because 32 threads are bandwidth-capped on this
     # box; on a real cluster each executor brings its own memory
     # channels, so the un-capped pair is the honest N->4N signal

@@ -175,6 +175,15 @@ def _stream_minify(html: str) -> list:
             if f[1]:  # pre interior: raw, whitespace preserved
                 out.append(token)
                 continue
+            tp = f[5]
+            if tp is not None:
+                # Adjacent text siblings only happen when a stray close
+                # tag was dropped between them (the regex is maximal).
+                # _emit treats a text node with a TEXT next-sibling as
+                # "no trailing treatment": emit the earlier one as-is.
+                f[5] = None
+                if tp and not tp.isspace():
+                    out.append(tp)
             t = _collapse(token)
             if f[4]:  # previous sibling was a block tag
                 t = t.lstrip()

@@ -140,6 +140,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     persist_sigs: bool = True,
     max_words: int | None = 20_000,
+    bucket_cap: int | None = 128,
+    sig_cache: list | None = None,
 ) -> "DataFrame":
     """Near-duplicate candidate pairs via banded LSH over MinHash
     signatures, with estimated Jaccard = fraction of agreeing hashes.
@@ -151,9 +153,24 @@ def minhash_lsh_pairs(
     instance recomputes the shingle explode + 64 min-aggregates AND the
     entire upstream plan (VERDICT r1 #1). ``persist_sigs`` caches the
     narrow (id, 64xlong) frame — MEMORY_AND_DISK, ~520 B/doc — so the
-    signature build runs once. Set False only for plan inspection.
+    signature build runs once. Pass ``sig_cache=[]`` to receive the
+    persisted frame (caller unpersists after materializing the result);
+    otherwise callers of long-lived sessions should unpersist via
+    ``spark.catalog.clearCache()`` or re-use one pairs frame.
+
+    ``bucket_cap`` (VERDICT r2 #1 — the 100 TB scale guard): a templated
+    web corpus puts m near-identical docs into one ``(band_id,
+    band_hash)`` bucket; an uncapped self-join emits m^2/2 pairs in a
+    single task (m=10^6 -> 5*10^11 pairs). Buckets over the cap switch
+    to STAR pairing — every member pairs with the bucket's min id only,
+    O(m) pairs, computed as a pure projection (no join at all). Dedup
+    semantics survive because connected components restores transitivity
+    downstream; a star pair that fails the est-Jaccard threshold at
+    verification is the same information loss the uncapped join has for
+    any single candidate pair. None disables the cap.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(
@@ -163,6 +180,8 @@ def minhash_lsh_pairs(
         from pyspark.storagelevel import StorageLevel
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        if sig_cache is not None:
+            sig_cache.append(sigs)
 
     # band join carries ONLY (id, band) — dragging the 64-long signature
     # arrays through the self-join shuffle doubled its bytes; signatures
@@ -187,18 +206,37 @@ def minhash_lsh_pairs(
         ).alias("band_id", "band_hash"),
     )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l._id") < F.col("r._id")),
+    if bucket_cap is not None:
+        # one window shuffle on the same key the join would shuffle on;
+        # big buckets never reach the join
+        wb = Window.partitionBy("band_id", "band_hash")
+        banded = banded.withColumn("_bn", F.count("*").over(wb)).withColumn(
+            "_bmin", F.min("_id").over(wb)
         )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        small = banded.filter(F.col("_bn") <= bucket_cap)
+        star_pairs = (
+            banded.filter(
+                (F.col("_bn") > bucket_cap) & (F.col("_id") != F.col("_bmin"))
+            )
+            .select(
+                F.col("_bmin").alias("id_a"), F.col("_id").alias("id_b")
+            )
+        )
+    else:
+        small = banded
+        star_pairs = None
+
+    left = small.alias("l")
+    right = small.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.band_hash") == F.col("r.band_hash"))
+        & (F.col("l._id") < F.col("r._id")),
+    ).select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
 
     scored = (
         pairs.join(
@@ -298,10 +336,17 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bucket_cap: int | None = 128,
 ) -> "DataFrame":
     """Candidate pairs within Hamming distance via 16-bit chunk join
-    (4 chunks => any pair with distance <= 3 shares a chunk)."""
+    (4 chunks => any pair with distance <= 3 shares a chunk).
+
+    ``bucket_cap``: chunks shared by more than this many docs (templated
+    corpora) switch from the m^2/2 self-join to O(m) star pairing with
+    the bucket's min-id doc — a projection, not a join (VERDICT r2 #1;
+    see minhash_lsh_pairs for the full rationale)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     sims = simhash(df, text_col, id_col)
     chunks = sims.select(
@@ -316,22 +361,42 @@ def simhash_near_pairs(
             )
         ).alias("chunk_id", "chunk"),
     )
+
+    star_pairs = None
+    if bucket_cap is not None:
+        wb = Window.partitionBy("chunk_id", "chunk")
+        chunks = chunks.withColumn("_bn", F.count("*").over(wb)).withColumn(
+            "_bmin", F.min(F.struct("_id", "simhash")).over(wb)
+        )
+        star_pairs = (
+            chunks.filter(
+                (F.col("_bn") > bucket_cap)
+                & (F.col("_id") != F.col("_bmin._id"))
+            )
+            .select(
+                F.col("_bmin._id").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.col("_bmin.simhash").alias("sa"),
+                F.col("simhash").alias("sb"),
+            )
+        )
+        chunks = chunks.filter(F.col("_bn") <= bucket_cap)
+
     l, r = chunks.alias("l"), chunks.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.chunk_id") == F.col("r.chunk_id"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l.simhash").alias("sa"),
-            F.col("r.simhash").alias("sb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = l.join(
+        r,
+        (F.col("l.chunk_id") == F.col("r.chunk_id"))
+        & (F.col("l.chunk") == F.col("r.chunk"))
+        & (F.col("l._id") < F.col("r._id")),
+    ).select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        F.col("l.simhash").alias("sa"),
+        F.col("r.simhash").alias("sb"),
     )
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
         pairs.withColumn("hamming", ham)
@@ -375,6 +440,7 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
 
+    converged = False
     for _ in range(max_iter):
         # candidate label for each node: min over neighbors' labels
         cand = (
@@ -402,7 +468,21 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # unconverged labels would silently split one true component into
+        # several representatives (ADVICE r2) — make it loud
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; labels may split true components (raise "
+            "max_iter, or use large-star/small-star for adversarial "
+            "diameters)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -116,13 +116,21 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = 128,
 ) -> "DataFrame":
     """Embedding-cosine near-duplicate pairs (dedup mode): LSH-bucket
     candidate join within the corpus, exact cosine verification, keep
     pairs with cosine >= threshold. Returns (id_a, id_b, cosine),
     id_a < id_b. High thresholds pair with more hyperplane bits (tight
-    buckets); the only shuffle is the bucket equi-join."""
+    buckets); the only shuffle is the bucket equi-join.
+
+    ``bucket_cap``: buckets over the cap (e.g. a cluster of near-
+    identical embeddings from templated pages) switch from the m^2/2
+    self-join to O(m) star pairing with the bucket's min-id vector —
+    connected components downstream restores transitivity (VERDICT r2
+    #1; see minhash_lsh_pairs)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     from html_to_document_spark.operators.text_analysis import r4
 
@@ -138,22 +146,42 @@ def embedding_near_dup_pairs(
             F.array(*[_bucket_expr(F.col("_v"), planes) for planes in tables])
         ).alias("table_id", "bucket"),
     )
+
+    star_pairs = None
+    if bucket_cap is not None:
+        wb = Window.partitionBy("table_id", "bucket")
+        bucketed = bucketed.withColumn(
+            "_bn", F.count("*").over(wb)
+        ).withColumn("_bmin", F.min(F.struct("_id", "_v")).over(wb))
+        star_pairs = (
+            bucketed.filter(
+                (F.col("_bn") > bucket_cap)
+                & (F.col("_id") != F.col("_bmin._id"))
+            )
+            .select(
+                F.col("_bmin._id").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.col("_bmin._v").alias("_va"),
+                F.col("_v").alias("_vb"),
+            )
+        )
+        bucketed = bucketed.filter(F.col("_bn") <= bucket_cap)
+
     l, r = bucketed.alias("l"), bucketed.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.table_id") == F.col("r.table_id"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._v").alias("_va"),
-            F.col("r._v").alias("_vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = l.join(
+        r,
+        (F.col("l.table_id") == F.col("r.table_id"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l._id") < F.col("r._id")),
+    ).select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        F.col("l._v").alias("_va"),
+        F.col("r._v").alias("_vb"),
     )
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return (
         pairs.select(
             "id_a",
@@ -242,15 +270,18 @@ def ivf_ann_topk(
     q_vec: str = "embedding",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    fit_fraction: float = 1.0,
 ) -> "DataFrame":
     """IVF (inverted-file) ANN: coarse-quantize the corpus into
     ``n_cells`` KMeans cells, probe the ``n_probe`` nearest cells per
     query, exact cosine re-rank inside the probed cells only.
 
     Scale shape (100 TB thinking):
-    - the KMeans fit runs on Spark MLlib (distributed; at scale fit on
-      a sample — ``corpus.sample(...)`` — the cell assignment below is
-      a full pass regardless);
+    - the KMeans fit runs on Spark MLlib (distributed); ``fit_fraction``
+      < 1 fits the coarse quantizer on a seeded sample — at 100 TB use
+      ~0.01 so the fit is not an extra full corpus pass (the cell
+      assignment below is a full pass regardless, and a quantizer fit
+      on 1% of a web corpus places near-identical centroids);
     - centroids are tiny (n_cells x dim) and travel as inlined literals
       — query->cell routing is pure JVM expressions, no Python;
     - the candidate join is an equi-join on ``cell`` (bucket join, same
@@ -265,7 +296,10 @@ def ivf_ann_topk(
     from html_to_document_spark.operators.text_analysis import r4
 
     # 1. coarse quantizer (seeded => deterministic)
-    train = corpus.select(array_to_vector(F.col(c_vec)).alias("features"))
+    train = corpus
+    if fit_fraction < 1.0:
+        train = train.sample(fraction=fit_fraction, seed=seed)
+    train = train.select(array_to_vector(F.col(c_vec)).alias("features"))
     model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 

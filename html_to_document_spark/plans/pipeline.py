@@ -74,6 +74,19 @@ def _materialize(df: "DataFrame", how: Union[str, Callable]) -> "DataFrame":
     raise ValueError(f"unknown materialize mode: {how!r}")
 
 
+def release_caches(registry: list) -> None:
+    """Unpersist every frame a pipeline build registered (call after the
+    result has been materialized — collected/written). Long-lived
+    sessions that build pipelines repeatedly accumulate MEMORY_AND_DISK
+    frames otherwise (ADVICE r2)."""
+    for df in registry:
+        try:
+            df.unpersist()
+        except Exception:  # already-stopped session — nothing to free
+            pass
+    registry.clear()
+
+
 def build_training_pipeline(
     docs: "DataFrame",
     options: ExtractOptions = DEFAULT_OPTIONS,
@@ -84,8 +97,13 @@ def build_training_pipeline(
     near_dup_threshold: float = 0.85,
     near_dup_mode: str = "pairs",
     materialize: Union[str, Callable] = "persist",
+    cache_registry: list | None = None,
 ) -> "DataFrame":
-    """(doc_id, spans[interleaved]) -> filtered, deduplicated corpus."""
+    """(doc_id, spans[interleaved]) -> filtered, deduplicated corpus.
+
+    ``cache_registry``: pass a list to receive every frame this build
+    persists (the materialized corpus and the MinHash signature frame);
+    call :func:`release_caches` on it once the result is written."""
     from pyspark.sql import functions as F
 
     spans = extract_spans_balanced(docs, options, num_partitions=num_partitions)
@@ -123,6 +141,8 @@ def build_training_pipeline(
     # everything below (LSH signature build + band self-join + final
     # anti-join) re-reads this one materialized corpus
     corpus = _materialize(exact_dedup(corpus), materialize)
+    if cache_registry is not None and materialize == "persist":
+        cache_registry.append(corpus)
 
     if near_dup_mode == "simhash":
         # cheapest candidate generator: 64-bit sketch + 16-bit chunk
@@ -139,7 +159,9 @@ def build_training_pipeline(
             F.from_json("_spans_json", spans_type).alias("spans"),
         )
 
-    near = minhash_lsh_pairs(corpus, threshold=near_dup_threshold)
+    near = minhash_lsh_pairs(
+        corpus, threshold=near_dup_threshold, sig_cache=cache_registry
+    )
     if near_dup_mode == "clusters":
         # transitively-closed removal: keep only each connected
         # component's min-id representative (a~b, b~c also drops c even

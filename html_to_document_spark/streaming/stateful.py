@@ -57,8 +57,10 @@ def streaming_exact_dedup(
             cand = pdf.loc[pdf["doc_id"].idxmin()]
             if best is None or cand["doc_id"] < best["doc_id"]:
                 best = cand
-        state.update((1,))
         if best is not None:
+            # mark seen ONLY once a representative row actually emitted —
+            # an all-empty batch must not suppress later occurrences
+            state.update((1,))
             yield pd.DataFrame(
                 {"doc_id": [best["doc_id"]], "text": [best["text"]]}
             )

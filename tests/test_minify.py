@@ -51,6 +51,13 @@ CASES = [
     ("<div> </div>   <span>text</span>", "<div></div><span>text</span>"),
     ("<p>   Lots     of    space   </p>", "<p>Lots of space</p>"),
     ("   <div>content</div>   ", "<div>content</div>"),
+    # stray root-level close tags: the dropped token leaves two text
+    # nodes adjacent; both must survive (ADVICE r2 high — _stream_minify
+    # used to overwrite the pending slot and lose the first one)
+    ("<p>keep</p>lost</p>more", "<p>keep</p>lostmore"),
+    ("<div>x</div>y</div>z", "<div>x</div>yz"),
+    ("a</span>b</div>c", "abc"),
+    ("<p>k</p> lost </p> more ", "<p>k</p>lost  more"),
 ]
 
 
@@ -96,3 +103,26 @@ def test_stream_minify_matches_tree_form(html, expected):
     tree_out: list = []
     _emit(_parse_tree(stripped), None, tree_out)
     assert _stream_minify(stripped) == tree_out
+
+
+def test_stream_minify_fuzz_matches_tree_form():
+    """Differential fuzz: random docs with STRAY CLOSE TAGS, nesting,
+    whitespace and <pre> — the fused pass must match the two-pass spec
+    token-for-token (ADVICE r2 high: 1116/20000 mismatches pre-fix)."""
+    import random
+
+    from html_to_document_spark.core.minify import (
+        _emit, _parse_tree, _stream_minify,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    pieces = [
+        "<div>", "</div>", "<p>", "</p>", "<span>", "</span>",
+        "<li>", "</li>", "<ul>", "</ul>", "<pre>", "</pre>",
+        "<br/>", "x", " y ", "  ", "a b", "\nz\n", "t",
+    ]
+    for _ in range(3000):
+        doc = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 14)))
+        tree_out: list = []
+        _emit(_parse_tree(doc), None, tree_out)
+        assert _stream_minify(doc) == tree_out, doc

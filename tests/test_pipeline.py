@@ -130,3 +130,26 @@ def test_pipeline_simhash_mode(spark):
     assert not any(i.startswith("dup-") for i in ids)
     texts = [r.text for r in out]
     assert len(set(texts)) == len(texts)
+
+
+def test_pipeline_cache_registry_release(spark):
+    """Cache-lifetime ownership (ADVICE r2): the registry receives the
+    persisted corpus + signature frames and release_caches unpersists
+    them (no MEMORY_AND_DISK frames leak across repeated builds)."""
+    from pyspark import StorageLevel
+    from html_to_document_spark.plans.pipeline import (
+        build_training_pipeline,
+        release_caches,
+    )
+    from html_to_document_spark.sources.synthetic import generate_corpus
+
+    docs = generate_corpus(spark, 200, seed=7, giant_frac=0.0)
+    reg: list = []
+    out = build_training_pipeline(docs, cache_registry=reg)
+    out.count()
+    assert len(reg) == 2  # materialized corpus + minhash signatures
+    assert all(df.storageLevel != StorageLevel.NONE for df in reg)
+    frames = list(reg)
+    release_caches(reg)
+    assert reg == []
+    assert all(df.storageLevel == StorageLevel.NONE for df in frames)

@@ -82,3 +82,25 @@ def test_ivf_ann_recall(spark, emb):
     full = ivf_ann_topk(queries, emb, k=5, n_cells=8, n_probe=8).collect()
     full_set = {(r.query_id, r.candidate_id) for r in full}
     assert full_set == exact_set
+
+
+def test_hot_bucket_cap_embedding_pairs_linear(spark):
+    """VERDICT r2 #1 gate (embedding flavor): m identical vectors share
+    every LSH bucket; the capped path emits O(m) star pairs."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    m = 1500
+    vec = [float((i % 7) - 3) for i in range(16)]
+    df = spark.range(m).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x) for x in vec]).alias("embedding"),
+    )
+    rows = embedding_near_dup_pairs(
+        df, threshold=0.95, dim=16, bucket_cap=64
+    ).collect()
+    assert len(rows) == m - 1
+    assert all(r.id_a == 0 and r.cosine == 1.0 for r in rows)
