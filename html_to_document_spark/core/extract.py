@@ -616,6 +616,19 @@ def _collect_styles(nodes: list, sheet: _css.Stylesheet) -> None:
         _collect_styles(node[2], sheet)
 
 
+def _stream_eligible(options: ExtractOptions) -> bool:
+    """True when the single-pass stream walker covers this config:
+    ``on_document`` hooks and callable tag handlers need a real node
+    tree; ``minify=False`` is the legacy two-tokenization path."""
+    if not options.minify or options.on_document:
+        return False
+    if options.tag_overrides:
+        for v in options.tag_overrides.values():
+            if not isinstance(v, str):
+                return False
+    return True
+
+
 def extract_document(
     html: str, options: ExtractOptions = DEFAULT_OPTIONS
 ) -> list[tuple[str, str | None, str | None, int]]:
@@ -624,18 +637,62 @@ def extract_document(
     Returns ``[(kind, text, media_ref, offset), ...]`` with
     ``offset == position``; deterministic pure function of ``html`` (and
     options), stable under any Spark repartitioning.
+
+    Two equivalent execution strategies (pinned token-for-token equal by
+    ``tests/test_stream_extract.py``):
+
+    - **stream** (default): ``stream_extract.stream_spans`` consumes the
+      minified token stream in one pass — no DOM tree is ever built.
+    - **tree** (the executable specification, and the only path for
+      ``on_document`` hooks / callable tag handlers / ``minify=False``):
+      ``parse_tokens`` -> ``_Walker`` recursion, as the reference does.
     """
     if html is None:
         return []
     for hook in options.before_parse:
         html = hook(html)
-    if options.minify:
-        # fused fast path: one tokenization for minify + parse
-        tokens = minify_tokens(html)
-        # conservative C-speed scan (false positives just run the cheap
-        # style collection; scanning the token list cost ~2% of wall)
-        has_style = _STYLE_SCAN_RE.search(html) is not None
+
+    if _stream_eligible(options):
+        from html_to_document_spark.core import stream_extract as _se
+
+        try:
+            # conservative C-speed scan (false positives just take the
+            # two-stage path with a cheap empty style collection)
+            if _STYLE_SCAN_RE.search(html) is None:
+                # fused single pass: no token list, no tree
+                spans = _se.stream_document(html, options, None)
+            else:
+                # <style> needs a whole-document style pre-pass before
+                # any hidden() decision: two-stage token-list path
+                tokens = minify_tokens(html)
+                sheet = _css.Stylesheet()
+                _se.collect_styles_from_tokens(tokens, sheet)
+                spans = _se.stream_spans(tokens, options, sheet)
+        except _se.StreamFallback:
+            # exotic construct (rawtext element with a non-inline
+            # override kind): re-run through the tree specification
+            spans = _tree_spans(minify_tokens(html), options, html)
+    else:
+        spans = _tree_spans(
+            minify_tokens(html) if options.minify else None, options, html
+        )
+
+    for hook in options.after_parse:
+        spans = hook(spans)
+    return _finalize_spans(spans, options)
+
+
+def _tree_spans(
+    tokens: list | None, options: ExtractOptions, html: str
+) -> list:
+    """Tree-walker strategy (the spec path): parse -> hooks -> styles ->
+    recursive walk. ``tokens`` is the minified stream, or None when
+    ``options.minify`` is off (raw ``html`` is parsed directly)."""
+    if tokens is not None:
         nodes = parse_tokens(tokens)
+        # conservative C-speed scan (false positives just run the cheap
+        # style collection)
+        has_style = _STYLE_SCAN_RE.search(html) is not None
     else:
         nodes = parse_html(html)
         has_style = True  # cheap conservative default off the fast path
@@ -650,10 +707,11 @@ def extract_document(
     walker = _Walker(options, sheet)
     walker.walk_fragment(nodes)
     walker._flush()
+    return walker.spans
 
-    spans = walker.spans
-    for hook in options.after_parse:
-        spans = hook(spans)
+
+def _finalize_spans(spans: list, options: ExtractOptions) -> list:
+    """Shared tail: boilerplate filters + offset assignment."""
     thr = options.boilerplate_max_link_density
     if thr is not None:
         keep_len = options.boilerplate_min_keep_len

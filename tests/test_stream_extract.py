@@ -1,0 +1,249 @@
+"""Lockstep gate for the single-pass stream walker (core/stream_extract)
+vs the tree-walker specification (core/extract._Walker), mirroring the
+minify discipline (_stream_minify vs _parse_tree/_emit).
+
+Every behavior difference between the two strategies is a bug in the
+stream walker by definition — the tree path IS the spec the goldens and
+the reference fixtures pin.
+"""
+
+import random
+
+import pytest
+
+from html_to_document_spark.core.extract import (
+    DEFAULT_OPTIONS,
+    ExtractOptions,
+    _finalize_spans,
+    _stream_eligible,
+    _tree_spans,
+    extract_document,
+)
+from html_to_document_spark.core.minify import minify_tokens
+
+
+def tree_extract(html, opts=DEFAULT_OPTIONS):
+    """The tree-walker strategy, forced (bypasses the stream router)."""
+    spans = _tree_spans(minify_tokens(html), opts, html)
+    for hook in opts.after_parse:
+        spans = hook(spans)
+    return _finalize_spans(spans, opts)
+
+
+def stream_spans_extract(html, opts=DEFAULT_OPTIONS):
+    """The token-list stream driver, forced (the router only uses it
+    for <style> documents — keep it pinned on everything)."""
+    from html_to_document_spark.core import stream_extract as se
+    from html_to_document_spark.core import css as _css
+
+    tokens = minify_tokens(html)
+    sheet = _css.Stylesheet()
+    se.collect_styles_from_tokens(tokens, sheet)
+    spans = se.stream_spans(tokens, opts, sheet)
+    for hook in opts.after_parse:
+        spans = hook(spans)
+    return _finalize_spans(spans, opts)
+
+
+META_OPTS = ExtractOptions(with_meta=True)
+BOILER_OPTS = ExtractOptions(
+    boilerplate_max_link_density=0.5, boilerplate_min_text_density=3.0
+)
+UNDROP_OPTS = ExtractOptions(
+    drop_tags=frozenset({"nav", "template"})  # script/style un-dropped
+)
+OVERRIDE_OPTS = ExtractOptions(
+    tag_overrides={"aside": "drop", "q": "paragraph", "dl": "list"}
+)
+
+ALL_OPTS = [DEFAULT_OPTIONS, META_OPTS, BOILER_OPTS, UNDROP_OPTS,
+            OVERRIDE_OPTS]
+
+CASES = [
+    # chunking + block boundaries
+    "<p>hello <b>world</b></p><div>frag <span>inline</span> text</div>",
+    "<h2 id=sec>Title</h2>text tail",
+    "<p></p><p> </p><p><span></span></p>",
+    # breaks, images, rules
+    "a<br>b<br/><img src='m://1' alt='pic'>c<hr>d",
+    "<p>x<img src=only></p>",
+    # lists: nesting, inlined paragraphs, breaks, empty items
+    "<ul><li>one</li><li><p>para</p></li><li>pre<p>mid</p>post</li></ul>",
+    "<ol><li>a<ul><li>deep</li></ul>tail</li><li></li></ol>",
+    "<ul><li><p>first</p><p>second</p>x</li></ul>",
+    "<ul><li>t<div>block</div>after</li><li><p></p></li></ul>",
+    "<ul>stray text<li>x</li><div>ignored</div><ul><li>same-depth</li></ul></ul>",
+    "<ul><li>a<hr>b</li></ul>",
+    # tables: sections, spans, captions, nesting, ragged rows
+    "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>",
+    "<table><thead><tr><th>h</th></tr></thead><tbody><tr><td>x</td></tr>"
+    "</tbody><tfoot><tr><td>f</td></tr></tfoot></table>",
+    "<table><tr><td colspan=2>w</td></tr><tr><td>a</td><td>b</td></tr></table>",
+    "<table><tr><td rowspan=2>tall</td><td>r1</td></tr><tr><td>r2</td></tr></table>",
+    "<table><caption>cap</caption><tr><td>x</td></tr></table>",
+    "<table><caption style='caption-side:bottom'>cap</caption>"
+    "<tr><td>x</td></tr></table>",
+    "<table><tr><td><table><tr><td>inner</td></tr></table>outer</td></tr></table>",
+    "<table><tr><td>a<div>blk</div>b<br>c<img src=i></td></tr></table>",
+    "<table><colgroup><col></colgroup><tr><td>x</td></tr></table>",
+    "<table><div>ignored</div><tr><td>x</td></tr>loose</table>",
+    "<table><thead><div>skip</div><tr><th>h</th></tr></thead></table>",
+    "<p>before<table><tr><td>cell</td></tr></table>after</p>",
+    "<table><tr><td><ul><li>li-in-cell</li></ul></td></tr></table>",
+    # pages and pagebreaks
+    "<section class='page'>p1</section><section class='page'>p2</section>",
+    "<section class='page'>only</section>",
+    "<section class='page-break'></section>tail",
+    "<div><section class='page'>in-div</section></div>",
+    "<section class='page'>a</section><script>x</script>",
+    "<ul><li><section class='page'>pg</section></li></ul>",
+    "<section id=plain>not a page</section>",
+    # drops, hidden, rawtext
+    "<p>keep</p><script>var x = '<div>not a div</div>';</script><p>more</p>",
+    "<nav><a href=/>home</a></nav>content",
+    "<p style='display:none'>gone</p><p>kept</p>",
+    "<span style='display: NONE '>gone</span>text",
+    "<style>p { display: none }</style><p>hidden</p><div>shown</div>",
+    "<style>.x { display: none }</style><p class=x>no</p><p>yes</p>",
+    "<p>a</p><style>p{color:red}</style><p>late stylesheet</p>",
+    # anchors / hrefs / link density
+    "<p><a href='/x'>link one</a> and <a href='/y'>two</a></p>",
+    "<div><a href=/>tiny</a></div>",
+    # implied closes & malformed input
+    "<p>one<p>two<p>three",
+    "<ul><li>a<li>b<li>c</ul>",
+    "<table><tr><td>a<td>b<tr><td>c</table>",
+    "<p>text</div>more</p>end",
+    "<b>unclosed <i>nested",
+    "<p>para<div>closes p</div>",
+    "< 5 is not a tag > but text",
+    "x</p>y</div>z",
+    "<li>li outside list</li>",
+    "<td>cell outside table</td>",
+    "<tr><td>row outside</td></tr>",
+    # entities
+    "<p>a &amp; b &lt;tag&gt; &#65;</p>",
+    "<p title='a&amp;b'>attr entity</p>",
+    # pre interaction (minify post-pass)
+    "<pre>  raw\n  space  </pre><p>  collapsed  text </p>",
+    "<pre><code>x = 1</code></pre>",
+    # custom/unknown elements
+    "<custom-el>inline by default</custom-el><p>after</p>",
+    # headings h1-h6 + ids
+    "".join(f"<h{i} id=h{i}>H{i}</h{i}>" for i in range(1, 7)),
+    # empty / degenerate
+    "", "   ", "<div></div>", "plain text only",
+]
+
+
+@pytest.mark.parametrize("opts", ALL_OPTS, ids=[
+    "default", "meta", "boilerplate", "undrop", "overrides"])
+def test_stream_matches_tree_on_cases(opts):
+    for html in CASES:
+        expected = tree_extract(html, opts)
+        assert extract_document(html, opts) == expected, html
+        assert stream_spans_extract(html, opts) == expected, html
+
+
+def test_stream_path_is_actually_taken():
+    """Guard against silently routing everything to the tree path."""
+    assert _stream_eligible(DEFAULT_OPTIONS)
+    assert _stream_eligible(META_OPTS)
+    assert not _stream_eligible(ExtractOptions(minify=False))
+    assert not _stream_eligible(
+        ExtractOptions(on_document=(lambda nodes: nodes,))
+    )
+    assert not _stream_eligible(
+        ExtractOptions(tag_overrides={"x-y": lambda w, n: None})
+    )
+
+
+def test_stream_fallback_on_exotic_rawtext_override():
+    """script overridden to a block kind routes through the tree spec
+    mid-stream and still returns the tree answer."""
+    opts = ExtractOptions(tag_overrides={"script": "paragraph"})
+    html = "<p>a</p><script>code here</script><p>b</p>"
+    assert extract_document(html, opts) == tree_extract(html, opts)
+
+
+PIECES = [
+    "<div>", "</div>", "<p>", "</p>", "<span>", "</span>", "<b>", "</b>",
+    "<ul>", "</ul>", "<ol>", "</ol>", "<li>", "</li>",
+    "<table>", "</table>", "<thead>", "</thead>", "<tbody>", "</tbody>",
+    "<tfoot>", "</tfoot>", "<tr>", "</tr>", "<td>", "</td>",
+    "<th>", "</th>", "<caption>", "</caption>",
+    "<td colspan=2>", "<td rowspan=2>", "<colgroup>", "</colgroup>",
+    "<section class='page'>", "<section class='page-break'>",
+    "<section>", "</section>",
+    "<h2>", "</h2>", "<h2 id=z>", "<blockquote>", "</blockquote>",
+    "<a href='/l'>", "</a>", "<em>", "</em>",
+    "<pre>", "</pre>", "<code>", "</code>",
+    "<script>", "</script>", "<style>", "</style>", "<nav>", "</nav>",
+    "<br>", "<hr>", "<img src='m'>", "<img src='m' alt='a'>", "<wbr>",
+    "<p style='display:none'>", "<span style='display:none'>",
+    "<custom-tag>", "</custom-tag>", "<input>", "<p/>", "<li/>", "<td/>",
+    "<caption/>",
+    "x", " y ", "  ", "a b", "\nz\n", "t&amp;u", "w",
+]
+
+
+@pytest.mark.parametrize("opts", ALL_OPTS, ids=[
+    "default", "meta", "boilerplate", "undrop", "overrides"])
+def test_stream_matches_tree_fuzz(opts):
+    """Differential fuzz: random tag soup (unbalanced, nested, hostile)
+    must extract identically through both strategies."""
+    rng = random.Random(0xBEEF01)
+    for _ in range(4000):
+        html = "".join(
+            rng.choice(PIECES) for _ in range(rng.randint(1, 20))
+        )
+        expected = tree_extract(html, opts)
+        assert extract_document(html, opts) == expected, html
+        assert stream_spans_extract(html, opts) == expected, html
+
+
+def test_stream_matches_tree_fuzz_structured():
+    """Deep-nesting fuzz biased toward well-formed structures (lists in
+    lists, tables in cells, pages in divs) where the stream walker's
+    frame bookkeeping is most at risk."""
+    rng = random.Random(0xBEEF02)
+
+    def gen(depth):
+        roll = rng.random()
+        if depth > 4 or roll < 0.25:
+            return rng.choice(["txt", " s ", "a&lt;b", "<br>",
+                               "<img src=i>", "<hr>"])
+        inner = "".join(gen(depth + 1) for _ in range(rng.randint(0, 4)))
+        shape = rng.randrange(8)
+        if shape == 0:
+            return f"<div>{inner}</div>"
+        if shape == 1:
+            return f"<p>{inner}</p>"
+        if shape == 2:
+            items = "".join(
+                f"<li>{gen(depth + 1)}</li>"
+                for _ in range(rng.randint(1, 3))
+            )
+            return f"<{rng.choice(('ul', 'ol'))}>{items}</ul>"
+        if shape == 3:
+            rows = "".join(
+                "<tr>" + "".join(
+                    f"<td>{gen(depth + 1)}</td>"
+                    for _ in range(rng.randint(1, 3))
+                ) + "</tr>"
+                for _ in range(rng.randint(1, 3))
+            )
+            cap = "<caption>c</caption>" if rng.random() < 0.3 else ""
+            return f"<table>{cap}{rows}</table>"
+        if shape == 4:
+            return f"<section class='page'>{inner}</section>"
+        if shape == 5:
+            return f"<span>{inner}</span>"
+        if shape == 6:
+            return f"<a href='/x'>{inner}</a>"
+        return f"<blockquote>{inner}</blockquote>"
+
+    for _ in range(1500):
+        html = "".join(gen(0) for _ in range(rng.randint(1, 5)))
+        for opts in (DEFAULT_OPTIONS, META_OPTS):
+            assert extract_document(html, opts) == tree_extract(html, opts), html
