@@ -209,6 +209,38 @@ def q_extract_meta(spark, sf_dir):
     )
 
 
+def q_extract_table_sections(spark, sf_dir):
+    """TB2 relational projection: thead/tbody/tfoot survive extraction
+    as a per-grid-row section label (ref parser.ts:262-278), exposed by
+    operators.extract_spans.table_rows_with_sections so downstream SQL
+    can separate header rows from data rows."""
+    from html_to_document_spark.operators.extract_spans import (
+        exploded_with_meta,
+        table_rows_with_sections,
+    )
+
+    html = F.concat(
+        F.lit("<table><thead><tr><th>"), F.col("lang"),
+        F.lit("</th><th>hdr</th></tr></thead><tbody><tr><td>"),
+        F.col("source"), F.lit("</td><td>"), F.col("lang"),
+        F.lit("</td></tr></tbody><tfoot><tr><td>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</td><td>end</td></tr></tfoot></table>"),
+    )
+    df = _with_html(_docs(spark, sf_dir), html)
+    out = table_rows_with_sections(
+        exploded_with_meta(
+            extract_spans_from_html(df, options=ExtractOptions(with_meta=True))
+        )
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("row_idx").cast("int").alias("row_idx"),
+        "section",
+        "row_text",
+    )
+
+
 def q_minify_normalize(spark, sf_dir):
     """Pre-parse normalization as a standalone string->string operator."""
     import pandas as pd
@@ -722,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_density": q_extract_text_density,
         "extract_meta": q_extract_meta,
         "extract_sharded": q_extract_sharded,
+        "extract_table_sections": q_extract_table_sections,
         "minify_normalize": q_minify_normalize,
         "style_normalize": q_style_normalize,
         "extract_synthetic": q_extract_synthetic,
@@ -793,6 +826,17 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, cast(0 as int) as offset, 'table' as kind, "
             "lang || chr(9) || source || chr(10) || cast(n_chars as varchar) "
             f"|| chr(9) as text, {null_s} as media_ref from documents"
+        ),
+        "extract_table_sections": " union all ".join(
+            [
+                "select doc_id, cast(0 as int) as row_idx, 'thead' as "
+                "section, lang || chr(9) || 'hdr' as row_text from documents",
+                "select doc_id, cast(1 as int) as row_idx, 'tbody' as "
+                "section, source || chr(9) || lang as row_text from documents",
+                "select doc_id, cast(2 as int) as row_idx, 'tfoot' as "
+                "section, cast(n_chars as varchar) || chr(9) || 'end' as "
+                "row_text from documents",
+            ]
         ),
         "extract_list_items": " union all ".join(
             [

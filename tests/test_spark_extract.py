@@ -241,3 +241,38 @@ def test_exploded_with_meta(spark):
     assert rows[1].tag == "li" and rows[1].level == "0"
     assert rows[2].tag == "p" and rows[2].href == "/x"
     assert rows[2].meta["href"] == "/x"
+
+
+def test_table_rows_with_sections(spark):
+    """TB2 relational projection: thead/tbody/tfoot labels per grid row
+    (ref parser.ts:262-278), incl. implied tbody for bare <tr> and
+    section-ordered linearization (tfoot written last)."""
+    from html_to_document_spark.core.extract import ExtractOptions
+    from html_to_document_spark.operators.extract_spans import (
+        exploded_with_meta,
+        extract_spans_from_html,
+        table_rows_with_sections,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("d1",
+             "<table><tfoot><tr><td>f</td></tr></tfoot>"
+             "<thead><tr><th>h</th></tr></thead>"
+             "<tr><td>a</td></tr><tbody><tr><td>b</td></tr></tbody></table>"),
+            ("d2", "<table><tr><td>only</td></tr></table>"),
+        ],
+        "doc_id string, html string",
+    )
+    out = table_rows_with_sections(
+        exploded_with_meta(
+            extract_spans_from_html(df, options=ExtractOptions(with_meta=True))
+        )
+    )
+    rows = {(r.doc_id, r.row_idx): r for r in out.collect()}
+    d1 = [rows[("d1", i)] for i in range(4)]
+    assert [(r.section, r.row_text) for r in d1] == [
+        ("thead", "h"), ("tbody", "a"), ("tbody", "b"), ("tfoot", "f"),
+    ]
+    assert rows[("d2", 0)].section == "tbody"
+    assert rows[("d2", 0)].row_text == "only"

@@ -270,3 +270,25 @@ def test_subtract_by_selector():
     assert subtract_styles(
         {"color": "red", "font-weight": "bold"}, {"font-weight": "bold"}
     ) == {"color": "red"}
+
+
+def test_normalize_style_overrides_u4():
+    """U4 parity (docx-style-mapper.ts:765-769 addMapping): a
+    per-property override REPLACES the built-in normalization for that
+    longhand, including when it arrives via shorthand expansion."""
+    styles = {"color": "red", "margin": "10pt 20pt"}
+    base = normalize_style(styles)
+    assert base["color"] == "FF0000"
+
+    out = normalize_style(
+        styles,
+        overrides={
+            "color": lambda v: f"custom({v})",
+            "margin-left": lambda v: "OVERRIDDEN",
+        },
+    )
+    assert out["color"] == "custom(red)"
+    assert out["margin-left"] == "OVERRIDDEN"       # via shorthand
+    assert out["margin-top"] == base["margin-top"]  # others untouched
+    # no overrides arg -> unchanged behavior
+    assert normalize_style(styles) == base
