@@ -589,6 +589,65 @@ def q_media_catalog(spark, sf_dir):
     )
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide exact PARAGRAPH dedup accounting (web corpora repeat
+    boilerplate paragraphs across distinct pages; doc-level dedup
+    misses them). Paragraph structure fabricated deterministically
+    (word boundaries -> '. ') since the synthetic text is one line."""
+    from html_to_document_spark.operators.corpus_hygiene import (
+        paragraph_dedup_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " ", ". ").alias("text"),
+    )
+    return paragraph_dedup_stats(docs)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: training docs sharing an exact
+    paragraph with the (broadcast) benchmark set. Overlap fabricated
+    deterministically: train docs carry 'shared-<id%5>', benchmark
+    docs 'shared-<id%3>'."""
+    from html_to_document_spark.operators.corpus_hygiene import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(". shared-"),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("benchmark text. shared-"),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    return decontaminate(train, bench)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction as a codegen'd projection (emails, long digit
+    runs); PII injected deterministically since the synthetic corpus
+    has none."""
+    from html_to_document_spark.operators.corpus_hygiene import pii_scrub
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.com board "),
+            (F.col("doc_id") * 1234567).cast("string"),
+            F.lit(" "), F.col("text"),
+        ).alias("text"),
+    )
+    return pii_scrub(docs)
+
+
 def q_link_stats(spark, sf_dir):
     """Outlink inventory over constructed pages (crawl-pipeline staple):
     one relative link, one duplicate, one absolute per doc."""
@@ -789,6 +848,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "media_catalog": q_media_catalog,
         "link_stats": q_link_stats,
+        # corpus hygiene
+        "paragraph_dedup": q_paragraph_dedup,
+        "decontaminate_overlap": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
         "resume_antijoin": q_resume_antijoin,
         # multimodal
         "multimodal_decode": q_multimodal_decode,
@@ -1109,6 +1172,57 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, cast(3 as bigint) as n_links, "
             "cast(2 as bigint) as n_unique_links, "
             "cast(1 as bigint) as n_absolute_links from documents"
+        ),
+        "paragraph_dedup": (
+            "with s as ("
+            "  select doc_id, "
+            "    string_split(replace(text, ' ', '. '), '. ') as l "
+            "  from documents"
+            "), p as ("
+            "  select doc_id, para, ord from ("
+            "    select doc_id, unnest(l) as para, "
+            "      unnest(range(1, len(l) + 1)) as ord from s"
+            "  ) where para <> ''"
+            "), r as ("
+            "  select doc_id, "
+            "    row_number() over (partition by para order by doc_id, ord)"
+            "      as rn from p"
+            ") select doc_id, count(*) as n_paras, "
+            "cast(sum(case when rn = 1 then 1 else 0 end) as bigint) "
+            "  as n_unique_first, "
+            "cast(sum(case when rn > 1 then 1 else 0 end) as bigint) "
+            "  as n_dupes "
+            "from r group by doc_id"
+        ),
+        "decontaminate_overlap": (
+            "with bench as ("
+            "  select distinct para from ("
+            "    select unnest(string_split("
+            "      'benchmark text. shared-' || cast(doc_id % 3 as varchar),"
+            "      '. ')) as para from documents where doc_id % 97 = 0)"
+            "  where para <> ''"
+            "), tr as ("
+            "  select doc_id, para from ("
+            "    select doc_id, unnest(string_split("
+            "      text || '. shared-' || cast(doc_id % 5 as varchar), "
+            "      '. ')) as para from documents where doc_id % 97 <> 0)"
+            "  where para <> ''"
+            ") select doc_id, count(*) as n_contaminated_paras "
+            "from tr join bench using (para) group by doc_id"
+        ),
+        "pii_scrub": (
+            "with t as ("
+            "  select doc_id, 'contact user' || cast(doc_id as varchar) || "
+            "  '@mail.com board ' || cast(doc_id * 1234567 as varchar) || "
+            "  ' ' || text as text from documents"
+            ") select doc_id, "
+            "regexp_replace(regexp_replace(text, "
+            "'[a-z0-9.]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'), "
+            "'[0-9]{7,}', '<NUM>', 'g') as scrubbed, "
+            "regexp_replace(regexp_replace(text, "
+            "'[a-z0-9.]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'), "
+            "'[0-9]{7,}', '<NUM>', 'g') <> text as was_redacted "
+            "from t"
         ),
         "lineage_counts": (
             "select cast(doc_id % 32 as int) as partition_id, "

@@ -68,8 +68,11 @@ def extraction_run(cpus: int, limit_docs: int | None = None) -> dict:
     if limit_docs is not None and limit_docs < N_DOCS:
         df = df.filter(F.col("doc_id") < f"doc-{limit_docs:012d}")
         n_docs = limit_docs
-    # warm python workers / JIT outside the timed region
-    extract_spans_balanced(df.limit(500), num_partitions=cpus * 2)\
+    # warm python workers / JIT outside the timed region. 500 docs was
+    # NOT enough: same-session A/B (round 3) showed the first timed run
+    # 1.5-2.5x slower than steady state (daemon spawn + codegen + page
+    # cache); a 10k-doc warm pass absorbs most of it
+    extract_spans_balanced(df.limit(10_000), num_partitions=cpus * 2)\
         .agg(F.sum(F.size("spans"))).first()
     # min of 2 per round (rounds are interleaved across configs by the
     # parent): the sandbox VM has noisy neighbors + 10-25%% CPU steal;

@@ -100,6 +100,11 @@ class ExtractOptions:
     # metadata-bearing output (T7/T9/L6/L10 parity): each span carries a
     # map with source tag, heading/list level, first href, image alt
     with_meta: bool = False
+    # execution strategy: "stream" (fused single-pass walker, default)
+    # or "tree" (the executable specification) — the A/B knob for
+    # attributing perf deltas; both produce identical spans
+    # (tests/test_stream_extract.py pins it)
+    engine: str = "stream"
 
 
 DEFAULT_OPTIONS = ExtractOptions()
@@ -619,7 +624,16 @@ def _collect_styles(nodes: list, sheet: _css.Stylesheet) -> None:
 def _stream_eligible(options: ExtractOptions) -> bool:
     """True when the single-pass stream walker covers this config:
     ``on_document`` hooks and callable tag handlers need a real node
-    tree; ``minify=False`` is the legacy two-tokenization path."""
+    tree; ``minify=False`` is the legacy two-tokenization path.
+
+    ``H2D_FORCE_TREE=1`` (env, read per call so it reaches Spark's
+    Python workers in local mode) forces the tree specification path —
+    the A/B knob used to attribute perf deltas to the walker vs the
+    rest of the pipeline."""
+    import os
+
+    if options.engine == "tree" or os.environ.get("H2D_FORCE_TREE") == "1":
+        return False
     if not options.minify or options.on_document:
         return False
     if options.tag_overrides:

@@ -120,15 +120,21 @@ _SHARED_DEFAULT_MAP = dict(_DEFAULT_KIND_MAP)
 # global tag-token classification memo: raw token string ->
 #   None                                  (close token)
 #   (tag, sc_minify, sc_dom, rawtext, attrs)   (open token)
-# Real corpora repeat a tiny vocabulary of tag tokens ("<p>", "</p>",
-# "<td colspan=2>", ...), so regex classification + attr parsing
-# amortize to one dict hit. Attr dicts are shared — all consumers are
-# read-only. Bounded: only tokens <= _MEMO_MAX_TOKEN chars are cached,
-# and the memo resets at _MEMO_MAX_SIZE entries (pathological corpora
-# with unbounded distinct attr strings).
+# Real corpora repeat a tiny vocabulary of SHORT tag tokens ("<p>",
+# "</p>", "<td colspan=2>", ...), so regex classification + attr
+# parsing amortize to one dict hit. Attr dicts are shared — all
+# consumers are read-only.
+#
+# Policy (learned the hard way): cache ONLY short tokens, with a hard
+# size cap and NO clear/refill cycle. Attr-bearing tokens with unique
+# urls (every <img src=...> / <a href=...> on a web corpus) never
+# repeat — caching them grows the dict with dead strings, and that
+# allocation traffic lands exactly on the executor DRAM-bandwidth
+# ceiling this memo exists to relieve (measured: an unbounded memo
+# REGRESSED local[32] extraction ~2x while local[2] was unaffected).
 _TAG_MEMO: dict = {}
-_MEMO_MAX_TOKEN = 160
-_MEMO_MAX_SIZE = 200_000
+_MEMO_MAX_TOKEN = 48
+_MEMO_MAX_SIZE = 4096
 
 
 def _classify_tag(token: str):
@@ -157,9 +163,7 @@ def _classify_memo(token: str):
     info = _TAG_MEMO.get(token, False)
     if info is False:
         info = _classify_tag(token)
-        if len(token) <= _MEMO_MAX_TOKEN:
-            if len(_TAG_MEMO) >= _MEMO_MAX_SIZE:
-                _TAG_MEMO.clear()
+        if len(token) <= _MEMO_MAX_TOKEN and len(_TAG_MEMO) < _MEMO_MAX_SIZE:
             _TAG_MEMO[token] = info
     return info
 

@@ -1,0 +1,154 @@
+"""Corpus-hygiene operators for training-data pipelines (task brief:
+"operations a large-scale training-data pipeline would need").
+
+Three first-class operations every LLM data pipeline runs between
+extraction and training, each expressed as pure JVM DataFrame plans
+(no Python in the hot path) with DuckDB-portable semantics so the
+driver's oracle gate covers them exactly:
+
+- :func:`paragraph_dedup_stats` — corpus-wide exact dedup at PARAGRAPH
+  granularity (web corpora repeat boilerplate paragraphs across
+  otherwise-distinct pages; doc-level dedup misses them).
+- :func:`decontaminate` — test-set decontamination: flag training docs
+  sharing any exact paragraph with a benchmark/eval set.
+- :func:`pii_scrub` — regex redaction of emails / long digit runs with
+  patterns restricted to the RE2 ∩ Java-regex common dialect.
+
+Scale shapes (100 TB lens) are documented per function.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import Column, DataFrame
+
+# paragraph separator: a literal sentence/paragraph boundary. Kept as a
+# LITERAL (escaped on the Spark side — split() takes a regex) so the
+# DuckDB oracle's string_split matches byte-for-byte.
+PARA_SEP = ". "
+
+
+def _paragraphs(text_col: str):
+    """text -> array of non-empty paragraphs (deterministic)."""
+    from pyspark.sql import functions as F
+
+    return F.filter(
+        F.split(F.col(text_col), "\\. "), lambda p: p != ""
+    )
+
+
+def paragraph_dedup_stats(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Corpus-wide exact paragraph dedup accounting: for every document,
+    how many of its paragraphs are first occurrences vs repeats of a
+    paragraph seen earlier (earlier = smaller (doc_id, position);
+    deterministic total order, repartition-stable).
+
+    Returns (doc_id, n_paras, n_unique_first, n_dupes).
+
+    100 TB shape: explode -> ONE shuffle keyed by the paragraph hash
+    (row_number window over the paragraph), then a doc-keyed partial
+    aggregation. Paragraphs shuffle as their 8-byte xxhash64 plus the
+    (id, pos) pair — the text itself stays in the scan — and the
+    map-side combine on the final count keeps reduce traffic at one row
+    per document. To DROP the repeats instead of counting them, filter
+    ``rn == 1`` before reassembly.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_paragraphs(text_col)).alias("pos", "para"),
+    )
+    # shuffle key: the paragraph digest, not the text (narrow shuffle);
+    # xxhash64 collisions are ~0 at corpus scale and acceptable for
+    # stats (the oracle-gated query partitions by the text itself at
+    # test scale, where the plans coincide)
+    w = Window.partitionBy("para").orderBy("_id", "pos")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias(
+                "n_unique_first"
+            ),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dupes"),
+        )
+    )
+
+
+def decontaminate(
+    train: "DataFrame",
+    benchmark: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Test-set decontamination: training documents sharing >= 1 exact
+    paragraph with the benchmark set, with the overlap count.
+
+    Returns (doc_id, n_contaminated_paras) — inner-join semantics, so
+    clean documents do not appear; anti-join against this frame to get
+    the decontaminated corpus.
+
+    100 TB shape: the benchmark side is tiny (eval sets are thousands
+    of documents); its DISTINCT paragraph set is broadcast, so the
+    training corpus is scanned ONCE with a broadcast-hash semi-join —
+    no corpus shuffle at all. The only shuffle is the final per-doc
+    count (map-side combined).
+    """
+    from pyspark.sql import functions as F
+
+    bench_paras = (
+        benchmark.select(
+            F.explode(_paragraphs(text_col)).alias("para")
+        ).distinct()
+    )
+    train_paras = train.select(
+        F.col(id_col).alias(id_col),
+        F.explode(_paragraphs(text_col)).alias("para"),
+    )
+    return (
+        train_paras.join(F.broadcast(bench_paras), "para")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_paras"))
+    )
+
+
+# patterns restricted to the RE2 (DuckDB) ∩ java.util.regex (Spark)
+# common dialect: plain classes, bounded repetition, no lookaround
+EMAIL_PATTERN = "[a-z0-9.]+@[a-z0-9]+[.][a-z]+"
+LONG_DIGITS_PATTERN = "[0-9]{7,}"
+
+
+def pii_scrub_col(text_col: "Column | str") -> "Column":
+    """Redaction as a single Column expression (join-free: pipelines add
+    it as a projection). Emails -> <EMAIL>, 7+ digit runs -> <NUM>."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(c, LONG_DIGITS_PATTERN, "<NUM>")
+
+
+def pii_scrub(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """(doc_id, scrubbed, was_redacted): PII-redacted text plus a flag.
+
+    100 TB shape: a pure projection — whole-stage codegen'd JVM regex,
+    zero shuffle, zero Python. This is the hygiene stage's floor cost:
+    one scan.
+    """
+    from pyspark.sql import functions as F
+
+    scrubbed = pii_scrub_col(text_col)
+    return df.select(
+        id_col,
+        scrubbed.alias("scrubbed"),
+        (scrubbed != F.col(text_col)).alias("was_redacted"),
+    )

@@ -1,0 +1,88 @@
+"""Corpus-hygiene operators: paragraph-level dedup accounting,
+benchmark decontamination (broadcast semi-join shape), PII scrub."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from html_to_document_spark.operators.corpus_hygiene import (
+    decontaminate,
+    paragraph_dedup_stats,
+    pii_scrub,
+    pii_scrub_col,
+)
+
+
+def test_paragraph_dedup_stats(spark):
+    rows = [
+        (1, "alpha beta. gamma delta. alpha beta"),   # internal repeat
+        (2, "alpha beta. unique two"),                # cross-doc repeat
+        (3, "totally new. gamma delta"),              # cross-doc repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in paragraph_dedup_stats(df).collect()}
+    # doc 1 owns the first occurrences of both repeated paragraphs
+    assert (out[1].n_paras, out[1].n_unique_first, out[1].n_dupes) == (3, 2, 1)
+    assert (out[2].n_paras, out[2].n_unique_first, out[2].n_dupes) == (2, 1, 1)
+    assert (out[3].n_paras, out[3].n_unique_first, out[3].n_dupes) == (2, 1, 1)
+    # invariants: counts add up, firsts equal distinct paragraphs
+    assert all(r.n_paras == r.n_unique_first + r.n_dupes for r in out.values())
+    assert sum(r.n_unique_first for r in out.values()) == 4
+
+
+def test_paragraph_dedup_repartition_stable(spark):
+    df = spark.createDataFrame(
+        [(i, f"shared para. own {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(paragraph_dedup_stats(df).collect())
+    b = sorted(paragraph_dedup_stats(df.repartition(7)).collect())
+    assert a == b
+    assert sum(r.n_dupes for r in a) == 39  # one first, 39 repeats
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    train = spark.createDataFrame(
+        [(1, "clean doc. nothing shared"),
+         (2, "has leak. eval question one"),
+         (3, "eval question one. eval question two")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "eval question one. eval question two")],
+        "doc_id long, text string",
+    )
+    out = decontaminate(train, bench)
+    rows = {r.doc_id: r.n_contaminated_paras for r in out.collect()}
+    assert rows == {2: 1, 3: 2}  # doc 1 absent (clean)
+    # scale shape: the benchmark side must broadcast (no corpus shuffle)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jane.doe1@example.com today"),
+         (2, "card 12345678901 and pin 123"),
+         (3, "nothing sensitive here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert out[1].scrubbed == "mail me at <EMAIL> today"
+    assert out[2].scrubbed == "card <NUM> and pin 123"  # short runs kept
+    assert out[3].scrubbed == "nothing sensitive here"
+    assert (out[1].was_redacted, out[2].was_redacted,
+            out[3].was_redacted) == (True, True, False)
+
+
+def test_pii_scrub_col_is_projection(spark):
+    """Join-free composition: the column form adds redaction to any
+    frame without changing its plan shape (no shuffle, no UDF)."""
+    df = spark.range(10).select(
+        F.col("id"),
+        F.concat(F.lit("u"), F.col("id").cast("string"),
+                 F.lit("@x.io")).alias("contact"),
+    )
+    out = df.select("id", pii_scrub_col("contact").alias("c"))
+    assert out.filter(F.col("c") != "<EMAIL>").count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection: zero shuffles
