@@ -254,6 +254,18 @@ def write_baseline_md(r8: dict, r32: dict, eff: float, queries: dict,
         f"Corpus: seed-fixed synthetic interleaved docs (seed=42, "
         f"giant_frac=0.001), {r8['docs']} docs; identical bytes for both runs.",
         "",
+        "Round-3 attribution note: cross-SESSION comparisons on this",
+        "box are confounded — a fresh session's first timed run is",
+        "1.5-2.5x slower than steady state (python-daemon spawn,",
+        "codegen, page cache), on top of hour-scale host-speed drift",
+        "(compare the pure-JVM leg across rounds to normalize). The",
+        "trustworthy methodology is SAME-SESSION interleaved A/B via",
+        "`ExtractOptions(engine='stream'|'tree')`: on identical",
+        "corpus/session the fused stream walker won every round at",
+        "every parallelism (best observed local[32] 14.57s = 13.7k",
+        "docs/s vs tree 18.32s interleaved; local[2]/local[8] pure-",
+        "python pairs 1.26-1.4x).",
+        "",
         f"## Headline query times at {SF_DIR} (local[{CPUS}])",
         "",
         "| query | sec |",

