@@ -9,7 +9,7 @@
 Two-cluster-size scaling evidence (BASELINE.json north_rule, sandbox
 proxy per driver instruction): the SAME extraction job over the SAME
 deterministic synthetic corpus at two parallelism pairs —
-local[8]/local[32] (full corpus) and local[2]/local[8] (30k prefix,
+local[8]/local[32] (full corpus) and local[2]/local[8] (60k prefix,
 BELOW the single-box DRAM ceiling that caps data-intensive work above
 ~8 threads here); efficiency = (rate_4N / rate_N) / 4. Results are
 also written to BENCH/BASELINE.md with the saturation analysis.
@@ -197,7 +197,7 @@ def write_baseline_md(r8: dict, r32: dict, eff: float, queries: dict,
     if r2l is not None:
         lines += [
             "## N -> 4N pair BELOW the DRAM ceiling (local[2] vs "
-            "local[8], 30k-doc prefix)",
+            "local[8], 60k-doc prefix)",
             "",
             "Per-core code improvements LOWER the 8->32 proxy because 32",
             "threads saturate this box's memory bandwidth (see the",
@@ -211,15 +211,15 @@ def write_baseline_md(r8: dict, r32: dict, eff: float, queries: dict,
             f"| local[8] | {r8l['docs']} | {r8l['sec']} | {r8l['docs_per_sec']} |",
             "",
             f"**Extraction scaling efficiency 2 -> 8 threads: "
-            f"{eff_low:.3f}** (= (rate8/rate2) / 4, best PAIRED round; "
-            f"target >= 0.8).",
+            f"{eff_low:.3f}** (= (rate8/rate2) / 4, MEDIAN of 3 paired "
+            f"rounds; target >= 0.8).",
             "",
         ]
         if eff_low_range is not None:
             lines += [
                 f"Observed per-round range this run: "
                 f"{eff_low_range[0]:.3f}-{eff_low_range[1]:.3f}; across "
-                "runs this round the pair measured 0.64-0.80 depending on "
+                "runs the pair has measured 0.62-0.88 depending on "
                 "host-noise windows. The single-box residual below 1.0 at "
                 "ANY thread pair mixes memory-bandwidth sharing with "
                 "fixed per-job driver work (planning, Arrow "
@@ -317,25 +317,30 @@ def main() -> None:
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / (32 / 8)
 
     # second N->4N pair BELOW the single-box DRAM ceiling (2 -> 8
-    # cores over a 30k-doc prefix): per-core code improvements LOWER
+    # cores over a 60k-doc prefix — sized so fixed per-job overhead
+    # (session, scan, planning: ~1-2s) stays <10% of the local[8]
+    # wall; at 30k it was 15-25% and biased the ratio down): per-core
+    # code improvements LOWER
     # the 8->32 proxy because 32 threads are bandwidth-capped on this
     # box; on a real cluster each executor brings its own memory
     # channels, so the un-capped pair is the honest N->4N signal
     # PAIRED per-round efficiency: picking each config's best run
     # independently mixes host-noise windows (a fast 2-core window
     # biases the ratio DOWN); the ratio is only meaningful within one
-    # round. >= 2 rounds; keep the best round's pair + the full range.
+    # round. 3 rounds; the HEADLINE number is the MEDIAN pair (the r2
+    # verdict's bar: the target must hold in the median run, not the
+    # best run); the full range is reported alongside.
     low_rounds: list[tuple] = []
-    for _ in range(max(ROUNDS, 2)):
-        low2 = worker(2, limit=min(30_000, N_DOCS))
-        low8 = worker(8, limit=min(30_000, N_DOCS))
+    for _ in range(max(ROUNDS, 3)):
+        low2 = worker(2, limit=min(60_000, N_DOCS))
+        low8 = worker(8, limit=min(60_000, N_DOCS))
         low_rounds.append(
             (low2, low8,
              (low8["docs_per_sec"] / low2["docs_per_sec"]) / (8 / 2))
         )
-    r2l, r8l, eff_low = max(low_rounds, key=lambda t: t[2])
-    eff_low_range = (min(t[2] for t in low_rounds),
-                     max(t[2] for t in low_rounds))
+    low_sorted = sorted(low_rounds, key=lambda t: t[2])
+    r2l, r8l, eff_low = low_sorted[len(low_sorted) // 2]  # median pair
+    eff_low_range = (low_sorted[0][2], low_sorted[-1][2])
     jbest: dict[int, dict] = {}
     for _ in range(ROUNDS):
         for cpus in (8, 32):
@@ -371,8 +376,8 @@ def main() -> None:
             "jvm_leg_sec_local8": j8["sec"],
             "jvm_leg_sec_local32": j32["sec"],
             "jvm_scaling_efficiency_8_to_32": round(eff_jvm, 3),
-            "docs_per_sec_local2_30k": r2l["docs_per_sec"],
-            "docs_per_sec_local8_30k": r8l["docs_per_sec"],
+            "docs_per_sec_local2_low": r2l["docs_per_sec"],
+            "docs_per_sec_local8_low": r8l["docs_per_sec"],
             "scaling_efficiency_2_to_8": round(eff_low, 3),
         },
     }))
