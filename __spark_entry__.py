@@ -589,6 +589,28 @@ def q_media_catalog(spark, sf_dir):
     )
 
 
+def q_dedup_exact_normalized(spark, sf_dir):
+    """Fuzzy-exact dedup groups: case/whitespace variants collapse to
+    one canonical form (operators.dedup.normalized_text_col). Variants
+    fabricated deterministically: every doc unioned with an uppercased,
+    whitespace-padded copy — each group must resolve to exactly 2."""
+    from html_to_document_spark.operators.dedup import normalized_text_col
+
+    docs = _docs(spark, sf_dir)
+    variants = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(variants)
+    return (
+        both.groupBy(normalized_text_col(F.col("text")).alias("norm_text"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Corpus-wide exact PARAGRAPH dedup accounting (web corpora repeat
     boilerplate paragraphs across distinct pages; doc-level dedup
@@ -849,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_catalog": q_media_catalog,
         "link_stats": q_link_stats,
         # corpus hygiene
+        "dedup_exact_normalized": q_dedup_exact_normalized,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate_overlap": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -1172,6 +1195,17 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, cast(3 as bigint) as n_links, "
             "cast(2 as bigint) as n_unique_links, "
             "cast(1 as bigint) as n_absolute_links from documents"
+        ),
+        "dedup_exact_normalized": (
+            "with unioned as ("
+            "  select doc_id, text from documents"
+            "  union all"
+            "  select doc_id + 10000000 as doc_id, "
+            "  '  ' || upper(text) || '   ' as text from documents"
+            ") select regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') "
+            "  as norm_text, "
+            "min(doc_id) as keeper_id, count(*) as n_dups "
+            "from unioned group by 1"
         ),
         "paragraph_dedup": (
             "with s as ("

@@ -61,6 +61,36 @@ def exact_dedup(
     )
 
 
+def normalized_text_col(col) -> "Column":
+    """Canonical text for fuzzy-exact dedup: lowercase, whitespace runs
+    collapsed, edges trimmed. Catches the most common web-duplicate
+    class exact dedup misses (casing variants, reflowed whitespace)
+    without any near-dup machinery. Pure Column expression (codegen)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup_normalized(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Keep the min-id row per NORMALIZED text (see
+    :func:`normalized_text_col`); same single digest-keyed shuffle shape
+    as :func:`exact_dedup` — the normalization happens map-side inside
+    the hash, so shuffle bytes stay at 8 per row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(
+        F.xxhash64(normalized_text_col(F.col(text_col)))
+    ).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def word_shingles(col, n: int = 3, max_words: int | None = None) -> "Column":
     """Distinct word n-grams as an array column (pure JVM exprs).
 

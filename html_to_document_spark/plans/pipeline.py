@@ -98,12 +98,24 @@ def build_training_pipeline(
     near_dup_mode: str = "pairs",
     materialize: Union[str, Callable] = "persist",
     cache_registry: list | None = None,
+    pii_scrub: bool = False,
+    benchmark: "DataFrame | None" = None,
 ) -> "DataFrame":
     """(doc_id, spans[interleaved]) -> filtered, deduplicated corpus.
 
     ``cache_registry``: pass a list to receive every frame this build
     persists (the materialized corpus and the MinHash signature frame);
-    call :func:`release_caches` on it once the result is written."""
+    call :func:`release_caches` on it once the result is written.
+
+    ``pii_scrub``: redact emails / long digit runs from the assembled
+    text BEFORE scoring (a pure Column projection — adds zero scans,
+    zero shuffles; span payloads are left untouched).
+
+    ``benchmark``: a (doc_id, text) frame of eval/benchmark documents;
+    when given, training docs sharing any exact paragraph with it are
+    dropped after exact dedup (test-set decontamination — a broadcast
+    semi-join against the benchmark's distinct paragraphs, so the
+    corpus is not re-shuffled)."""
     from pyspark.sql import functions as F
 
     spans = extract_spans_balanced(docs, options, num_partitions=num_partitions)
@@ -122,6 +134,12 @@ def build_training_pipeline(
     # 19.6s->12.4s, dedup phase 14.2s->5.3s); a JSON string column is
     # flat for the cache and the shuffles, restored once at the end
     spans_type = spans.schema["spans"].dataType
+    if pii_scrub:
+        from html_to_document_spark.operators.corpus_hygiene import (
+            pii_scrub_col,
+        )
+
+        text = pii_scrub_col(text)
     corpus = spans.select(
         "doc_id", F.to_json("spans").alias("_spans_json"), text.alias("text")
     ).filter(F.length("text") > 0)
@@ -143,6 +161,14 @@ def build_training_pipeline(
     corpus = _materialize(exact_dedup(corpus), materialize)
     if cache_registry is not None and materialize == "persist":
         cache_registry.append(corpus)
+
+    if benchmark is not None:
+        from html_to_document_spark.operators.corpus_hygiene import (
+            decontaminate,
+        )
+
+        contaminated = decontaminate(corpus, benchmark).select("doc_id")
+        corpus = corpus.join(contaminated, "doc_id", "left_anti")
 
     if near_dup_mode == "simhash":
         # cheapest candidate generator: 64-bit sketch + 16-bit chunk

@@ -86,3 +86,63 @@ def test_pii_scrub_col_is_projection(spark):
     assert out.filter(F.col("c") != "<EMAIL>").count() == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection: zero shuffles
+
+
+def test_exact_dedup_normalized(spark):
+    from html_to_document_spark.operators.dedup import (
+        exact_dedup_normalized,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "  hello world "), (3, "HELLO\nWORLD"),
+         (4, "different doc")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup_normalized(df).collect())
+    assert kept == [1, 4]
+
+
+def test_pipeline_pii_and_decontaminate(spark):
+    """The composed pipeline's optional hygiene stages: PII scrubbed
+    from the assembled text (projection), benchmark-overlapping docs
+    dropped (broadcast anti-join)."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.plans.pipeline import build_training_pipeline
+    from html_to_document_spark.sources.synthetic import generate_corpus
+
+    docs = generate_corpus(spark, 120, seed=11, giant_frac=0.0)
+    # plant PII inside one doc's text span
+    docs = docs.withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(
+                    (F.col("doc_id") == "doc-000000000003")
+                    & (s["offset"] == 0),
+                    F.concat(F.lit("<p>write to leak@site.com now</p>"),
+                             s["text"]),
+                ).otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    )
+    base = build_training_pipeline(docs, min_quality=0.0, pii_scrub=True)
+    rows = {r.doc_id: r.text for r in base.collect()}
+    assert any("<EMAIL>" in t for t in rows.values())
+    assert not any("leak@site.com" in t for t in rows.values())
+
+    # benchmark = one of the surviving docs' exact text -> it must drop
+    victim = sorted(rows)[0]
+    bench = spark.createDataFrame(
+        [(999, rows[victim])], "doc_id long, text string"
+    )
+    cleaned = build_training_pipeline(
+        docs, min_quality=0.0, pii_scrub=True, benchmark=bench
+    )
+    ids = {r.doc_id for r in cleaned.collect()}
+    assert victim not in ids
+    assert len(ids) < len(rows)
