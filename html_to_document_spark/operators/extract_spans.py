@@ -199,6 +199,7 @@ def extract_spans_balanced(
     num_partitions: int = 64,
     giant_bytes: int = GIANT_HTML_BYTES,
     salt_seed: int = 42,
+    giant_pool_factor: int = 1,
 ) -> "DataFrame":
     """Skew-balanced extraction: normal docs take the salted path;
     giant pages (html length > giant_bytes) are repartitioned round-
@@ -217,10 +218,16 @@ def extract_spans_balanced(
     # explicit hash-column repartition: round-robin repartition(n) is
     # subject to AQE rebalancing, which coalesced all giants onto a few
     # tasks (measured: wall identical at 8 and 32 cores). A distinct
-    # hash per giant doc pins ~1 giant per task.
+    # hash per giant doc pins ~1 giant per task. giant_pool_factor
+    # widens the pool for finer scheduling — measured SLOWER here
+    # (same-session A/B at local[8], 60 giants: factor 8 cost +2-3s on
+    # ~15s; task/shuffle overhead beats the straggler-variance win at
+    # this giant density), so the default stays 1; the knob documents
+    # the measurement and serves corpora with heavier giant tails
     giant_out = _run_extract(
         flat.filter(is_giant).repartition(
-            num_partitions, F.xxhash64("doc_id", F.lit(salt_seed + 1))
+            num_partitions * giant_pool_factor,
+            F.xxhash64("doc_id", F.lit(salt_seed + 1)),
         ),
         options,
     )
