@@ -109,9 +109,11 @@ def run_stream_pipeline(
     keep_langs: tuple = ("en", "es", "fr", "de"),
     min_quality: float = 0.0,
     max_files_per_trigger: int | None = None,
+    pii_scrub: bool = False,
 ):
     """Streaming counterpart of plans.build_training_pipeline: continuous
-    ingest -> span extraction -> lang/quality projections -> filter ->
+    ingest -> span extraction -> (optional PII scrub, same projection as
+    the batch pipeline) -> lang/quality projections -> filter ->
     STATEFUL exact dedup (first occurrence wins across micro-batches) ->
     parquet sink. Near-dup LSH stays a periodic batch job over the
     accumulated output (its self-joins don't stream); this covers the
@@ -137,6 +139,12 @@ def run_stream_pipeline(
             lambda x: x.isNotNull() & (x != ""),
         ),
     )
+    if pii_scrub:
+        from html_to_document_spark.operators.corpus_hygiene import (
+            pii_scrub_col,
+        )
+
+        text = pii_scrub_col(text)
     corpus = (
         stream.select("doc_id", text.alias("text"))
         .filter(F.length("text") > 0)

@@ -118,3 +118,37 @@ def test_stream_pipeline_dedup_across_batches(spark, tmp_path):
     assert any(i.startswith("new-") for i in ids)
     texts = [r.text for r in out.collect()]
     assert len(set(texts)) == len(texts)
+
+
+def test_stream_pipeline_pii_scrub(spark, tmp_path):
+    """Streaming hygiene parity with the batch pipeline: PII in a span
+    is redacted in the sink output (same projection, streaming plan)."""
+    from html_to_document_spark.streaming.stateful import run_stream_pipeline
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus = generate_corpus(spark, 12, seed=31, giant_frac=0.0)
+    corpus = corpus.withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(
+                    s["kind"] == "text",
+                    F.concat(F.lit("<p>ping admin@host.org</p>"), s["text"]),
+                ).otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    )
+    corpus.write.parquet(in_path)
+    run_stream_pipeline(spark, in_path, out_path, ckpt,
+                        min_quality=0.0, pii_scrub=True)
+    texts = [r.text for r in spark.read.parquet(out_path).collect()]
+    assert texts
+    assert all("admin@host.org" not in t for t in texts)
+    assert any("<EMAIL>" in t for t in texts)
