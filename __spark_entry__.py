@@ -589,6 +589,20 @@ def q_media_catalog(spark, sf_dir):
     )
 
 
+def q_jaccard_verify(spark, sf_dir):
+    """Exact word-set Jaccard verification over a deterministic pair
+    set (every even doc vs its successor) — the exact verifier the
+    MinHash/SimHash sketches estimate, run on surfaced candidates."""
+    from html_to_document_spark.operators.dedup import verify_pairs_jaccard
+
+    docs = _docs(spark, sf_dir)
+    pairs = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+    )
+    return verify_pairs_jaccard(docs, pairs, threshold=0.0)
+
+
 def q_dedup_exact_normalized(spark, sf_dir):
     """Fuzzy-exact dedup groups: case/whitespace variants collapse to
     one canonical form (operators.dedup.normalized_text_col). Variants
@@ -871,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_catalog": q_media_catalog,
         "link_stats": q_link_stats,
         # corpus hygiene
+        "jaccard_verify": q_jaccard_verify,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate_overlap": q_decontaminate,
@@ -1195,6 +1210,20 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, cast(3 as bigint) as n_links, "
             "cast(2 as bigint) as n_unique_links, "
             "cast(1 as bigint) as n_absolute_links from documents"
+        ),
+        "jaccard_verify": (
+            "with w as ("
+            "  select doc_id, "
+            "  list_distinct(regexp_split_to_array(trim(text), '\\s+')) "
+            "    as ws from documents"
+            "), p as ("
+            "  select a.doc_id as id_a, b.doc_id as id_b, a.ws as wa, "
+            "  b.ws as wb from w a join w b on b.doc_id = a.doc_id + 1 "
+            "  where a.doc_id % 2 = 0"
+            ") select id_a, id_b, "
+            "floor((cast(len(list_intersect(wa, wb)) as double) / "
+            "cast(len(list_distinct(list_concat(wa, wb))) as double)) "
+            "* 10000 + 0.5) / 10000.0 as jaccard from p"
         ),
         "dedup_exact_normalized": (
             "with unioned as ("

@@ -61,6 +61,55 @@ def exact_dedup(
     )
 
 
+def word_jaccard_col(a, b) -> "Column":
+    """Exact Jaccard similarity of two texts' DISTINCT word sets, as a
+    single JVM Column expression (split + array_intersect/array_union).
+    This is the EXACT verifier the sketch family (MinHash/SimHash)
+    estimates: run it on surfaced candidate pairs before dropping
+    documents — the pair set is tiny relative to the corpus, so the
+    exact computation is cheap where it matters."""
+    from pyspark.sql import functions as F
+
+    wa = F.array_distinct(F.split(F.trim(a), r"\s+"))
+    wb = F.array_distinct(F.split(F.trim(b), r"\s+"))
+    inter = F.size(F.array_intersect(wa, wb)).cast("double")
+    union = F.size(F.array_union(wa, wb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def verify_pairs_jaccard(
+    corpus: "DataFrame",
+    pairs: "DataFrame",
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Exact-verify candidate near-dup pairs: join both sides' texts
+    onto the (small) pair set and keep pairs whose TRUE word-set
+    Jaccard clears the threshold. Returns (id_a, id_b, jaccard).
+
+    100 TB shape: the pair frame is orders of magnitude smaller than
+    the corpus (LSH surfaced it); the two joins shuffle the pair ids +
+    only the texts of DOCS THAT APPEAR IN PAIRS (semi-join pruned by
+    the join itself), never the whole corpus against itself."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.text_analysis import r4
+
+    t = corpus.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vt"))
+    out = (
+        pairs.join(t.withColumnRenamed("_vid", "id_a")
+                    .withColumnRenamed("_vt", "_ta"), "id_a")
+        .join(t.withColumnRenamed("_vid", "id_b")
+               .withColumnRenamed("_vt", "_tb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            r4(word_jaccard_col(F.col("_ta"), F.col("_tb"))).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
 def normalized_text_col(col) -> "Column":
     """Canonical text for fuzzy-exact dedup: lowercase, whitespace runs
     collapsed, edges trimmed. Catches the most common web-duplicate

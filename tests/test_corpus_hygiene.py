@@ -146,3 +146,22 @@ def test_pipeline_pii_and_decontaminate(spark):
     ids = {r.doc_id for r in cleaned.collect()}
     assert victim not in ids
     assert len(ids) < len(rows)
+
+
+def test_verify_pairs_jaccard(spark):
+    from html_to_document_spark.operators.dedup import verify_pairs_jaccard
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in verify_pairs_jaccard(corpus, pairs, threshold=0.0).collect()}
+    assert out[(1, 2)] == 0.6     # |{a,b,c}| / |{a,b,c,d,e}|
+    assert out[(1, 3)] == 0.0
+    assert out[(1, 4)] == 1.0
+    kept = verify_pairs_jaccard(corpus, pairs, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in kept} == {(1, 2), (1, 4)}
