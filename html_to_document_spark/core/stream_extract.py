@@ -406,7 +406,10 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
         rt_tag = None
         if rt_action == RT_CHUNK:
             add_text(content)  # raw, undecoded (parse_tokens parity)
-        elif rt_action == RT_FLAT:
+        elif rt_action == RT_FLAT and content:
+            # tree parity: an EMPTY rawtext element has no text child at
+            # all — appending '' here would make the flatten parts list
+            # truthy and trip the block-separator newline downstream
             rt_sink.append(content)
         # RT_DISCARD: nothing
 

@@ -129,6 +129,14 @@ CASES = [
     "<pre><code>x = 1</code></pre>",
     # custom/unknown elements
     "<custom-el>inline by default</custom-el><p>after</p>",
+    # EMPTY rawtext element inside a caption (minify's pop-on-any-close
+    # renames </tbody> to </script>): with script un-dropped, the empty
+    # content must NOT leave a '' in the flatten parts — a later block
+    # sibling would see a truthy parts list and emit a spurious newline
+    # caption (found by the 60k extended fuzz, round 3)
+    "<table><caption><script></tbody><tr></caption></table>",
+    "<table><caption><script></script><div>x</div></caption>"
+    "<tr><td>c</td></tr></table>",
     # headings h1-h6 + ids
     "".join(f"<h{i} id=h{i}>H{i}</h{i}>" for i in range(1, 7)),
     # empty / degenerate
