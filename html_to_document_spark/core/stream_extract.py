@@ -116,6 +116,11 @@ RT_FLAT = 2       # un-dropped script/style inside a cell/caption
 # default-options kind map can be shared and mutated across documents
 # (each UDF worker is its own process; batches are single-threaded)
 _SHARED_DEFAULT_MAP = dict(_DEFAULT_KIND_MAP)
+# hard cap on learned unknown-tag entries (shared across documents in a
+# worker process): once full, unknown tags still classify as 'inline',
+# they just stop being inserted — an adversarial corpus of junk tags
+# ("<3 w>" tokenizes to tag "3") must not grow the dict without bound
+_KIND_MAP_MAX_SIZE = len(_SHARED_DEFAULT_MAP) + 4096
 
 # global tag-token classification memo: raw token string ->
 #   None                                  (close token)
@@ -271,7 +276,12 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
     def kind_of(tag: str, attrs) -> str:
         kind = kind_map.get(tag)
         if kind is None:
-            kind_map[tag] = "inline"
+            # Same policy as _TAG_MEMO: memoize only what plausibly
+            # repeats. Malformed web text tokenizes to junk tags ("3",
+            # arbitrary alnum) and the shared map is process-global —
+            # unbounded inserts grow a long-lived worker without limit.
+            if len(kind_map) < _KIND_MAP_MAX_SIZE:
+                kind_map[tag] = "inline"
             return "inline"
         if kind == "@section":
             classes = ((attrs or {}).get("class") or "").split()
@@ -337,7 +347,7 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
                 flush(emit_empty=True)
         elif pm == M_INLINED_P:
             t[9] = True   # '\n' only if another sibling arrives
-            t[8] = True   # prev sibling is a <p> element
+            # t[8] (prev-is-p) was already set positionally at open
         elif pm == M_TABLE:
             _close_table(popped, emit, meta_mode)
         elif pm == M_TR:
@@ -530,9 +540,14 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
             if rawtext:
                 rt_tag = tag
                 start_rawtext(RT_DISCARD)
-            elif tag == "tr" and not self_closing:
-                frames.append([M_TR, tag, "tbody", [], top[2]])
-                open_tags.append(tag)
+            elif tag == "tr":
+                if self_closing:
+                    # tree parity: a childless <tr/> node still lands an
+                    # empty grid row in _table (open+close, like <li/>)
+                    top[2].append(("tbody", []))
+                else:
+                    frames.append([M_TR, tag, "tbody", [], top[2]])
+                    open_tags.append(tag)
             elif tag in ("thead", "tbody", "tfoot") and not self_closing:
                 frames.append([M_TSECTION, tag, tag, top[2]])
                 open_tags.append(tag)
@@ -556,9 +571,12 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
             if rawtext:
                 rt_tag = tag
                 start_rawtext(RT_DISCARD)
-            elif tag == "tr" and not self_closing:
-                frames.append([M_TR, tag, top[2], [], top[3]])
-                open_tags.append(tag)
+            elif tag == "tr":
+                if self_closing:
+                    top[3].append((top[2], []))  # childless <tr/> row
+                else:
+                    frames.append([M_TR, tag, top[2], [], top[3]])
+                    open_tags.append(tag)
             elif not self_closing:
                 frames.append([M_SUPPRESS, tag])
                 open_tags.append(tag)
@@ -663,7 +681,12 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
             child_i = top[7]
             prev_is_p = top[8]
             top[7] = child_i + 1
-            top[8] = False
+            # tree parity: _list_item reads prev[0] == "p" POSITIONALLY
+            # off the raw sibling list — a hidden or dropped <p> still
+            # counts as "prev is a p" for the next sibling, and a
+            # dropped <script> counts as "not a p"; set it from the raw
+            # tag here, before the drop check.
+            top[8] = tag == "p"
             if kind == "drop" or hidden(tag, attrs):
                 if rawtext:
                     rt_tag = tag
@@ -701,8 +724,8 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
                 if self_closing:
                     # <p/>: has_content False -> no break-before;
                     # trailing '\n' still pends on a next sibling
+                    # (top[8] already records the p positionally above)
                     top[9] = True
-                    top[8] = True
                     return
                 need_break = child_i > 0 and not prev_is_p
                 frames.append([M_INLINED_P, tag, need_break])

@@ -50,11 +50,18 @@ def paragraph_dedup_stats(
     Returns (doc_id, n_paras, n_unique_first, n_dupes).
 
     100 TB shape: explode -> ONE shuffle keyed by the paragraph hash
-    (row_number window over the paragraph), then a doc-keyed partial
-    aggregation. Paragraphs shuffle as their 8-byte xxhash64 plus the
-    (id, pos) pair — the text itself stays in the scan — and the
-    map-side combine on the final count keeps reduce traffic at one row
-    per document. To DROP the repeats instead of counting them, filter
+    (row_number window over ``xxhash64(para)``), then a doc-keyed
+    partial aggregation. Shuffle rows carry only the 8-byte digest plus
+    the (id, pos) pair — the paragraph text is projected away before
+    the exchange — and the map-side combine on the final count keeps
+    reduce traffic at one row per document. xxhash64 collisions are ~0
+    at corpus scale and the same collision semantics are already
+    accepted by ``dedup.exact_dedup``. Residual skew: an ULTRA-hot
+    boilerplate paragraph (one repeated across millions of pages) still
+    funnels its occurrences into one window task — a window cannot be
+    AQE-skew-split; if a corpus profile shows such a paragraph, drop it
+    with a broadcast stop-list (``decontaminate``-shaped) before this
+    operator. To DROP the repeats instead of counting them, filter
     ``rn == 1`` before reassembly.
     """
     from pyspark.sql import functions as F
@@ -63,12 +70,8 @@ def paragraph_dedup_stats(
     paras = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(_paragraphs(text_col)).alias("pos", "para"),
-    )
-    # shuffle key: the paragraph digest, not the text (narrow shuffle);
-    # xxhash64 collisions are ~0 at corpus scale and acceptable for
-    # stats (the oracle-gated query partitions by the text itself at
-    # test scale, where the plans coincide)
-    w = Window.partitionBy("para").orderBy("_id", "pos")
+    ).select("_id", "pos", F.xxhash64("para").alias("ph"))
+    w = Window.partitionBy("ph").orderBy("_id", "pos")
     ranked = paras.withColumn("rn", F.row_number().over(w))
     return (
         ranked.groupBy(F.col("_id").alias(id_col))

@@ -188,23 +188,23 @@ def frame_sample(
     df: "DataFrame", every_ms: int = 1000, *, fake: bool = True
 ) -> "DataFrame":
     """Video frame sampling: one output row per sampled frame position
-    (duration-driven). ``fake=False`` requires ffprobe/ffmpeg on the
-    executor PATH (feature-detected); this container has neither, so
-    the real branch raises — the sampling positions, schema and
-    batching are identical either way."""
+    (duration-driven). The ``frame`` column is a deterministic CONTENT
+    DIGEST of (video bytes, position), never decoded pixels — real
+    frame extraction is not implemented, so ``fake=False`` always
+    raises ``NotImplementedError`` (ffprobe being on PATH does not make
+    the output real; ADVICE r3). The sampling positions, schema and
+    batching are what a real decoder would produce."""
     import pandas as pd
 
     schema = "doc_id string, media_ref string, frame_ms int, frame string"
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        if not fake and _ffprobe_path() is None:
+        if not fake:
             raise NotImplementedError(
-                "real frame decode requires ffprobe/ffmpeg on the "
-                "executor PATH"
+                "real frame decode is not implemented (the fake path "
+                "returns content digests, not pixels); call with "
+                "fake=True"
             )
-        # with ffprobe present the real path would shell out per row to
-        # extract frames at the same positions; the deterministic hash
-        # stands in for the frame bytes in either case in this sandbox
         for pdf in batches:
             rows = {"doc_id": [], "media_ref": [], "frame_ms": [], "frame": []}
             for doc_id, ref, content, meta in zip(

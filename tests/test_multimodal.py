@@ -101,11 +101,10 @@ def test_resize_images_real_with_pil(spark):
     assert out.meta.mime == "image/png"
 
 
-def test_frame_sample_real_requires_ffprobe(spark, media):
-    import shutil
-
-    if shutil.which("ffprobe") is not None:
-        pytest.skip("ffprobe present: real path works")
+def test_frame_sample_real_always_raises(spark, media):
+    """Real frame decode is not implemented; fake=False must refuse
+    loudly even where ffprobe exists — the fake path's digests must
+    never be mistaken for decoded pixels (ADVICE r3)."""
     with pytest.raises(Exception) as exc_info:
         frame_sample(media, fake=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(

@@ -74,6 +74,17 @@ CASES = [
     "<ul><li>t<div>block</div>after</li><li><p></p></li></ul>",
     "<ul>stray text<li>x</li><div>ignored</div><ul><li>same-depth</li></ul></ul>",
     "<ul><li>a<hr>b</li></ul>",
+    # positional prev-is-p: hidden/dropped siblings still occupy their
+    # raw index and a hidden <p> still counts as "prev is a p"
+    # (ADVICE r3 high: stream counters diverged from _list_item's
+    # positional prev[0] == 'p' check)
+    "<ul><li>a<p style='display:none'>h</p><p>x</p></li></ul>",
+    "<ul><li><p>a</p><p style='display:none'>h</p><p>x</p></li></ul>",
+    "<ul><li>a<script>s</script><p>x</p></li></ul>",
+    "<ul><li>a<p/>x</li></ul>",
+    "<ul><li>a<p/><p>x</p></li></ul>",
+    "<ul><li><p>a</p><span style='display:none'>z</span></li></ul>",
+    "<ul><li><p>a</p><script>s</script><p>x</p></li></ul>",
     # tables: sections, spans, captions, nesting, ragged rows
     "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>",
     "<table><thead><tr><th>h</th></tr></thead><tbody><tr><td>x</td></tr>"
@@ -88,6 +99,13 @@ CASES = [
     "<table><colgroup><col></colgroup><tr><td>x</td></tr></table>",
     "<table><div>ignored</div><tr><td>x</td></tr>loose</table>",
     "<table><thead><div>skip</div><tr><th>h</th></tr></thead></table>",
+    # self-closed <tr/>: parse_tokens builds a childless tr node and the
+    # tree's _table lands an empty grid row (ADVICE r3 medium: the
+    # stream walker silently discarded it)
+    "<table><tr/><tr><td>x</td></tr></table>",
+    "<table><tbody><tr/></tbody><tr><td>y</td></tr></table>",
+    "<table><tr/></table>",
+    "<table><thead><tr/><tr><th>h</th></tr></thead></table>",
     "<p>before<table><tr><td>cell</td></tr></table>after</p>",
     "<table><tr><td><ul><li>li-in-cell</li></ul></td></tr></table>",
     # pages and pagebreaks
@@ -255,3 +273,24 @@ def test_stream_matches_tree_fuzz_structured():
         html = "".join(gen(0) for _ in range(rng.randint(1, 5)))
         for opts in (DEFAULT_OPTIONS, META_OPTS):
             assert extract_document(html, opts) == tree_extract(html, opts), html
+
+
+def test_shared_kind_map_is_capped():
+    """Unknown tags memoize as 'inline' into the process-global default
+    kind map — adversarial junk tags ('<3 w>' tokenizes to tag '3')
+    must not grow it without bound (ADVICE r3 low)."""
+    from html_to_document_spark.core import stream_extract as se
+
+    before = dict(se._SHARED_DEFAULT_MAP)
+    try:
+        # fill way past the cap with unique junk tags
+        for i in range(se._KIND_MAP_MAX_SIZE + 500):
+            html = f"<junk{i} w>x</junk{i}>"
+            assert extract_document(html) == tree_extract(html), html
+        assert len(se._SHARED_DEFAULT_MAP) <= se._KIND_MAP_MAX_SIZE
+        # over-cap unknown tags still classify correctly, just uncached
+        html = "<totally-novel-tag>y</totally-novel-tag>"
+        assert extract_document(html) == tree_extract(html)
+    finally:
+        se._SHARED_DEFAULT_MAP.clear()
+        se._SHARED_DEFAULT_MAP.update(before)
