@@ -122,19 +122,91 @@ def decontaminate(
     )
 
 
+def _word_ngrams(text_col: str, n: int):
+    """text -> array of DISTINCT sliding word n-grams (space-joined).
+    Strict windows only: a document with fewer than ``n`` words yields
+    an empty array (no partial grams — decontamination must not match
+    a short doc against a gram prefix). The one-element-array transform
+    gives let-binding semantics so the split runs once per row, not
+    per gram (see dedup.word_shingles, round-2 find)."""
+    from pyspark.sql import functions as F
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def grams(wb):
+        k = F.size(wb) - (n - 1)
+        return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(wb, i, n)),
+            )
+        )
+
+    return F.array_distinct(F.flatten(F.transform(F.array(words), grams)))
+
+
+def decontaminate_ngrams(
+    train: "DataFrame",
+    benchmark: "DataFrame",
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Sliding n-gram test-set decontamination (the standard eval-
+    decontamination recipe — 13-gram overlap catches contamination that
+    survives reflowing/light edits, which exact-paragraph equality
+    misses). Returns (doc_id, n_contaminated_ngrams): training docs
+    sharing >= 1 exact word n-gram with the benchmark set, with the
+    count of distinct shared n-grams.
+
+    100 TB shape: same as :func:`decontaminate` — the benchmark n-gram
+    set is still small (eval sets are thousands of docs; ~1 gram per
+    word), DISTINCT'd and broadcast, so the training corpus is scanned
+    once with a broadcast-hash join and the only shuffle is the per-doc
+    count (map-side combined). The train-side explode is transient —
+    grams flow straight into the broadcast probe and only survivors
+    reach the exchange.
+    """
+    from pyspark.sql import functions as F
+
+    grams = _word_ngrams(text_col, n)
+    bench_grams = benchmark.select(F.explode(grams).alias("g")).distinct()
+    train_grams = train.select(
+        F.col(id_col).alias(id_col), F.explode(grams).alias("g")
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+
+
 # patterns restricted to the RE2 (DuckDB) ∩ java.util.regex (Spark)
-# common dialect: plain classes, bounded repetition, no lookaround
-EMAIL_PATTERN = "[a-z0-9.]+@[a-z0-9]+[.][a-z]+"
+# common dialect: plain classes, bounded repetition, no lookaround.
+# EMAIL covers case-mixed locals, +tags, hyphenated and multi-label
+# domains (r3 verdict: the old [a-z0-9.]+@... under-redacted
+# John.Doe+x@Example.CO.uk). PHONE is deliberately the separator-bearing
+# NANP shape only (555-123-4567 etc.) — a bare 10-digit run is already
+# caught by LONG_DIGITS, and separator-free international forms are out
+# of scope. Replacement order matters: EMAIL first (so its digits are
+# never phone/NUM-matched), then PHONE before IP ('123.456.7890' is a
+# phone, not an IP prefix), then IP, then the digit-run catch-all.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+([.][A-Za-z0-9-]+)+"
+PHONE_PATTERN = "[(]?[0-9]{3}[)]?[-. ][0-9]{3}[-. ][0-9]{4}"
+IPV4_PATTERN = "[0-9]{1,3}([.][0-9]{1,3}){3}"
 LONG_DIGITS_PATTERN = "[0-9]{7,}"
 
 
 def pii_scrub_col(text_col: "Column | str") -> "Column":
     """Redaction as a single Column expression (join-free: pipelines add
-    it as a projection). Emails -> <EMAIL>, 7+ digit runs -> <NUM>."""
+    it as a projection). Emails -> <EMAIL>, NANP phones -> <PHONE>,
+    dotted quads -> <IP>, 7+ digit runs -> <NUM>."""
     from pyspark.sql import functions as F
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     c = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    c = F.regexp_replace(c, PHONE_PATTERN, "<PHONE>")
+    c = F.regexp_replace(c, IPV4_PATTERN, "<IP>")
     return F.regexp_replace(c, LONG_DIGITS_PATTERN, "<NUM>")
 
 
