@@ -384,9 +384,17 @@ def q_ngram_profile(spark, sf_dir):
     )
 
 
-def q_dedup_minhash_pairs(spark, sf_dir):  # rows-only (xxhash64 family)
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidates, exact-verified (VERDICT r3 #7: moves
+    this row from rows-only to a real oracle). The sketch surfaces
+    candidates (est 3-gram Jaccard >= 0.5 — recall, not precision);
+    word-set Jaccard verification at 0.9 fixes the final set, which
+    must equal the DuckDB exact all-pairs set on the same planted
+    corpus. The xxhash64 sketch itself stays un-oracle-able; what the
+    gate now pins is its end-to-end recall on every >= 0.9 pair."""
     df = _docs_with_planted_dups(spark, sf_dir)
-    return D.minhash_lsh_pairs(df, threshold=0.9)
+    cands = D.minhash_lsh_pairs(df, threshold=0.5).select("id_a", "id_b")
+    return D.verify_pairs_jaccard(df, cands, threshold=0.9, shingle_n=3)
 
 
 def q_dedup_simhash(spark, sf_dir):  # rows-only (xxhash64-based)
@@ -1253,6 +1261,33 @@ def oracle_sql() -> dict[str, str]:
             "cast(len(list_distinct(list_concat(wa, wb))) as double)) "
             "* 10000 + 0.5) / 10000.0 as jaccard from p"
         ),
+        "dedup_minhash_pairs": (
+            # exact all-pairs word-set Jaccard >= 0.9 on the planted
+            # corpus: the ground truth the LSH-candidates + exact-verify
+            # pipeline must reproduce (sketch recall must be total on
+            # this set for the row to pass)
+            "with u as ("
+            "  select doc_id, text from documents"
+            "  union all"
+            "  select doc_id + 10000000 as doc_id, text from documents"
+            "), w as ("
+            "  select doc_id, string_split(regexp_replace(trim(text), "
+            "  '\\s+', ' ', 'g'), ' ') as w from u"
+            "), sh as ("
+            # 3-gram shingles with the same degenerate-doc semantics as
+            # word_shingles: a doc under 3 words yields its one partial
+            # shingle (greatest(len-2, 1) windows)
+            "  select doc_id, list_distinct(list_transform("
+            "  generate_series(1, greatest(len(w) - 2, 1)), "
+            "  i -> array_to_string(w[i:i+2], ' '))) as s from w"
+            "), p as ("
+            "  select a.doc_id as id_a, b.doc_id as id_b, "
+            "  floor((cast(len(list_intersect(a.s, b.s)) as double) / "
+            "  cast(len(list_distinct(list_concat(a.s, b.s))) as double))"
+            "  * 10000 + 0.5) / 10000.0 as jaccard "
+            "  from sh a join sh b on a.doc_id < b.doc_id"
+            ") select id_a, id_b, jaccard from p where jaccard >= 0.9"
+        ),
         "dedup_exact_normalized": (
             "with unioned as ("
             "  select doc_id, text from documents"
@@ -1364,7 +1399,6 @@ def oracle_sql() -> dict[str, str]:
             "as html_out from documents"
         ),
         # rows-only (non-SQL-portable hashing / driver-seeded planes /
-        # binary plumbing / generator-defined): dedup_minhash_pairs,
-        # dedup_simhash, ann_lsh_topk, multimodal_pipeline,
-        # training_pipeline
+        # binary plumbing / generator-defined): dedup_simhash,
+        # ann_lsh_topk, multimodal_pipeline, training_pipeline
     }

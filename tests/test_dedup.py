@@ -200,3 +200,49 @@ def test_hot_bucket_cap_clustering_unchanged(spark):
     }
     assert capped == uncapped
     assert len(set(capped.values())) == 23  # 3 groups + 20 singletons
+
+
+def test_hot_block_cap_ngram_jaccard_linear(spark):
+    """VERDICT r3 #1 gate: 5k docs sharing an identical opening
+    sentence (the default first-shingle block) must produce O(m) star
+    pairs, not m^2/2 pairs each dragging two shingle arrays through
+    the shuffle."""
+    from html_to_document_spark.operators.dedup import ngram_jaccard_pairs
+
+    m = 5000
+    df = spark.range(m).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared boilerplate opening sentence body "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    # threshold 0: keep every star pair so the count is exact
+    rows = ngram_jaccard_pairs(df, threshold=0.0, block_cap=128).collect()
+    assert len(rows) == m - 1  # star: every doc paired with min id only
+    assert all(r.id_a == 0 for r in rows)
+    assert {r.id_b for r in rows} == set(range(1, m))
+    # prefix-only similarity scores below 1.0 (exact Jaccard is real)
+    assert all(0.0 < r.jaccard < 1.0 for r in rows)
+
+
+def test_ngram_jaccard_capped_equals_uncapped_below_cap(spark):
+    """With every block under the cap, the capped plan must return the
+    exact same pair set and scores as the uncapped one."""
+    from html_to_document_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta one"),
+        (2, "alpha beta gamma delta two"),
+        (3, "alpha beta gamma delta one"),
+        (4, "zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in ngram_jaccard_pairs(df, threshold=0.1,
+                                           block_cap=128).collect()}
+    uncapped = {(r.id_a, r.id_b): r.jaccard
+                for r in ngram_jaccard_pairs(df, threshold=0.1,
+                                             block_cap=None).collect()}
+    assert capped == uncapped and (1, 3) in capped
+    assert capped[(1, 3)] == 1.0
