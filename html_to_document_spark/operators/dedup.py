@@ -577,20 +577,39 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "label",
+    stats: dict | None = None,
 ) -> "DataFrame":
     """Near-duplicate CLUSTERS: connected components over a candidate-
-    pair graph via min-label propagation. Returns (id, component) where
-    component is the minimum id reachable from the node.
+    pair graph. Returns (id, component) where component is the minimum
+    id reachable from the node.
 
-    Iterative (not SQL-expressible as one query): each round joins
-    labels across edges and takes the elementwise min; converges in
-    O(graph diameter) rounds — near-dup graphs are unions of small
-    cliques/chains, so the practical round count is tiny. Lineage is cut
-    every round (localCheckpoint) so the plan does not grow; at 100 TB
-    swap the label frame's checkpoint for an intermediate table and use
-    large-star/small-star if diameters are adversarial.
+    Two algorithms behind one signature:
+
+    - ``algorithm="label"`` (default): min-label propagation — each
+      round joins labels across edges and takes the elementwise min;
+      converges in O(graph diameter) rounds. Near-dup graphs are
+      unions of small cliques/chains, so the practical round count is
+      tiny and per-round cost is one join + one aggregate.
+    - ``algorithm="star"``: alternating large-star/small-star rounds
+      (Kiveris et al., "Connected Components in MapReduce and
+      Beyond"), converging in O(log^2 n) rounds REGARDLESS of
+      diameter — the 100 TB path for adversarial chained-template
+      corpora where min-label's O(diameter) rounds (two jobs each)
+      would dominate the pipeline.
+
+    Iterative (not SQL-expressible as one query); lineage is cut every
+    round (localCheckpoint) so the plan does not grow. ``stats``, if
+    given, receives {"rounds": n} for convergence assertions.
     """
     from pyspark.sql import functions as F
+
+    if algorithm == "star":
+        return _connected_components_star(
+            pairs, a_col, b_col, max_iter, stats
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
 
     # undirected edge list, deduped
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -608,7 +627,9 @@ def connected_components(
     )
 
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # candidate label for each node: min over neighbors' labels
         cand = (
             edges.join(labels, edges.src == labels.id)
@@ -650,7 +671,112 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
+
+
+def _connected_components_star(
+    pairs: "DataFrame",
+    a_col: str,
+    b_col: str,
+    max_iter: int,
+    stats: dict | None,
+) -> "DataFrame":
+    """Alternating large-star/small-star connected components.
+
+    Edges are kept DIRECTED high->low (child -> parent pointer). Per
+    round:
+
+    - large-star: for every node u (seen from both edge directions),
+      m_u = min(u, min neighbor); every strictly-LARGER neighbor v is
+      re-pointed at m_u. Hooks long tails onto small ids.
+    - small-star: for every child u over its parents, m_u = min
+      parent; every other parent re-points at m_u and u points at m_u.
+      Flattens multi-parent fans.
+
+    The fixpoint is a star forest (every node points straight at its
+    component min), reached in O(log^2 n) rounds independent of graph
+    diameter. Convergence is detected by edge-set stability — on a
+    star forest both operators are the identity.
+    """
+    from pyspark.sql import functions as F
+
+    e = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    converged = False
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # ---- large-star ------------------------------------------------
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+        )
+        e_large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # ---- small-star ------------------------------------------------
+        pmins = e_large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = e_large.join(pmins, "u")
+        e_new = (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                joined.select("u", F.col("m").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # stable edge set (both operators identity on a star forest)?
+        changed = (
+            e_new.exceptAll(e).limit(1).count()
+            + e.exceptAll(e_new).limit(1).count()
+        )
+        e = e_new
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"star connected components did not converge in {max_iter} "
+            "rounds; labels may split true components",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    # star forest: every child points straight at its component min;
+    # roots (appearing only as parents) label themselves
+    return (
+        all_nodes.join(e, all_nodes.id == e.u, "left")
+        .select(
+            "id", F.coalesce(F.col("v"), F.col("id")).alias("component")
+        )
+    )
 
 
 def dedup_clusters(
@@ -658,17 +784,20 @@ def dedup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.85,
+    cc_algorithm: str = "label",
     **lsh_kwargs,
 ) -> "DataFrame":
     """End-to-end near-dup clustering: MinHash-LSH pairs -> connected
     components -> (doc_id, component, is_representative). Docs with no
-    near-dup edges are their own singleton component."""
+    near-dup edges are their own singleton component. ``cc_algorithm``
+    picks the component algorithm ("label" for typical small-diameter
+    dup graphs, "star" for adversarial chained-template corpora)."""
     from pyspark.sql import functions as F
 
     pairs = minhash_lsh_pairs(
         df, text_col, id_col, threshold=threshold, **lsh_kwargs
     )
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, algorithm=cc_algorithm)
     out = (
         df.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")
