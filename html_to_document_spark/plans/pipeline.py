@@ -100,6 +100,7 @@ def build_training_pipeline(
     cache_registry: list | None = None,
     pii_scrub: bool = False,
     benchmark: "DataFrame | None" = None,
+    decontaminate_mode: str = "paragraph",
 ) -> "DataFrame":
     """(doc_id, spans[interleaved]) -> filtered, deduplicated corpus.
 
@@ -112,10 +113,13 @@ def build_training_pipeline(
     zero shuffles; span payloads are left untouched).
 
     ``benchmark``: a (doc_id, text) frame of eval/benchmark documents;
-    when given, training docs sharing any exact paragraph with it are
-    dropped after exact dedup (test-set decontamination — a broadcast
-    semi-join against the benchmark's distinct paragraphs, so the
-    corpus is not re-shuffled)."""
+    when given, training docs overlapping it are dropped after exact
+    dedup (test-set decontamination — a broadcast semi-join against
+    the benchmark's distinct paragraph/gram set, so the corpus is not
+    re-shuffled). ``decontaminate_mode``: "paragraph" (exact paragraph
+    equality) or "ngram" (sliding 13-gram overlap — the standard eval
+    recipe; catches reflowed/lightly-edited contamination the exact
+    mode misses)."""
     from pyspark.sql import functions as F
 
     spans = extract_spans_balanced(docs, options, num_partitions=num_partitions)
@@ -165,10 +169,20 @@ def build_training_pipeline(
     if benchmark is not None:
         from html_to_document_spark.operators.corpus_hygiene import (
             decontaminate,
+            decontaminate_ngrams,
         )
 
-        contaminated = decontaminate(corpus, benchmark).select("doc_id")
-        corpus = corpus.join(contaminated, "doc_id", "left_anti")
+        if decontaminate_mode == "ngram":
+            contaminated = decontaminate_ngrams(corpus, benchmark)
+        elif decontaminate_mode == "paragraph":
+            contaminated = decontaminate(corpus, benchmark)
+        else:
+            raise ValueError(
+                f"unknown decontaminate_mode {decontaminate_mode!r}"
+            )
+        corpus = corpus.join(
+            contaminated.select("doc_id"), "doc_id", "left_anti"
+        )
 
     if near_dup_mode == "simhash":
         # cheapest candidate generator: 64-bit sketch + 16-bit chunk

@@ -110,14 +110,19 @@ def run_stream_pipeline(
     min_quality: float = 0.0,
     max_files_per_trigger: int | None = None,
     pii_scrub: bool = False,
+    benchmark=None,
+    decontaminate_mode: str = "paragraph",
 ):
     """Streaming counterpart of plans.build_training_pipeline: continuous
     ingest -> span extraction -> (optional PII scrub, same projection as
     the batch pipeline) -> lang/quality projections -> filter ->
-    STATEFUL exact dedup (first occurrence wins across micro-batches) ->
-    parquet sink. Near-dup LSH stays a periodic batch job over the
-    accumulated output (its self-joins don't stream); this covers the
-    always-on part of the ingestion path."""
+    (optional test-set decontamination: stream-STATIC broadcast
+    anti-join against the benchmark's paragraph/13-gram set, batch
+    parity via ``decontaminate_mode``) -> STATEFUL exact dedup (first
+    occurrence wins across micro-batches) -> parquet sink. Near-dup
+    LSH stays a periodic batch job over the accumulated output (its
+    self-joins don't stream); this covers the always-on part of the
+    ingestion path."""
     from pyspark.sql import functions as F
 
     from html_to_document_spark.operators.extract_spans import extract_spans
@@ -160,13 +165,53 @@ def run_stream_pipeline(
         )
     )
     deduped = streaming_exact_dedup(corpus.select("doc_id", "text"))
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    if benchmark is not None:
+        # test-set decontamination with exact BATCH parity: foreachBatch
+        # hands each micro-batch over as a plain DataFrame, so the very
+        # same operators run (benchmark gram/paragraph set broadcast,
+        # zero stream-side shuffle). Ordering parity too: the batch
+        # pipeline decontaminates after exact dedup. Parquet append in
+        # foreachBatch is at-least-once on trigger retries (vs the
+        # file-sink's exactly-once) — acceptable for an idempotent
+        # downstream exact-dedup, and the price of arbitrary logic.
+        from html_to_document_spark.operators.corpus_hygiene import (
+            decontaminate,
+            decontaminate_ngrams,
+        )
+
+        if decontaminate_mode not in ("paragraph", "ngram"):
+            raise ValueError(
+                f"unknown decontaminate_mode {decontaminate_mode!r}"
+            )
+
+        def _sink(batch_df, _batch_id):
+            fn = (
+                decontaminate_ngrams
+                if decontaminate_mode == "ngram"
+                else decontaminate
+            )
+            contaminated = fn(batch_df, benchmark).select("doc_id")
+            (
+                batch_df.join(contaminated, "doc_id", "left_anti")
+                .write.mode("append")
+                .parquet(out_path)
+            )
+
+        q = (
+            deduped.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return q

@@ -153,3 +153,30 @@ def test_pipeline_cache_registry_release(spark):
     release_caches(reg)
     assert reg == []
     assert all(df.storageLevel == StorageLevel.NONE for df in frames)
+
+
+def test_pipeline_decontaminate_ngram_mode(spark):
+    """decontaminate_mode='ngram' drops a doc whose contamination is
+    reflowed (caught only by the sliding 13-gram recipe)."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.plans.pipeline import build_training_pipeline
+    from html_to_document_spark.sources.synthetic import generate_corpus
+
+    docs = generate_corpus(spark, 60, seed=17, giant_frac=0.0)
+    base = build_training_pipeline(docs, min_quality=0.0)
+    rows = {r.doc_id: r.text for r in base.collect()}
+    victim = sorted(rows)[0]
+    words = rows[victim].split()
+    assert len(words) >= 13
+    reflowed = "intro sentence. " + " ".join(words[:13]) + " trailing bits"
+    bench = spark.createDataFrame(
+        [(999, reflowed)], "doc_id long, text string"
+    )
+    # paragraph mode misses the reflowed overlap...
+    para = build_training_pipeline(docs, min_quality=0.0, benchmark=bench)
+    assert victim in {r.doc_id for r in para.collect()}
+    # ...ngram mode catches it
+    ng = build_training_pipeline(docs, min_quality=0.0, benchmark=bench,
+                                 decontaminate_mode="ngram")
+    assert victim not in {r.doc_id for r in ng.collect()}

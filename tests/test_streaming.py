@@ -152,3 +152,50 @@ def test_stream_pipeline_pii_scrub(spark, tmp_path):
     assert texts
     assert all("admin@host.org" not in t for t in texts)
     assert any("<EMAIL>" in t for t in texts)
+
+
+def test_stream_pipeline_decontaminate(spark, tmp_path):
+    """Streaming decontamination parity: a benchmark doc overlapping a
+    streamed doc's text drops it from the sink (foreachBatch reuses the
+    exact batch operators; paragraph and 13-gram modes)."""
+    from html_to_document_spark.streaming.stateful import run_stream_pipeline
+
+    in_path = str(tmp_path / "in")
+    ckpt_base = str(tmp_path / "ckpt")
+
+    corpus = generate_corpus(spark, 12, seed=33, giant_frac=0.0)
+    corpus.write.parquet(in_path)
+
+    # baseline (no benchmark): all surviving docs land in the sink
+    out_plain = str(tmp_path / "out_plain")
+    run_stream_pipeline(spark, in_path, out_plain, ckpt_base + "0",
+                        min_quality=0.0)
+    plain = {r.doc_id: r.text for r in spark.read.parquet(out_plain).collect()}
+    assert plain
+    victim_id = sorted(plain)[0]
+
+    # benchmark = one surviving doc's exact text -> paragraph mode drops it
+    bench = spark.createDataFrame(
+        [(999, plain[victim_id])], "doc_id long, text string"
+    )
+    out_para = str(tmp_path / "out_para")
+    run_stream_pipeline(spark, in_path, out_para, ckpt_base + "1",
+                        min_quality=0.0, benchmark=bench)
+    kept = {r.doc_id for r in spark.read.parquet(out_para).collect()}
+    assert victim_id not in kept
+    assert kept == set(plain) - {victim_id}
+
+    # ngram mode: reflowed benchmark (different paragraph breaks but a
+    # shared 13-word window) still drops the doc
+    words = plain[victim_id].split()
+    if len(words) >= 13:
+        reflowed = "unrelated intro. " + " ".join(words[:13]) + " tail"
+        bench2 = spark.createDataFrame(
+            [(998, reflowed)], "doc_id long, text string"
+        )
+        out_ng = str(tmp_path / "out_ng")
+        run_stream_pipeline(spark, in_path, out_ng, ckpt_base + "2",
+                            min_quality=0.0, benchmark=bench2,
+                            decontaminate_mode="ngram")
+        kept_ng = {r.doc_id for r in spark.read.parquet(out_ng).collect()}
+        assert victim_id not in kept_ng
