@@ -84,7 +84,21 @@ _NEEDS_COLLAPSE_RE = re.compile(r"[^\S ]|  ")
 
 def _collapse(text: str) -> str:
     """newlines -> space, whitespace runs -> single space (fast path
-    when the text is already collapsed)."""
+    when the text is already collapsed). For ASCII text (the
+    overwhelming case) the needs-collapse probe is C-speed substring
+    checks — the regex search was ~5% of whole-document extraction;
+    the explicit list covers every ASCII char Python's \\s matches
+    (\\t \\n \\r \\f \\v AND \\x1c-\\x1f, which JS \\s lacks but the
+    repo's _WS_RE collapses) plus the double space — exactly
+    _NEEDS_COLLAPSE_RE's ASCII subset (parity fuzzed in
+    test_minify)."""
+    if text.isascii():
+        if ("  " in text or "\n" in text or "\t" in text
+                or "\r" in text or "\x0c" in text or "\x0b" in text
+                or "\x1c" in text or "\x1d" in text
+                or "\x1e" in text or "\x1f" in text):
+            return _WS_RE.sub(" ", text)
+        return text
     if _NEEDS_COLLAPSE_RE.search(text):
         return _WS_RE.sub(" ", text)
     return text

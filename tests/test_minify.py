@@ -126,3 +126,25 @@ def test_stream_minify_fuzz_matches_tree_form():
         tree_out: list = []
         _emit(_parse_tree(doc), None, tree_out)
         assert _stream_minify(doc) == tree_out, doc
+
+
+def test_collapse_fast_path_parity():
+    """The ASCII substring fast path in _collapse must make the same
+    needs-collapse decision as _NEEDS_COLLAPSE_RE for every ASCII
+    string (Python \\s includes \\x1c-\\x1f, which JS \\s lacks)."""
+    import random
+
+    from html_to_document_spark.core.minify import (
+        _NEEDS_COLLAPSE_RE,
+        _WS_RE,
+        _collapse,
+    )
+
+    def ref(t):
+        return _WS_RE.sub(" ", t) if _NEEDS_COLLAPSE_RE.search(t) else t
+
+    rng = random.Random(7)
+    chars = [chr(c) for c in range(0, 128)] + [" ", " ", "é"]
+    for _ in range(20000):
+        t = "".join(rng.choices(chars, k=rng.randint(0, 8)))
+        assert _collapse(t) == ref(t), repr(t)
