@@ -154,11 +154,14 @@ def _classify_tag(token: str):
     sc_min = tag in _VOID or token[-2] == "/"
     sc_dom = tag in VOID_ELEMENTS or token[-2] == "/"
     rawtext = tag in RAWTEXT_ELEMENTS and not sc_dom
+    # attr parse must NOT be gated on a non-empty tag: parse_tokens
+    # parses attrs for degenerate tokens like "<<ol style=...>"
+    # (tag ''), and the walker's hidden() check reads the style from
+    # them — gating on `tag` made the stream keep a subtree the tree
+    # drops (found by the r4 extended fuzz)
     attrs = (
         _parse_attrs(token, tag)
-        if tag and (
-            " " in token or "=" in token or "\t" in token or "\n" in token
-        )
+        if (" " in token or "=" in token or "\t" in token or "\n" in token)
         else None
     )
     return (tag, sc_min, sc_dom, rawtext, attrs)

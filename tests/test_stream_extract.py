@@ -147,6 +147,14 @@ CASES = [
     "<pre><code>x = 1</code></pre>",
     # custom/unknown elements
     "<custom-el>inline by default</custom-el><p>after</p>",
+    # degenerate "<<tag ...>" tokens: the tokenizer lumps them into one
+    # open token with tag '' — parse_tokens still parses the attrs, so
+    # a style there must reach the hidden() check in every strategy
+    # (r4 extended fuzz: the stream classifier gated attr parsing on a
+    # non-empty tag and kept a subtree the tree drops)
+    "<<ol style='display:none'>x y  z\nline\ntail ",
+    "<<div class=page>inside",
+    "<<b>text</b>after",
     # EMPTY rawtext element inside a caption (minify's pop-on-any-close
     # renames </tbody> to </script>): with script un-dropped, the empty
     # content must NOT leave a '' in the flatten parts — a later block
