@@ -304,3 +304,53 @@ def test_dedup_clusters_star_equals_label(spark):
     b = sorted(dedup_clusters(corpus, threshold=0.9,
                               cc_algorithm="star").collect())
     assert a == b
+
+
+def test_star_components_random_graphs_match_union_find(spark):
+    """Property check: on random edge sets, both CC algorithms must
+    reproduce a pure-Python union-find's partition with min-id labels
+    (the ground truth the distributed forms approximate round-wise)."""
+    import random
+
+    from html_to_document_spark.operators.dedup import connected_components
+
+    rng = random.Random(2024)
+    for trial in range(4):
+        n = rng.randint(5, 60)
+        m = rng.randint(0, 2 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expected = {}
+        # min-id label per component (path-compress to the root, then
+        # min over members)
+        members = {}
+        for v in touched:
+            members.setdefault(find(v), []).append(v)
+        for root, vs in members.items():
+            lo = min(vs)
+            for v in vs:
+                expected[v] = lo
+
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        star = {r.id: r.component
+                for r in connected_components(e, algorithm="star").collect()}
+        label = {r.id: r.component
+                 for r in connected_components(e, max_iter=80).collect()}
+        assert star == expected, f"trial {trial}"
+        assert label == expected, f"trial {trial}"
