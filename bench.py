@@ -276,24 +276,32 @@ def write_baseline_md(r8: dict, r32: dict, eff: float, queries: dict,
     if membw is not None:
         lines += [
             "## MEASURED memory-bandwidth ceiling (streaming-copy "
-            "probe, aggregate GB/s)",
+            "probe, aggregate GB/s, best-of-5 per point)",
             "",
             "| workers | " + " | ".join(str(k) for k in membw) + " |",
             "|---|" + "|".join(["---"] * len(membw)) + "|",
             "| GB/s | " + " | ".join(str(v) for v in membw.values())
             + " |",
             "",
-            "Aggregate streaming bandwidth scales near-linearly to 16 "
-            "workers and is FLAT from 16 to 32 — a hard box ceiling "
-            "that no 8 -> 32 throughput proxy can cross for "
-            "memory-traffic-heavy stages, independent of engine "
-            "quality. The r3 'DRAM ceiling at ~8 threads' attribution "
-            "is hereby replaced with this measured ladder: pure "
-            "streaming saturates between 16 and 32; the Python "
-            "extraction stage (allocation-heavy, random-access) "
-            "degrades earlier.",
-            "",
         ]
+        if 8 in membw and 16 in membw and 32 in membw:
+            bw_8_16 = membw[16] / membw[8] / 2
+            bw_16_32 = membw[32] / membw[16] / 2
+            bw_8_32 = membw[32] / membw[8] / 4
+            lines += [
+                f"Bandwidth pair efficiencies: 8 -> 16 {bw_8_16:.2f}, "
+                f"16 -> 32 {bw_16_32:.2f}, 8 -> 32 {bw_8_32:.2f}. "
+                "This is the hardware ceiling the extraction ladder "
+                "above runs into — compare the extraction pair "
+                "efficiencies against these: a memory-traffic-heavy "
+                "stage cannot beat the bandwidth pair efficiency at "
+                "the same worker counts, independent of engine "
+                "quality. On a real N -> 4N executor scale-out each "
+                "executor brings its own memory channels, which is "
+                "why the below-ceiling low pair is the honest "
+                "job-scaling signal.",
+                "",
+            ]
     if r2l is not None:
         lines += [
             "## N -> 4N pair BELOW the DRAM ceiling (local[2] vs "
