@@ -195,6 +195,9 @@ def run_headline_queries() -> dict[str, float]:
         "dedup_exact_groups", "dedup_minhash_pairs", "ngram_profile",
         "ann_cosine_topk", "pricing_summary", "revenue_by_nation",
         "top_events_per_user", "sessionize_events", "lineage_counts",
+        # r4 hygiene additions (broadcast shapes — cheap, and their
+        # scaling behavior is worth a per-round record)
+        "paragraph_dedup", "decontaminate_ngram", "pii_scrub",
     ]
     # warm the session before the timed loop: the first mapInArrow
     # query in a fresh session absorbs 4-6 s of one-time cost (python
