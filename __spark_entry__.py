@@ -371,9 +371,37 @@ def q_dedup_exact_groups(spark, sf_dir):
     )
 
 
-def q_dedup_exact_keep(spark, sf_dir):
-    df = _docs_with_planted_dups(spark, sf_dir)
-    return D.exact_dedup(df).select("doc_id")
+def q_url_filter_blocked(spark, sf_dir):
+    """Crawl-ingestion domain filter: constructed URLs exercise exact
+    matches, subdomains, lookalike hosts (blockedsite.com.evil.net,
+    notblockedsite.com) and clean hosts; the Spark side runs the full
+    distinct-host suffix-join machinery (url_filter.py), the oracle is
+    the construction's ground truth. Replaced dedup_exact_keep in the
+    50-row gate (r4): its kept set is exactly the keeper_id column of
+    dedup_exact_groups, so it gated nothing new."""
+    from html_to_document_spark.operators.url_filter import (
+        flag_blocked_domains,
+    )
+
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 5
+    url = F.concat(
+        F.lit("http://"),
+        F.when(k == 0, F.concat(F.lit("www.blockedsite.com/a/"), sid))
+        .when(k == 1, F.concat(F.lit("blockedsite.com/"), sid))
+        .when(k == 2, F.concat(F.lit("blockedsite.com.evil.net/"), sid))
+        .when(k == 3, F.concat(F.lit("notblockedsite.com/"), sid))
+        .otherwise(
+            F.concat(
+                F.lit("ok"), (F.col("doc_id") % 10).cast("string"),
+                F.lit(".example.org/"), sid,
+            )
+        ),
+    )
+    docs = d.select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame([("BlockedSite.com",)], "domain string")
+    return flag_blocked_domains(docs, bl).select("doc_id", "blocked")
 
 
 def q_ngram_profile(spark, sf_dir):
@@ -905,7 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram_stats": q_top_ngram_stats,
         # dedup
         "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_exact_keep": q_dedup_exact_keep,
+        "url_filter_blocked": q_url_filter_blocked,
         "ngram_profile": q_ngram_profile,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
@@ -1147,10 +1175,12 @@ def oracle_sql() -> dict[str, str]:
             "select text as dup_text, min(doc_id) as keeper_id, "
             "count(*) as n_dups from u group by text"
         ),
-        "dedup_exact_keep": (
-            "with u as (select doc_id, text from documents "
-            "union all select doc_id + 10000000, text from documents) "
-            "select min(doc_id) as doc_id from u group by text"
+        "url_filter_blocked": (
+            # ground truth of the URL construction: k in (0,1) hits
+            # blockedsite.com exactly or as a subdomain; k=2 is a
+            # lookalike suffix host, k=3 a lookalike prefix, k=4 clean
+            "select doc_id, doc_id % 5 in (0, 1) as blocked "
+            "from documents"
         ),
         "ngram_profile": (
             "with w as (select doc_id, "
