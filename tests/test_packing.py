@@ -1,0 +1,72 @@
+"""Sequence packing: budget invariants, determinism, utilization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from html_to_document_spark.operators.packing import (
+    pack_sequences,
+    packing_stats,
+)
+
+
+def _corpus(spark, n=300, seed=5):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(f"d{i:04d}", " ".join("w" * 1 for _ in range(rng.randint(1, 400))))
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_pack_invariants(spark):
+    df = _corpus(spark)
+    out = pack_sequences(df, budget=512, num_partitions=4).collect()
+    # every doc assigned exactly once
+    assert sorted(r.doc_id for r in out) == sorted(
+        r.doc_id for r in df.select("doc_id").collect())
+    # no regular bin exceeds the budget
+    fills = {}
+    for r in out:
+        if not r.oversize:
+            fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_tokens
+    assert fills and all(v <= 512 for v in fills.values())
+    # oversize docs sit alone in their bin
+    over_bins = [r.bin_id for r in out if r.oversize]
+    all_bins = [r.bin_id for r in out]
+    for b in over_bins:
+        assert all_bins.count(b) == 1
+
+
+def test_pack_oversize_flagged(spark):
+    df = spark.createDataFrame(
+        [("big", " ".join(["w"] * 1000)), ("small", "a b c")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in
+           pack_sequences(df, budget=100, num_partitions=1).collect()}
+    assert out["big"].oversize and not out["small"].oversize
+    assert out["big"].n_tokens == 1000
+
+
+def test_pack_deterministic_for_fixed_partitioning(spark):
+    df = _corpus(spark, seed=9)
+    a = sorted(map(tuple, pack_sequences(df, 256, num_partitions=4).collect()))
+    b = sorted(map(tuple, pack_sequences(
+        df.repartition(13), 256, num_partitions=4).collect()))
+    assert a == b  # routing is by hash of doc_id, not input layout
+
+
+def test_packing_utilization(spark):
+    df = _corpus(spark, n=500, seed=11)
+    packed = pack_sequences(df, budget=512, num_partitions=4)
+    stats = packing_stats(packed, 512).first()
+    # FFD on many small docs should fill bins well; all but each
+    # partition's last bin are >= 50% full by the FFD property — the
+    # MEAN should be comfortably high
+    assert stats.mean_fill > 0.7, stats
+    assert stats.n_bins > 0
+
+
+def test_pack_budget_validation(spark):
+    with pytest.raises(ValueError):
+        pack_sequences(_corpus(spark, n=5), budget=0)
