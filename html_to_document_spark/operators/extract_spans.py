@@ -200,18 +200,22 @@ def extract_spans_balanced(
     giant_bytes: int = GIANT_HTML_BYTES,
     salt_seed: int = 42,
     giant_pool_factor: int = 1,
+    html_col: str | None = None,
 ) -> "DataFrame":
     """Skew-balanced extraction: normal docs take the salted path;
     giant pages (html length > giant_bytes) are repartitioned round-
     robin so each lands alone on a task. Output = union (same schema,
-    order-free by contract)."""
+    order-free by contract). ``html_col`` names a raw-HTML column
+    (crawl sources); default assembles from the interleaved ``spans``
+    contract."""
     from pyspark.sql import functions as F
 
     # assemble ONCE, map-side, then shuffle salted; both branches read
     # the same exchange (ReusedExchange) so assembly is never recomputed
+    html_expr = F.col(html_col) if html_col is not None else _html_expr()
     flat = df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        _html_expr().alias("html"),
+        html_expr.alias("html"),
     ).repartition(num_partitions, F.xxhash64("doc_id", F.lit(salt_seed)))
     is_giant = F.length("html") > giant_bytes
     small_out = _run_extract(flat.filter(~is_giant), options)

@@ -1,0 +1,106 @@
+"""Crawl-to-training-set composition: the full front-to-back path a
+web-scale corpus actually takes, as one plan —
+
+    WARC archives -> URL/domain filter -> span extraction ->
+    (PII scrub, lang/quality filter, exact dedup, decontamination,
+    near-dup removal)  [= build_training_pipeline, html_col route] ->
+    optional mixture resampling by host -> optional sequence packing
+
+Each stage is an already-gated operator; this module only composes
+them, so the plan inherits every stage's scale shape: the domain
+filter and decontamination are broadcast map-side joins, extraction is
+the salted mapInArrow stage (raw WARC HTML routed via ``html_col``),
+dedup shuffles digests not text, packing is per-partition. The only
+join this module adds is the host attach for mixture resampling
+(doc_id-keyed, only when ``mixture_targets`` is set).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+from html_to_document_spark.core.extract import (
+    DEFAULT_OPTIONS,
+    ExtractOptions,
+)
+
+
+def build_crawl_pipeline(
+    spark: "SparkSession",
+    warc_path: str,
+    *,
+    blocklist: "DataFrame | None" = None,
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    num_partitions: int = 64,
+    keep_langs: tuple = ("en", "es", "fr", "de"),
+    min_quality: float = 0.0,
+    pii_scrub: bool = True,
+    benchmark: "DataFrame | None" = None,
+    decontaminate_mode: str = "ngram",
+    mixture_targets: dict | None = None,
+    pack_budget: int | None = None,
+    cache_registry: list | None = None,
+) -> "DataFrame":
+    """WARC files -> curated training corpus.
+
+    Returns (doc_id, text, lang_pred, quality, spans) — plus
+    (bin_id, oversize) when ``pack_budget`` is set. WARC record ids
+    are the doc ids. ``mixture_targets`` maps HOST -> target weight
+    (the crawl's notion of "source") and resamples before packing.
+    """
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.url_filter import (
+        filter_blocked_domains,
+        host_col,
+    )
+    from html_to_document_spark.plans.pipeline import (
+        build_training_pipeline,
+    )
+    from html_to_document_spark.sources.warc import read_warc
+
+    docs = read_warc(spark, warc_path)
+    if blocklist is not None:
+        docs = filter_blocked_domains(docs, blocklist)
+
+    corpus = build_training_pipeline(
+        docs.select("doc_id", "url", "html"),
+        options,
+        num_partitions=num_partitions,
+        keep_langs=keep_langs,
+        min_quality=min_quality,
+        pii_scrub=pii_scrub,
+        benchmark=benchmark,
+        decontaminate_mode=decontaminate_mode,
+        cache_registry=cache_registry,
+        html_col="html",
+    )
+
+    if mixture_targets is not None:
+        from html_to_document_spark.operators.mixture import (
+            resample_mixture,
+        )
+
+        hosts = docs.select(
+            F.col("doc_id"),
+            F.coalesce(host_col("url"), F.lit("unknown")).alias("source"),
+        )
+        corpus = corpus.join(hosts, "doc_id", "left").withColumn(
+            "source", F.coalesce("source", F.lit("unknown"))
+        )
+        corpus = resample_mixture(corpus, mixture_targets).drop("source")
+
+    if pack_budget is not None:
+        from html_to_document_spark.operators.packing import pack_sequences
+
+        assignment = pack_sequences(
+            corpus, pack_budget, num_partitions=num_partitions
+        )
+        corpus = corpus.join(
+            assignment.select("doc_id", "bin_id", "oversize"), "doc_id"
+        )
+
+    return corpus

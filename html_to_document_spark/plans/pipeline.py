@@ -101,8 +101,11 @@ def build_training_pipeline(
     pii_scrub: bool = False,
     benchmark: "DataFrame | None" = None,
     decontaminate_mode: str = "paragraph",
+    html_col: str | None = None,
 ) -> "DataFrame":
     """(doc_id, spans[interleaved]) -> filtered, deduplicated corpus.
+    ``html_col`` routes a raw-HTML source (e.g. a WARC scan) into the
+    same balanced extraction stage instead of the spans contract.
 
     ``cache_registry``: pass a list to receive every frame this build
     persists (the materialized corpus and the MinHash signature frame);
@@ -122,7 +125,9 @@ def build_training_pipeline(
     mode misses)."""
     from pyspark.sql import functions as F
 
-    spans = extract_spans_balanced(docs, options, num_partitions=num_partitions)
+    spans = extract_spans_balanced(
+        docs, options, num_partitions=num_partitions, html_col=html_col
+    )
 
     # assembled plain text per doc (text spans only), JVM-side
     text = F.concat_ws(

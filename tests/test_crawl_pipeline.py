@@ -1,0 +1,93 @@
+"""End-to-end crawl-to-training-set composition."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from html_to_document_spark.plans.crawl import build_crawl_pipeline
+
+
+def _record(rid, host, body_html):
+    payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+               + body_html.encode())
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: http://{host}/p/{rid}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _archive(tmp_path):
+    words = ("the and for with this that from have good text page "
+             "world data clear words about more here only when "
+             "other some very just into over").split()
+    recs = []
+    for i in range(40):
+        host = "spamfarm.biz" if i % 10 == 0 else f"site{i % 4}.example.com"
+        body = " ".join(words[(i + j) % len(words)] for j in range(60))
+        html = f"<h1>Doc {i}</h1><p>{body}</p>"
+        if i % 7 == 0:
+            html += "<p>contact admin@site.org now</p>"
+        recs.append(_record(f"r{i:03d}", host, html))
+    # one exact duplicate pair (same body as r1)
+    recs.append(_record("rdup", "site9.example.com",
+                        "<h1>Doc 1</h1><p>" + " ".join(
+                            words[(1 + j) % len(words)] for j in range(60))
+                        + "</p>"))
+    (tmp_path / "crawl.warc").write_bytes(b"".join(recs))
+    return str(tmp_path)
+
+
+def test_crawl_pipeline_end_to_end(spark, tmp_path):
+    path = _archive(tmp_path)
+    bl = spark.createDataFrame([("spamfarm.biz",)], "domain string")
+    out = build_crawl_pipeline(
+        spark, path,
+        blocklist=bl,
+        num_partitions=4,
+        min_quality=0.0,
+        pii_scrub=True,
+        pack_budget=256,
+    )
+    rows = out.collect()
+    ids = {r.doc_id for r in rows}
+    # blocklisted hosts dropped (i % 10 == 0 -> r000, r010, r020, r030)
+    assert not any(i in ids for i in ("urn:uuid:r000", "urn:uuid:r010",
+                                     "urn:uuid:r020", "urn:uuid:r030"))
+    # exact dup removed: rdup's body equals r001's -> one survivor
+    assert not ("urn:uuid:r001" in ids and "urn:uuid:rdup" in ids)
+    assert ("urn:uuid:r001" in ids) or ("urn:uuid:rdup" in ids)
+    # PII scrubbed from assembled text
+    assert not any("admin@site.org" in r.text for r in rows)
+    assert any("<EMAIL>" in r.text for r in rows)
+    # packed: every row carries a bin, no regular bin over budget
+    fills = {}
+    for r in rows:
+        assert r.bin_id is not None
+        if not r.oversize:
+            fills[r.bin_id] = fills.get(r.bin_id, 0) + len(r.text.split())
+    assert fills and all(v <= 256 for v in fills.values())
+    # extraction really ran: spans survive with the heading split out
+    any_doc = rows[0]
+    kinds = [s.kind for s in any_doc.spans]
+    assert kinds.count("text") >= 2
+
+
+def test_crawl_pipeline_mixture(spark, tmp_path):
+    path = _archive(tmp_path)
+    out = build_crawl_pipeline(
+        spark, path,
+        num_partitions=4,
+        min_quality=0.0,
+        mixture_targets={"site0.example.com": 1.0,
+                         "site1.example.com": 1.0},
+    )
+    rows = out.collect()
+    assert rows
+    # only targeted hosts survive resampling (others get fraction 0)
+    assert all(r.doc_id.startswith("urn:uuid:r") for r in rows)
+    assert "source" not in out.columns
