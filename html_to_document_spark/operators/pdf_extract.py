@@ -1,0 +1,153 @@
+"""Distributed PDF -> spans extraction (S6; north-rule "PDF/layout
+parse" over the interleaved text+media corpus).
+
+Semantics are the reference's PDF deconverter composition
+(``packages/deconverters/pdf/src/pdf.deconverter.ts:36-42``): extract
+text, split on newlines, wrap each TRIMMED line in ``<p>…</p>``, and
+run the result through the SAME parser as every HTML document — so a
+PDF line and an HTML paragraph produce identical spans by
+construction, and every downstream operator (dedup, hygiene,
+packing…) is source-agnostic.
+
+Spark shape: one fused ``mapInArrow`` stage does bytes -> text ->
+paragraph-HTML -> spans per document; the PDF bytes cross the Arrow
+boundary once and nothing else does. Unlike the HTML path there is no
+JVM-side assembly to hoist — the byte-level parse is inherently
+Python — so fusing the HTML wrap + walk into the same invocation is
+strictly better than a two-stage bytes->html, html->spans plan (which
+would ship the intermediate HTML through a second Arrow crossing or,
+worse, a shuffle). Giant-PDF skew reuses the same explicit-hash
+routing as ``extract_spans_balanced``: byte length is computable
+JVM-side (``F.length``) before the UDF, so the filter stays in the
+scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from html_to_document_spark.core.extract import (
+    DEFAULT_OPTIONS,
+    ExtractOptions,
+    extract_document,
+)
+from html_to_document_spark.core.pdf import pdf_to_text
+from html_to_document_spark.operators.extract_spans import (
+    META_OUTPUT_SCHEMA,
+    OUTPUT_SCHEMA,
+    _spans_record_batch,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+__all__ = ["pdf_paragraph_html", "extract_pdf_spans", "pdfs_to_html"]
+
+# PDFs larger than this route to the fine-grained pool (giant scans /
+# embedded-media bloat); bytes, computable JVM-side before the UDF
+GIANT_PDF_BYTES = 4 * 1024 * 1024
+
+
+def pdf_paragraph_html(data: bytes) -> str:
+    """PDF bytes -> ``<p>line</p>…`` exactly as the reference wraps
+    pdf-parse output (one trimmed line per paragraph; ``\\r?\\n``
+    split)."""
+    text = pdf_to_text(data)
+    return "".join(
+        "<p>" + line.strip() + "</p>"
+        for line in text.replace("\r\n", "\n").split("\n")
+    )
+
+
+def _arrow_pdf_fn(options: ExtractOptions, pdf_col: str):
+    import pyarrow as pa
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            doc_ids = batch.column("doc_id")
+            payloads = batch.column(pdf_col).to_pylist()
+            spans = [
+                extract_document(
+                    pdf_paragraph_html(p) if p is not None else "", options
+                )
+                for p in payloads
+            ]
+            yield _spans_record_batch(doc_ids, spans, options.with_meta)
+
+    return fn
+
+
+def extract_pdf_spans(
+    df: "DataFrame",
+    pdf_col: str = "content",
+    doc_id_col: str = "doc_id",
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    *,
+    num_partitions: int | None = None,
+    giant_bytes: int = GIANT_PDF_BYTES,
+    salt_seed: int = 42,
+) -> "DataFrame":
+    """(doc_id, <binary pdf>) -> (doc_id, spans).
+
+    With ``num_partitions`` set, applies the same salted + giant-routed
+    balancing as ``extract_spans_balanced`` (size skew from scanned /
+    media-heavy PDFs is worse than HTML page skew). NULL or non-PDF
+    payloads yield zero spans, not errors — corpus policy everywhere
+    in this engine."""
+    from pyspark.sql import functions as F
+
+    flat = df.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.col(pdf_col).alias(pdf_col),
+    )
+    schema = META_OUTPUT_SCHEMA if options.with_meta else OUTPUT_SCHEMA
+    if num_partitions is None:
+        return flat.mapInArrow(_arrow_pdf_fn(options, pdf_col), schema)
+    flat = flat.repartition(
+        num_partitions, F.xxhash64("doc_id", F.lit(salt_seed))
+    )
+    is_giant = F.length(pdf_col) > giant_bytes
+    small = flat.filter(~is_giant).mapInArrow(
+        _arrow_pdf_fn(options, pdf_col), schema
+    )
+    giant = (
+        flat.filter(is_giant)
+        .repartition(num_partitions, F.xxhash64("doc_id", F.lit(salt_seed + 1)))
+        .mapInArrow(_arrow_pdf_fn(options, pdf_col), schema)
+    )
+    return small.unionByName(giant)
+
+
+def pdfs_to_html(
+    df: "DataFrame",
+    pdf_col: str = "content",
+) -> "DataFrame":
+    """Replace the binary ``pdf_col`` with an ``html`` string column
+    (the ``<p>``-wrapped text), keeping all other columns.
+
+    This is the crawl-pipeline adapter: PDF records become ordinary
+    raw-HTML records BEFORE ``build_training_pipeline``, so hygiene /
+    dedup / packing apply uniformly across the interleaved corpus and
+    the expensive span extraction still runs exactly once per doc
+    (inside the pipeline's balanced stage), preserving its extract-once
+    accumulator guarantee."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    other = [c for c in df.columns if c != pdf_col]
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pdf[other].copy()
+            out["html"] = [
+                pdf_paragraph_html(bytes(p)) if p is not None else ""
+                for p in pdf[pdf_col]
+            ]
+            yield out
+
+    in_schema = df.select(*other).schema
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields
+    ) + ", html string"
+    return df.select(*other, F.col(pdf_col)).mapInPandas(fn, schema)

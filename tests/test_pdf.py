@@ -1,0 +1,316 @@
+"""PDF extraction (S6): byte-level parser, writer round-trips, the
+reference's <p>-per-line composition, and the Spark operator.
+
+Reference semantics: ``packages/deconverters/pdf/src/
+pdf.deconverter.ts:36-42`` — extracted text, newline split, trimmed
+lines wrapped in <p>, fed through the common parser.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from html_to_document_spark.core.extract import extract_document
+from html_to_document_spark.core.pdf import (
+    _Lexer,
+    _lzw_decode,
+    _png_unpredict,
+    _rl_decode,
+    pdf_text_lines,
+    pdf_to_text,
+)
+from html_to_document_spark.operators.pdf_extract import pdf_paragraph_html
+from html_to_document_spark.sources.pdf_synth import make_pdf
+
+PAGES = [
+    ["Hello world", "Second line (with parens) and \\backslash"],
+    ["Page two line"],
+]
+WANT = PAGES[0] + [""] + PAGES[1]
+
+VARIANTS = [
+    dict(),
+    dict(filter="none"),
+    dict(filter="ahx"),
+    dict(filter="a85"),
+    dict(string_mode="hex"),
+    dict(string_mode="tj"),
+    dict(line_op="T*"),
+    dict(line_op="Tm"),
+    dict(tounicode=True),
+    dict(objstm=True),
+    dict(objstm=True, tounicode=True, string_mode="hex", line_op="Tm"),
+]
+
+
+@pytest.mark.parametrize("kw", VARIANTS, ids=[str(v) for v in VARIANTS])
+def test_roundtrip_variants(kw):
+    assert pdf_text_lines(make_pdf(PAGES, **kw)) == WANT
+
+
+def test_single_page_no_blank_join():
+    assert pdf_text_lines(make_pdf([["a", "b c"]])) == ["a", "b c"]
+
+
+# ------------------------------------------------------------------
+# hand-assembled byte-level documents (writer-independent)
+# ------------------------------------------------------------------
+
+
+def _wrap(content: bytes, extra_objs: bytes = b"", length=None) -> bytes:
+    """Minimal 1-page PDF around a raw content stream."""
+    ldecl = b"%d" % len(content) if length is None else length
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + ldecl + b" >>\nstream\n" + content
+        + b"\nendstream endobj\n" + extra_objs
+        + b"trailer << /Size 9 /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_indirect_length():
+    content = b"BT 72 720 Td (indirect) Tj ET"
+    extra = b"5 0 obj %d endobj\n" % len(content)
+    assert pdf_text_lines(_wrap(content, extra, length=b"5 0 R")) == [
+        "indirect"
+    ]
+
+
+def test_wrong_length_recovers_via_endstream_scan():
+    content = b"BT 72 720 Td (recovered) Tj ET"
+    assert pdf_text_lines(_wrap(content, length=b"999999")) == ["recovered"]
+
+
+def test_apostrophe_and_quote_operators():
+    content = (
+        b"BT 14 TL 72 720 Td (first) Tj (second)' 1 2 (third)\" ET"
+    )
+    assert pdf_text_lines(_wrap(content)) == ["first", "second", "third"]
+
+
+def test_literal_string_escapes():
+    # octal, 2-digit octal, line continuation, \n escape, nested parens
+    content = b"BT 72 720 Td (A\\101\\75B\\\nC(n)\\)) Tj ET"
+    assert pdf_text_lines(_wrap(content)) == ["AA=BC(n))"]
+
+
+def test_comments_and_junk_between_objects():
+    content = b"BT 72 720 Td % mid-stream comment\n (after) Tj ET"
+    assert pdf_text_lines(_wrap(content)) == ["after"]
+
+
+def test_incremental_update_later_object_wins():
+    old = _wrap(b"BT 72 720 Td (old) Tj ET")
+    update = (
+        b"4 0 obj << /Length 29 >>\nstream\n"
+        b"BT 72 720 Td (new text) Tj ET\nendstream endobj\n"
+        b"trailer << /Size 9 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert pdf_text_lines(old + update) == ["new text"]
+
+
+def test_tj_kerning_gap_inserts_space():
+    content = b"BT 72 720 Td [(Hel) -50 (lo) -300 (world)] TJ ET"
+    assert pdf_text_lines(_wrap(content)) == ["Hello world"]
+
+
+def test_encrypted_returns_empty():
+    data = _wrap(b"BT 72 720 Td (secret) Tj ET").replace(
+        b"trailer << /Size 9",
+        b"trailer << /Encrypt 8 0 R /Size 9",
+    )
+    assert pdf_text_lines(data) == []
+
+
+@pytest.mark.parametrize(
+    "data",
+    [b"", b"not a pdf", b"%PDF-1.4 truncated", None, b"%PDF" + b"\x00" * 64],
+)
+def test_malformed_inputs_yield_empty(data):
+    assert pdf_text_lines(data) == []
+    assert pdf_to_text(data) == ""
+
+
+def test_mutation_fuzz_never_raises():
+    import random
+
+    base = bytearray(make_pdf(PAGES))
+    rng = random.Random(7)
+    for _ in range(300):
+        mutated = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        pdf_text_lines(bytes(mutated))  # must not raise
+    for cut in (10, 100, len(base) // 2, len(base) - 5):
+        pdf_text_lines(bytes(base[:cut]))
+
+
+# ------------------------------------------------------------------
+# filters
+# ------------------------------------------------------------------
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Reference LZW encoder (EarlyChange=1) for decoder tests."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits: list[tuple[int, int]] = [(256, 9)]
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+        else:
+            out_bits.append((table[w], width))
+            table[wc] = next_code
+            next_code += 1
+            if next_code + 1 > (1 << width) and width < 12:
+                width += 1
+            w = bytes([ch])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))
+    acc = bits = 0
+    out = bytearray()
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        bits += wd
+        while bits >= 8:
+            bits -= 8
+            out.append((acc >> bits) & 0xFF)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_filter_roundtrip():
+    payload = b"BT 72 720 Td (lzw works lzw works lzw) Tj ET"
+    enc = _lzw_encode(payload)
+    assert _lzw_decode(enc) == payload
+    content_obj = (
+        b"4 0 obj << /Filter /LZWDecode /Length %d >>\nstream\n" % len(enc)
+        + enc + b"\nendstream endobj\n"
+    )
+    doc = _wrap(b"placeholder").replace(
+        b"4 0 obj << /Length 11 >>\nstream\nplaceholder\nendstream endobj\n",
+        content_obj,
+    )
+    assert pdf_text_lines(doc) == ["lzw works lzw works lzw"]
+
+
+def test_runlength_decode():
+    # 2 literal bytes, then b'x' repeated 5 times, then EOD
+    assert _rl_decode(b"\x01ab\xfcx\x80") == b"abxxxxx"
+
+
+def test_png_predictor_up():
+    rows = [bytes([1, 2, 3]), bytes([4, 5, 6])]
+    enc = b"\x02" + rows[0] + b"\x02" + bytes(
+        (rows[1][i] - rows[0][i]) & 0xFF for i in range(3)
+    )
+    assert _png_unpredict(enc, 1, 8, 3) == rows[0] + rows[1]
+
+
+def test_lexer_values():
+    lex = _Lexer(b"<< /A [1 2.5 (s) <414243> /N#20x true null] /B 7 0 R >>")
+    d = lex.next_value()
+    assert d["A"][0] == 1 and d["A"][1] == 2.5
+    assert d["A"][2] == b"s" and d["A"][3] == b"ABC"
+    assert d["A"][4].name == "N x"
+    assert d["A"][5] is True and d["A"][6] is None
+    assert d["B"].num == 7
+
+
+# ------------------------------------------------------------------
+# reference composition: <p> per trimmed line through the parser
+# ------------------------------------------------------------------
+
+
+def test_paragraph_html_matches_reference_composition():
+    pdf = make_pdf([["  padded  ", "two words"]])
+    html = pdf_paragraph_html(pdf)
+    assert html == "<p>padded</p><p>two words</p>"
+    spans = extract_document(html)
+    assert [(s[0], s[1], s[3]) for s in spans] == [
+        ("text", "padded", 0),
+        ("text", "two words", 1),
+    ]
+
+
+def test_paragraph_html_empty_input():
+    assert pdf_paragraph_html(b"junk") == "<p></p>"
+
+
+# ------------------------------------------------------------------
+# Spark operator
+# ------------------------------------------------------------------
+
+
+def test_extract_pdf_spans(spark):
+    from html_to_document_spark.operators.pdf_extract import (
+        extract_pdf_spans,
+    )
+
+    rows = [
+        ("d1", make_pdf([["alpha beta", "gamma"]])),
+        ("d2", make_pdf(PAGES, tounicode=True)),
+        ("d3", b"not a pdf"),
+        ("d4", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, content binary")
+    out = {
+        r["doc_id"]: [(s["kind"], s["text"], s["offset"]) for s in r["spans"]]
+        for r in extract_pdf_spans(df).collect()
+    }
+    assert out["d1"] == [("text", "alpha beta", 0), ("text", "gamma", 1)]
+    assert [t for _, t, _ in out["d2"]] == WANT
+    # non-PDF payload -> single empty paragraph (reference: pdf-parse
+    # output '' -> one '<p></p>'); NULL -> zero spans
+    assert out["d3"] == [("text", "", 0)]
+    assert out["d4"] == []
+
+
+def test_extract_pdf_spans_balanced_same_result(spark):
+    from html_to_document_spark.operators.pdf_extract import (
+        extract_pdf_spans,
+    )
+
+    rows = [
+        (f"d{i}", make_pdf([[f"line {i} " + "x" * (i * 7)]]))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, content binary")
+    plain = {
+        r["doc_id"]: r["spans"] for r in extract_pdf_spans(df).collect()
+    }
+    routed = {
+        r["doc_id"]: r["spans"]
+        for r in extract_pdf_spans(
+            df, num_partitions=4, giant_bytes=600
+        ).collect()
+    }
+    assert plain == routed
+
+
+def test_pdfs_to_html_into_pipeline(spark):
+    from html_to_document_spark.operators.extract_spans import (
+        extract_spans_from_html,
+    )
+    from html_to_document_spark.operators.pdf_extract import pdfs_to_html
+
+    rows = [("p1", "http://a.example/x.pdf", make_pdf([["from pdf"]]))]
+    df = spark.createDataFrame(
+        rows, "doc_id string, url string, content binary"
+    )
+    html_df = pdfs_to_html(df)
+    assert html_df.columns == ["doc_id", "url", "html"]
+    row = html_df.collect()[0]
+    assert row["html"] == "<p>from pdf</p>"
+    spans = extract_spans_from_html(html_df).collect()[0]["spans"]
+    assert [(s["kind"], s["text"]) for s in spans] == [("text", "from pdf")]
