@@ -43,6 +43,7 @@ def build_crawl_pipeline(
     mixture_targets: dict | None = None,
     pack_budget: int | None = None,
     cache_registry: list | None = None,
+    pdf_types: tuple = ("application/pdf",),
 ) -> "DataFrame":
     """WARC files -> curated training corpus.
 
@@ -50,6 +51,11 @@ def build_crawl_pipeline(
     (bin_id, oversize) when ``pack_budget`` is set. WARC record ids
     are the doc ids. ``mixture_targets`` maps HOST -> target weight
     (the crawl's notion of "source") and resamples before packing.
+
+    PDF records (``pdf_types`` content-type prefixes; ``()`` disables)
+    are converted to the reference's ``<p>``-per-line HTML form before
+    the pipeline, so every curation stage treats crawl HTML and crawl
+    PDFs identically and extraction still runs exactly once per doc.
     """
     from pyspark.sql import functions as F
 
@@ -62,9 +68,20 @@ def build_crawl_pipeline(
     )
     from html_to_document_spark.sources.warc import read_warc
 
-    docs = read_warc(spark, warc_path)
+    docs = read_warc(spark, warc_path, binary_types=pdf_types)
     if blocklist is not None:
         docs = filter_blocked_domains(docs, blocklist)
+    if pdf_types:
+        from html_to_document_spark.operators.pdf_extract import (
+            pdfs_to_html,
+        )
+
+        is_pdf = F.col("content").isNotNull()
+        text_docs = docs.filter(~is_pdf).drop("content")
+        pdf_docs = pdfs_to_html(
+            docs.filter(is_pdf).drop("html")
+        ).select(*text_docs.columns)
+        docs = text_docs.unionByName(pdf_docs)
 
     corpus = build_training_pipeline(
         docs.select("doc_id", "url", "html"),

@@ -37,12 +37,14 @@ WARC_SCHEMA = (
 _WANTED_TYPES = ("response", "conversion", "resource")
 
 
-def parse_warc_bytes(data: bytes) -> list[tuple[str, str, str, str]]:
+def _walk_warc_records(data: bytes) -> list[tuple[str, str, str, bytes]]:
     """Sequential record walk over a plain (decompressed) WARC byte
-    stream. Returns (record_id, target_uri, content_type, body_text)
+    stream. Returns (record_id, target_uri, content_type, body_BYTES)
     for response/conversion/resource records; skips request/metadata/
-    warcinfo records and anything malformed."""
-    out: list[tuple[str, str, str, str]] = []
+    warcinfo records and anything malformed. Bodies stay bytes here so
+    binary payloads (PDF, media) survive; text decode is the caller's
+    choice."""
+    out: list[tuple[str, str, str, bytes]] = []
     i, n = 0, len(data)
     while i < n:
         # locate the next record head (tolerates leading junk/padding)
@@ -80,29 +82,58 @@ def parse_warc_bytes(data: bytes) -> list[tuple[str, str, str, str]]:
             (
                 headers.get("warc-record-id", "").strip("<>"),
                 headers.get("warc-target-uri", ""),
-                headers.get("content-type", ""),
-                body.decode("utf-8", errors="replace"),
+                # for response records the WARC-level Content-Type is
+                # just "application/http"; crawls put the sniffed
+                # payload type in WARC-Identified-Payload-Type
+                headers.get("warc-identified-payload-type")
+                or headers.get("content-type", ""),
+                body,
             )
         )
     return out
 
 
-def read_warc(spark: "SparkSession", path: str) -> "DataFrame":
+def parse_warc_bytes(data: bytes) -> list[tuple[str, str, str, str]]:
+    """Text view of the record walk (the HTML-pipeline surface)."""
+    return [
+        (rid, url, ctype, body.decode("utf-8", errors="replace"))
+        for rid, url, ctype, body in _walk_warc_records(data)
+    ]
+
+
+def read_warc(
+    spark: "SparkSession",
+    path: str,
+    binary_types: tuple[str, ...] = (),
+) -> "DataFrame":
     """WARC files under ``path`` -> (doc_id, url, content_type, html).
 
     ``doc_id`` is the WARC-Record-ID (unique per record per the spec);
     pipe the result straight into ``extract_spans_from_html``.
     Handles ``.warc`` and ``.warc.gz`` (multi-member gzip) alike.
+
+    ``binary_types``: content-type prefixes (e.g.
+    ``("application/pdf",)``) whose payloads must survive as raw bytes
+    — those records get ``html = NULL`` and a populated ``content``
+    binary column (appended to the schema only when the option is
+    set); everything else decodes to text as before. This is how the
+    interleaved crawl keeps PDFs byte-exact for the PDF extractor
+    while HTML stays a string column.
     """
     import pandas as pd
 
     files = spark.read.format("binaryFile").option(
         "pathGlobFilter", "*.warc*"
     ).load(path).select("path", "content")
+    schema = WARC_SCHEMA + (", content binary" if binary_types else "")
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            rows = {"doc_id": [], "url": [], "content_type": [], "html": []}
+            rows: dict[str, list] = {
+                "doc_id": [], "url": [], "content_type": [], "html": []
+            }
+            if binary_types:
+                rows["content"] = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
                 if fpath.endswith(".gz") or data[:2] == b"\x1f\x8b":
@@ -110,11 +141,17 @@ def read_warc(spark: "SparkSession", path: str) -> "DataFrame":
                         data = gzip.decompress(data)
                     except OSError:
                         continue  # truncated/corrupt archive member
-                for rid, url, ctype, body in parse_warc_bytes(data):
+                for rid, url, ctype, body in _walk_warc_records(data):
                     rows["doc_id"].append(rid)
                     rows["url"].append(url)
                     rows["content_type"].append(ctype)
-                    rows["html"].append(body)
+                    is_bin = any(ctype.startswith(p) for p in binary_types)
+                    rows["html"].append(
+                        None if is_bin
+                        else body.decode("utf-8", errors="replace")
+                    )
+                    if binary_types:
+                        rows["content"].append(body if is_bin else None)
             yield pd.DataFrame(rows)
 
-    return files.mapInPandas(fn, WARC_SCHEMA)
+    return files.mapInPandas(fn, schema)

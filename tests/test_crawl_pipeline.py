@@ -91,3 +91,58 @@ def test_crawl_pipeline_mixture(spark, tmp_path):
     # only targeted hosts survive resampling (others get fraction 0)
     assert all(r.doc_id.startswith("urn:uuid:r") for r in rows)
     assert "source" not in out.columns
+
+
+def _pdf_crawl_record(rid, host, pdf_bytes: bytes) -> bytes:
+    payload = (b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+               + pdf_bytes)
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: http://{host}/f/{rid}.pdf\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"WARC-Identified-Payload-Type: application/pdf\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def test_crawl_pipeline_interleaved_pdf(spark, tmp_path):
+    """PDF records flow through the same curation as HTML records."""
+    from html_to_document_spark.sources.pdf_synth import make_pdf
+
+    path = _archive(tmp_path)
+    lines = [
+        "the quick pdf document speaks about data and words here",
+        "another line with more good text for quality scoring now",
+    ]
+    pdf_rec = _pdf_crawl_record("pdf1", "site1.example.com",
+                                make_pdf([lines]))
+    bad_pdf = _pdf_crawl_record("pdf2", "site2.example.com",
+                                b"%PDF-1.4 but actually corrupt junk")
+    (tmp_path / "pdfs.warc").write_bytes(pdf_rec + bad_pdf)
+
+    out = build_crawl_pipeline(
+        spark, path, num_partitions=4, min_quality=0.0, pii_scrub=True,
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert "urn:uuid:pdf1" in rows
+    prow = rows["urn:uuid:pdf1"]
+    # one span per PDF line, same contract as an HTML <p> sequence
+    texts = [s.text for s in sorted(prow.spans, key=lambda s: s.offset)]
+    assert texts == lines
+    # corrupt PDF yields an empty doc -> filtered by the pipeline's
+    # min-length/quality stages, never an error
+    assert "urn:uuid:pdf2" not in rows
+    # HTML docs unaffected by the pdf branch
+    assert any(k.startswith("urn:uuid:r0") for k in rows)
+
+
+def test_crawl_pipeline_pdf_disabled(spark, tmp_path):
+    path = _archive(tmp_path)
+    out = build_crawl_pipeline(
+        spark, path, num_partitions=4, min_quality=0.0, pdf_types=(),
+    )
+    assert out.count() > 0

@@ -84,3 +84,40 @@ def test_read_warc_plain_and_gz_end_to_end(spark, tmp_path):
         df.filter(F.col("doc_id") == "urn:uuid:r1")))
     texts = [r.text for r in spans.orderBy("offset").collect()]
     assert texts == ["Title", "body one"]
+
+
+def _pdf_record(rid, uri, pdf_bytes: bytes) -> bytes:
+    payload = (b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+               + pdf_bytes)
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"WARC-Identified-Payload-Type: application/pdf\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def test_read_warc_binary_types_keeps_pdf_bytes(spark, tmp_path):
+    from html_to_document_spark.core.pdf import pdf_text_lines
+    from html_to_document_spark.sources.pdf_synth import make_pdf
+
+    pdf = make_pdf([["pdf alpha", "pdf beta"]])
+    (tmp_path / "mixed.warc").write_bytes(
+        _fixture() + _pdf_record("p1", "http://a.example/doc.pdf", pdf)
+    )
+    df = read_warc(spark, str(tmp_path), binary_types=("application/pdf",))
+    assert df.columns == ["doc_id", "url", "content_type", "html", "content"]
+    rows = {r.doc_id: r for r in df.collect()}
+    prow = rows["urn:uuid:p1"]
+    assert prow.content_type == "application/pdf"
+    assert prow.html is None
+    # byte-exact round trip through the gzip-less path
+    assert pdf_text_lines(bytes(prow.content)) == ["pdf alpha", "pdf beta"]
+    # text records are untouched and carry no payload bytes
+    assert rows["urn:uuid:r1"].content is None
+    assert rows["urn:uuid:r1"].html == "<h1>Title</h1><p>body one</p>"
