@@ -457,6 +457,62 @@ def cosine_topk_aligned(emb):
     )
 
 
+def q_pdf_extract(spark, sf_dir):
+    """S6 PDF path, oracle-gated END-TO-END: each document's text is
+    chunked into 7-word lines, assembled into a real PDF by the
+    deterministic writer (variant cycled by doc_id so the gate covers
+    literal/hex/TJ strings, Td/Tm line moves, AHx filter, ToUnicode
+    CMaps and object streams), parsed back by the pure-stdlib reader
+    through the reference's <p>-per-line composition, and the spans
+    must equal the DuckDB-computed chunks. A writer bug cannot mask a
+    reader bug: the oracle derives from the TEXT, not from the PDF."""
+    import pandas as pd
+
+    from html_to_document_spark.operators.pdf_extract import (
+        extract_pdf_spans,
+    )
+    from html_to_document_spark.sources.pdf_synth import make_pdf
+
+    variants = (
+        dict(),
+        dict(string_mode="hex"),
+        dict(string_mode="tj"),
+        dict(line_op="Tm"),
+        dict(tounicode=True),
+        dict(filter="ahx"),
+        dict(objstm=True),
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").split(" ")
+                lines = [
+                    " ".join(words[i * 7 : (i + 1) * 7]).strip()
+                    for i in range((len(words) + 6) // 7)
+                ]
+                ids.append(str(did))
+                blobs.append(
+                    make_pdf([lines], **variants[int(did) % len(variants)])
+                )
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    pdfs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(synth, "doc_id string, content binary")
+    )
+    flat = exploded(extract_pdf_spans(pdfs))
+    return flat.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("offset").cast("int").alias("offset"),
+        "kind",
+        "text",
+        "media_ref",
+    )
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     norm = F.sqrt(
@@ -943,7 +999,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        "embedding_norms": q_embedding_norms,
+        # pdf_extract replaced embedding_norms in the 50-row gate (r4):
+        # the norm is a sub-expression of ann_cosine_topk's oracle-
+        # gated cosine, so it gated nothing new; the PDF path is a
+        # whole operator family (core/pdf.py) that was pytest-only
+        "pdf_extract": q_pdf_extract,
         # relational / scale patterns
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1211,10 +1271,14 @@ def oracle_sql() -> dict[str, str]:
             "select query_id, rank, candidate_id, cosine from ranked "
             "where rank <= 3"
         ),
-        "embedding_norms": (
-            "select vec_id, floor(sqrt(list_sum(list_transform(embedding, "
-            "x -> cast(x as double) * cast(x as double)))) * 10000 + 0.5) "
-            "/ 10000.0 as l2_norm from embeddings"
+        "pdf_extract": (
+            "select d.doc_id, cast(g.i as int) as offset, 'text' as kind, "
+            "trim(array_to_string(l.words[g.i*7+1 : least((g.i+1)*7, "
+            "len(l.words))], ' ')) as text, cast(NULL as varchar) as "
+            "media_ref from documents d, "
+            "lateral (select string_split(d.text, ' ') as words) l, "
+            "lateral (select unnest(generate_series(0, "
+            "cast(ceil(len(l.words)/7.0) as int) - 1)) as i) g"
         ),
         "pricing_summary": (
             "select l_returnflag, l_linestatus, "
