@@ -198,6 +198,10 @@ def run_headline_queries() -> dict[str, float]:
         # r4 hygiene additions (broadcast shapes — cheap, and their
         # scaling behavior is worth a per-round record)
         "paragraph_dedup", "decontaminate_ngram", "pii_scrub",
+        # r4 PDF path: writes AND parses one real PDF per document
+        # (~5k docs at sf0.1), so the number is an upper bound on the
+        # byte-level parse cost itself
+        "pdf_extract",
     ]
     # warm the session before the timed loop: the first mapInArrow
     # query in a fresh session absorbs 4-6 s of one-time cost (python
