@@ -794,6 +794,50 @@ def q_decontaminate_ngram(spark, sf_dir):
     return decontaminate_ngrams(train, bench, n=13)
 
 
+def q_decontaminate_modes(spark, sf_dir):
+    """Both decontamination modes in one gate row (paragraph-exact and
+    sliding 13-gram), tagged by a mode column — merged r4 so the
+    50-row cap could admit gopher_rules without losing either gate."""
+    a = q_decontaminate(spark, sf_dir).select(
+        F.lit("paragraph").alias("mode"),
+        "doc_id",
+        F.col("n_contaminated_paras").alias("n_hits"),
+    )
+    b = q_decontaminate_ngram(spark, sf_dir).select(
+        F.lit("ngram").alias("mode"),
+        "doc_id",
+        F.col("n_contaminated_ngrams").alias("n_hits"),
+    )
+    return a.unionByName(b)
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Published Gopher document-quality rules as a codegen projection
+    (operators/quality_rules.py), oracle-gated over four deterministic
+    text variants per doc: clean, symbol-injected ('a'->'#'), 40-char
+    truncation (word-count fail), and a bulleted-line tail (bullet-
+    ratio fail). The oracle recomputes every stat and flag in SQL from
+    the same construction."""
+    from html_to_document_spark.operators.quality_rules import (
+        gopher_quality_flags,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    c = F.col("text")
+    bullet_tail = F.concat(
+        *([F.lit("\n• bullet line of words")] * 12)
+    )
+    variant = (
+        F.when(F.col("doc_id") % 4 == 1, F.replace(c, F.lit("a"), F.lit("#")))
+        .when(F.col("doc_id") % 4 == 2, F.substring(c, 1, 40))
+        .when(F.col("doc_id") % 4 == 3, F.concat(c, bullet_tail))
+        .otherwise(c)
+    )
+    return gopher_quality_flags(
+        docs.select("doc_id", variant.alias("text"))
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction as a codegen'd projection (emails incl. +tag and
     multi-label domains, NANP phones, IPv4, long digit runs); PII
@@ -1017,8 +1061,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verify": q_jaccard_verify,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "paragraph_dedup": q_paragraph_dedup,
-        "decontaminate_overlap": q_decontaminate,
-        "decontaminate_ngram": q_decontaminate_ngram,
+        # merged r4 (both modes, mode column) to free a slot for
+        # gopher_rules under the 50-row driver cap
+        "decontaminate_modes": q_decontaminate_modes,
+        "gopher_rules": q_gopher_rules,
         "pii_scrub": q_pii_scrub,
         "resume_antijoin": q_resume_antijoin,
     }
@@ -1414,7 +1460,9 @@ def oracle_sql() -> dict[str, str]:
             "  as n_dupes "
             "from r group by doc_id"
         ),
-        "decontaminate_overlap": (
+        "decontaminate_modes": (
+            "select 'paragraph' as mode, doc_id, n_contaminated_paras "
+            "as n_hits from ("
             "with bench as ("
             "  select distinct para from ("
             "    select unnest(string_split("
@@ -1429,8 +1477,9 @@ def oracle_sql() -> dict[str, str]:
             "  where para <> ''"
             ") select doc_id, count(*) as n_contaminated_paras "
             "from tr join bench using (para) group by doc_id"
-        ),
-        "decontaminate_ngram": (
+            ") union all "
+            "select 'ngram' as mode, doc_id, n_contaminated_ngrams "
+            "as n_hits from ("
             "with ph as (select * from (values "
             + ", ".join(
                 f"({k}, '{p}')" for k, p in enumerate(_NGRAM_PHRASES)
@@ -1455,6 +1504,68 @@ def oracle_sql() -> dict[str, str]:
             "    as t(i)"
             ") select doc_id, count(*) as n_contaminated_ngrams "
             "from tg join bg using (g) group by doc_id"
+            ")"
+        ),
+        "gopher_rules": (
+            # same four text variants, then every Gopher stat/flag
+            # recomputed in SQL (r4 rounding = floor(x*1e4+0.5)/1e4,
+            # matching Spark's HALF_UP round(x, 4))
+            "with v as ("
+            "  select doc_id, case"
+            "    when doc_id % 4 = 1 then replace(text, 'a', '#')"
+            "    when doc_id % 4 = 2 then substr(text, 1, 40)"
+            "    when doc_id % 4 = 3 then text || repeat(chr(10) || "
+            "'• bullet line of words', 12)"
+            "    else text end as text from documents"
+            "), m as ("
+            "  select doc_id, text,"
+            "    string_split_regex(trim(text), '\\s+') as words,"
+            "    list_filter(list_transform(string_split(text, chr(10)), "
+            "l -> trim(l)), l -> l <> '') as lines"
+            "  from v"
+            "), s as ("
+            "  select doc_id,"
+            "    cast(len(words) as int) as n_words,"
+            "    cast(list_sum(list_transform(words, w -> length(w))) "
+            "as double) / greatest(len(words), 1) as mwl,"
+            "    cast(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) "
+            "as double) / greatest(len(words), 1) as symr,"
+            "    cast(len(list_filter(lines, l -> substr(l, 1, 1) in "
+            "('•', '‣', '▪', '-', '*'))) as double) "
+            "/ greatest(len(lines), 1) as bulr,"
+            "    cast(len(list_filter(lines, l -> l like '%...' or "
+            "l like '%…')) as double) / greatest(len(lines), 1) as ellr,"
+            "    cast(len(list_filter(words, w -> regexp_matches(w, "
+            "'[A-Za-z]'))) as double) / greatest(len(words), 1) as alpr,"
+            "    cast("
+            + " + ".join(
+                "case when regexp_matches(text, "
+                f"'(^|[^A-Za-z]){w}([^A-Za-z]|$)') then 1 else 0 end"
+                for w in (
+                    "the", "be", "to", "of", "and", "that", "have", "with"
+                )
+            )
+            + " as int) as stop_hits"
+            "  from m"
+            ") select doc_id, n_words,"
+            "  floor(mwl * 10000 + 0.5) / 10000 as mean_word_len,"
+            "  floor(symr * 10000 + 0.5) / 10000 as symbol_word_ratio,"
+            "  floor(bulr * 10000 + 0.5) / 10000 as bullet_line_ratio,"
+            "  floor(ellr * 10000 + 0.5) / 10000 as ellipsis_line_ratio,"
+            "  floor(alpr * 10000 + 0.5) / 10000 as alpha_word_ratio,"
+            "  stop_hits,"
+            "  n_words >= 50 and n_words <= 100000 as word_count_ok,"
+            "  mwl >= 3.0 and mwl <= 10.0 as word_len_ok,"
+            "  symr <= 0.1 as symbol_ok,"
+            "  bulr <= 0.9 as bullet_ok,"
+            "  ellr <= 0.3 as ellipsis_ok,"
+            "  alpr >= 0.8 as alpha_ok,"
+            "  stop_hits >= 2 as stopword_ok,"
+            "  (n_words >= 50 and n_words <= 100000) and "
+            "  (mwl >= 3.0 and mwl <= 10.0) and symr <= 0.1 and "
+            "  bulr <= 0.9 and ellr <= 0.3 and alpr >= 0.8 and "
+            "  stop_hits >= 2 as gopher_keep"
+            " from s"
         ),
         "pii_scrub": (
             "with t as ("

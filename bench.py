@@ -197,7 +197,8 @@ def run_headline_queries() -> dict[str, float]:
         "top_events_per_user", "sessionize_events", "lineage_counts",
         # r4 hygiene additions (broadcast shapes — cheap, and their
         # scaling behavior is worth a per-round record)
-        "paragraph_dedup", "decontaminate_ngram", "pii_scrub",
+        "paragraph_dedup", "decontaminate_modes", "pii_scrub",
+        "gopher_rules",
         # r4 PDF path: writes AND parses one real PDF per document
         # (~5k docs at sf0.1), so the number is an upper bound on the
         # byte-level parse cost itself

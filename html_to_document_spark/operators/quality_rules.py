@@ -1,0 +1,208 @@
+"""Rule-based corpus quality filters: the Gopher document rules and
+C4-style line cleaning, as shuffle-free codegen projections.
+
+Sources are the published recipes (public knowledge): the Gopher
+document-quality rules of Rae et al. 2021 ("Scaling Language Models",
+App. A1.1) and the C4 line filters of Raffel et al. 2020 ("Exploring
+the Limits of Transfer Learning", §2.2). These are the heuristics a
+real 100 TB curation run applies between language-ID and dedup — the
+learned classifier (``quality_model.py``) ranks, these hard-filter.
+
+Scale shape: every rule is a pure ``pyspark.sql.functions`` Column
+expression over the text column — whole-stage codegen, zero shuffles,
+zero Python. All expressions stay inside the RE2 ∩ Java ∩ DuckDB
+regex dialect so the driver oracle can replicate them byte-exactly
+(the same constraint ``corpus_hygiene.py`` holds for PII patterns).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import Column, DataFrame
+
+__all__ = [
+    "gopher_quality_flags",
+    "gopher_keep_col",
+    "c4_line_filter",
+    "GOPHER_STOPWORDS",
+]
+
+# Gopher requires >= 2 of these to appear in the document
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_BULLETS = ("•", "‣", "▪", "-", "*")
+
+
+def _words(c) -> "Column":
+    from pyspark.sql import functions as F
+
+    return F.split(F.trim(c), r"\s+")
+
+
+def _gopher_exprs(
+    c,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+):
+    """(stats dict, flags dict, keep Column) over text Column ``c``."""
+    from pyspark.sql import functions as F
+    words = _words(c)
+    n_words = F.size(words)
+    sum_word_len = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mean_word_len = sum_word_len / F.greatest(n_words, F.lit(1))
+    # Gopher counts '#' and ellipses as symbols
+    n_symbols = (
+        F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), F.lit(0)))
+    )
+    symbol_ratio = n_symbols / F.greatest(n_words, F.lit(1))
+
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), F.trim), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.substring(l, 1, 1).isin(*_BULLETS))
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: l.endswith("...") | l.endswith("…"),
+        )
+    )
+    bullet_ratio = n_bullet / F.greatest(n_lines, F.lit(1))
+    ellipsis_ratio = n_ellipsis / F.greatest(n_lines, F.lit(1))
+
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    )
+    alpha_ratio = n_alpha_words / F.greatest(n_words, F.lit(1))
+
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.when(c.rlike(rf"(^|[^A-Za-z]){w}([^A-Za-z]|$)"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+
+    r = lambda x: F.round(x, 4)  # noqa: E731 — stable float compare
+    stats = {
+        "n_words": n_words,
+        "mean_word_len": r(mean_word_len),
+        "symbol_word_ratio": r(symbol_ratio),
+        "bullet_line_ratio": r(bullet_ratio),
+        "ellipsis_line_ratio": r(ellipsis_ratio),
+        "alpha_word_ratio": r(alpha_ratio),
+        "stop_hits": stop_hits.cast("int"),
+    }
+    flags = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "word_len_ok": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "symbol_ok": symbol_ratio <= max_symbol_word_ratio,
+        "bullet_ok": bullet_ratio <= max_bullet_line_ratio,
+        "ellipsis_ok": ellipsis_ratio <= max_ellipsis_line_ratio,
+        "alpha_ok": alpha_ratio >= min_alpha_word_ratio,
+        "stopword_ok": stop_hits >= min_stop_hits,
+    }
+    keep = None
+    for e in flags.values():
+        keep = e if keep is None else keep & e
+    return stats, flags, keep
+
+
+def gopher_quality_flags(
+    df: "DataFrame", text_col: str = "text", **thresholds
+) -> "DataFrame":
+    """Per-document Gopher rule flags + the conjunctive keep bit.
+
+    Returns (doc_id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+    stop_hits, word_count_ok, word_len_ok, symbol_ok, bullet_ok,
+    ellipsis_ok, alpha_ok, stopword_ok, gopher_keep).
+
+    Thresholds default to the published values; each rule column is
+    exposed so downstream analysis can measure which rule fires (the
+    standard ablation when tuning a curation recipe).
+    """
+    from pyspark.sql import functions as F
+
+    stats, flags, keep = _gopher_exprs(F.col(text_col), **thresholds)
+    return df.select(
+        "doc_id",
+        *[e.alias(name) for name, e in stats.items()],
+        *[e.alias(name) for name, e in flags.items()],
+        keep.alias("gopher_keep"),
+    )
+
+
+def gopher_keep_col(text_col: str = "text", **thresholds) -> "Column":
+    """The conjunctive Gopher keep predicate as a bare Column — for
+    zero-join ``df.filter(gopher_keep_col())`` pipeline stages."""
+    from pyspark.sql import functions as F
+
+    _, _, keep = _gopher_exprs(F.col(text_col), **thresholds)
+    return keep
+
+
+def c4_line_filter(
+    df: "DataFrame",
+    text_col: str = "text",
+    *,
+    min_line_words: int = 5,
+    drop_markers: tuple = ("lorem ipsum", "javascript", "cookie policy"),
+    require_terminal_punct: bool = True,
+    min_kept_lines: int = 3,
+) -> "DataFrame":
+    """C4-style line-level cleaning: keep only lines that end in
+    terminal punctuation, carry >= ``min_line_words`` words, and do
+    not contain a drop marker; drop documents with fewer than
+    ``min_kept_lines`` surviving lines or any curly brace (code).
+
+    Returns the input columns with ``text`` REPLACED by the cleaned
+    newline-joined text, plus (n_lines_in, n_lines_kept). Everything
+    is a Column expression — the corpus is never shuffled and never
+    leaves the JVM.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), F.trim), lambda l: l != ""
+    )
+
+    def keep_line(l):
+        ok = F.size(F.split(l, r"\s+")) >= min_line_words
+        if require_terminal_punct:
+            ok = ok & (
+                l.endswith(".") | l.endswith("!") | l.endswith("?")
+                | l.endswith('."') | l.endswith(".”")
+            )
+        low = F.lower(l)
+        for m in drop_markers:
+            ok = ok & ~low.contains(m)
+        return ok
+
+    kept = F.filter(lines, keep_line)
+    doc_ok = (F.size(kept) >= min_kept_lines) & ~c.contains("{")
+    out_cols = [
+        F.col(n) if n != text_col else None for n in df.columns
+    ]
+    out_cols = [e for e in out_cols if e is not None]
+    return (
+        df.select(
+            *out_cols,
+            F.array_join(kept, "\n").alias(text_col),
+            F.size(lines).alias("n_lines_in"),
+            F.size(kept).alias("n_lines_kept"),
+        )
+        .filter(doc_ok)
+    )

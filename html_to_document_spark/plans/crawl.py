@@ -44,6 +44,7 @@ def build_crawl_pipeline(
     pack_budget: int | None = None,
     cache_registry: list | None = None,
     pdf_types: tuple = ("application/pdf",),
+    gopher_filter: bool = False,
 ) -> "DataFrame":
     """WARC files -> curated training corpus.
 
@@ -94,6 +95,7 @@ def build_crawl_pipeline(
         decontaminate_mode=decontaminate_mode,
         cache_registry=cache_registry,
         html_col="html",
+        gopher_filter=gopher_filter,
     )
 
     if mixture_targets is not None:

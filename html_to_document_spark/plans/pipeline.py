@@ -102,6 +102,7 @@ def build_training_pipeline(
     benchmark: "DataFrame | None" = None,
     decontaminate_mode: str = "paragraph",
     html_col: str | None = None,
+    gopher_filter: bool = False,
 ) -> "DataFrame":
     """(doc_id, spans[interleaved]) -> filtered, deduplicated corpus.
     ``html_col`` routes a raw-HTML source (e.g. a WARC scan) into the
@@ -122,7 +123,13 @@ def build_training_pipeline(
     re-shuffled). ``decontaminate_mode``: "paragraph" (exact paragraph
     equality) or "ngram" (sliding 13-gram overlap — the standard eval
     recipe; catches reflowed/lightly-edited contamination the exact
-    mode misses)."""
+    mode misses).
+
+    ``gopher_filter``: additionally apply the published Gopher
+    document-quality rules (``operators/quality_rules.py``) to the
+    assembled text — folded into the same codegen'd filter as the
+    lang/quality predicates, so it adds zero scans and zero
+    shuffles."""
     from pyspark.sql import functions as F
 
     spans = extract_spans_balanced(
@@ -163,6 +170,12 @@ def build_training_pipeline(
     ).filter(
         F.col("lang_pred").isin(*keep_langs) & (F.col("quality") >= min_quality)
     )
+    if gopher_filter:
+        from html_to_document_spark.operators.quality_rules import (
+            gopher_keep_col,
+        )
+
+        corpus = corpus.filter(gopher_keep_col("text"))
 
     # exact dedup (one shuffle on the 64-bit digest), then cut lineage:
     # everything below (LSH signature build + band self-join + final

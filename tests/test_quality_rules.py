@@ -1,0 +1,151 @@
+"""Gopher document rules + C4 line cleaning (published curation
+heuristics as codegen projections)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from html_to_document_spark.operators.quality_rules import (
+    c4_line_filter,
+    gopher_keep_col,
+    gopher_quality_flags,
+)
+
+GOOD = (
+    "the data and words that we have with all of "
+    + " ".join(f"word{i}" for i in range(60))
+    + "."
+)
+
+CASES = [
+    # (doc_id, text, failing flag or None)
+    (1, GOOD, None),
+    (2, "short text the and of", "word_count_ok"),
+    (3, " ".join(["the", "of", "and"] + ["supercalifragilistical"] * 60),
+     "word_len_ok"),
+    (4, GOOD.replace("word", "#word"), "symbol_ok"),
+    (5, "\n".join(
+        ["• bullet the and of have with more words in this line here"] * 20
+    ), "bullet_ok"),
+    (6, "\n".join([GOOD + " trailing..."] * 10), "ellipsis_ok"),
+    (7, "the and of that have with " + " ".join(["12345"] * 60), "alpha_ok"),
+    (8, " ".join([f"unique{i}" for i in range(60)]), "stopword_ok"),
+]
+
+FLAG_COLS = [
+    "word_count_ok", "word_len_ok", "symbol_ok", "bullet_ok",
+    "ellipsis_ok", "alpha_ok", "stopword_ok",
+]
+
+
+def test_each_rule_fires_exactly_on_its_case(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in CASES], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    for doc_id, _, failing in CASES:
+        r = rows[doc_id]
+        if failing is None:
+            assert r.gopher_keep, r
+            assert all(r[f] for f in FLAG_COLS)
+        else:
+            assert not r.gopher_keep
+            assert not r[failing], (doc_id, failing)
+            others = [f for f in FLAG_COLS if f != failing]
+            # each planted case violates ONLY its target rule
+            assert all(r[f] for f in others), (doc_id, r)
+
+
+def test_keep_col_equals_flags_frame(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in CASES], "doc_id long, text string"
+    )
+    via_flags = {
+        r.doc_id
+        for r in gopher_quality_flags(df).filter("gopher_keep").collect()
+    }
+    via_col = {r.doc_id for r in df.filter(gopher_keep_col()).collect()}
+    assert via_flags == via_col == {1}
+
+
+def test_thresholds_are_tunable(spark):
+    df = spark.createDataFrame([(2, "short text the and of")],
+                               "doc_id long, text string")
+    assert df.filter(gopher_keep_col(min_words=3)).count() == 1
+
+
+def test_plan_is_single_codegen_filter(spark):
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    plan = df.filter(gopher_keep_col())._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_c4_line_filter(spark):
+    text = "\n".join([
+        "A good long sentence with many words right here.",
+        "short one",
+        "Another solid line of useful text that ends properly.",
+        "No terminal punctuation in this line at all",
+        "A third proper sentence finishes this document nicely.",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit.",
+        "Please accept our cookie policy before reading this article.",
+    ])
+    df = spark.createDataFrame(
+        [(1, text),
+         (2, "only one proper line ends with a period here today."),
+         (3, "code { returns } plus a sentence ending with a period.\n"
+             "Another fine sentence with enough words ends here too.\n"
+             "A third complete sentence with plenty of words ends here.")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    assert r.n_lines_in == 7 and r.n_lines_kept == 3
+    kept = r.text.split("\n")
+    assert all(l[0] == "A" for l in kept)  # the three proper sentences
+    # doc 2: below min_kept_lines; doc 3: curly brace (code) rule
+
+
+def test_c4_preserves_other_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "u1", "One proper sentence with enough words ends here.\n" * 3)],
+        "doc_id long, url string, text string",
+    )
+    out = c4_line_filter(df)
+    assert out.columns == ["doc_id", "url", "text", "n_lines_in",
+                           "n_lines_kept"]
+    assert out.collect()[0].url == "u1"
+
+
+def test_pipeline_gopher_stage(spark):
+    """gopher_filter drops a rule-violating doc the base quality score
+    lets through."""
+    from html_to_document_spark.plans.pipeline import (
+        build_training_pipeline,
+    )
+
+    def doc(i, body):
+        return (f"d{i}", [{"kind": "text", "text": f"<p>{body}</p>",
+                           "media_ref": None, "offset": 0}])
+
+    good_body = GOOD
+    # violates only the symbol rule — line-structure-independent AND
+    # stopword-preserving, so base lang-ID still classifies it as en
+    symbol_heavy = GOOD.replace("word", "#word")
+    df = spark.createDataFrame(
+        [doc(0, good_body), doc(1, symbol_heavy)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    base = build_training_pipeline(
+        df, num_partitions=2, min_quality=0.0, materialize="none"
+    )
+    strict = build_training_pipeline(
+        df, num_partitions=2, min_quality=0.0, materialize="none",
+        gopher_filter=True,
+    )
+    assert {r.doc_id for r in base.collect()} == {"d0", "d1"}
+    assert {r.doc_id for r in strict.collect()} == {"d0"}
