@@ -112,6 +112,7 @@ def run_stream_pipeline(
     pii_scrub: bool = False,
     benchmark=None,
     decontaminate_mode: str = "paragraph",
+    gopher_filter: bool = False,
 ):
     """Streaming counterpart of plans.build_training_pipeline: continuous
     ingest -> span extraction -> (optional PII scrub, same projection as
@@ -164,6 +165,15 @@ def run_stream_pipeline(
             & (F.col("quality") >= min_quality)
         )
     )
+    if gopher_filter:
+        # batch parity: the same codegen'd rule predicate as
+        # plans.build_training_pipeline(gopher_filter=True) — a
+        # stateless projection, so it streams without a watermark
+        from html_to_document_spark.operators.quality_rules import (
+            gopher_keep_col,
+        )
+
+        corpus = corpus.filter(gopher_keep_col("text"))
     deduped = streaming_exact_dedup(corpus.select("doc_id", "text"))
     if benchmark is not None:
         # test-set decontamination with exact BATCH parity: foreachBatch

@@ -199,3 +199,39 @@ def test_stream_pipeline_decontaminate(spark, tmp_path):
                             decontaminate_mode="ngram")
         kept_ng = {r.doc_id for r in spark.read.parquet(out_ng).collect()}
         assert victim_id not in kept_ng
+
+
+def test_stream_pipeline_gopher_filter(spark, tmp_path):
+    """Batch-parity Gopher rules in the streaming plan: a symbol-heavy
+    doc passes the base filters but is dropped by gopher_filter."""
+    from html_to_document_spark.streaming.stateful import run_stream_pipeline
+
+    in_path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+
+    good = ("the data and words that we have with all of "
+            + " ".join(f"word{i}" for i in range(60)) + ".")
+    rows = [
+        ("keep", [{"kind": "text", "text": f"<p>{good}</p>",
+                   "media_ref": None, "offset": 0}]),
+        ("drop", [{"kind": "text",
+                   "text": "<p>" + good.replace("word", "#word") + "</p>",
+                   "media_ref": None, "offset": 0}]),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    ).write.parquet(in_path)
+
+    out_plain = str(tmp_path / "plain")
+    run_stream_pipeline(spark, in_path, out_plain, ckpt + "0",
+                        min_quality=0.0)
+    assert {r.doc_id for r in spark.read.parquet(out_plain).collect()} == \
+        {"keep", "drop"}
+
+    out_gopher = str(tmp_path / "gopher")
+    run_stream_pipeline(spark, in_path, out_gopher, ckpt + "1",
+                        min_quality=0.0, gopher_filter=True)
+    assert {r.doc_id for r in spark.read.parquet(out_gopher).collect()} == \
+        {"keep"}
