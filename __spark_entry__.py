@@ -874,20 +874,24 @@ def q_link_stats(spark, sf_dir):
     return d.select("doc_id", *[v.alias(k) for k, v in stats.items()])
 
 
-def q_multimodal_pipeline(spark, sf_dir):  # rows-only (binary plumbing)
+def q_multimodal_pipeline(spark, sf_dir):
     """One gated row for the whole decode / resize / frame-sample
-    family (the driver harness caps the gate at 50 queries — r3 lost
-    the last two registered rows to that cap, so the three multimodal
-    plumbing checks run as one union): every stage runs over binary
-    media columns and lands in a common (stage, doc_id, media_ref,
-    payload) frame. The array<float> features are to_json'd so the
-    driver's canonical sort can hash them (VERDICT r1 #2)."""
+    family (the driver harness caps the gate at 50 queries, so the
+    three plumbing checks run as one union), upgraded r4 from
+    rows-only to a REAL oracle: the decode stage's sha256 payload is
+    recomputed by DuckDB (utf-8 content), the resize stage gates the
+    surrogate's exact output shape (mime:WxH:n_bytes), and the frames
+    stage gates the duration-driven sampling positions. The iterated-
+    digest payloads (feature vectors, frame hashes) hash NON-UTF-8
+    byte strings, which DuckDB's varchar-only sha256 cannot express —
+    those stay pytest-pinned (tests/test_multimodal.py)."""
     from html_to_document_spark.operators.multimodal import (
+        decode_media,
         frame_sample,
         resize_images,
     )
 
-    d = _docs(spark, sf_dir).limit(50)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
     img = d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(F.lit("media://i/"), F.col("doc_id").cast("string")).alias(
@@ -920,23 +924,24 @@ def q_multimodal_pipeline(spark, sf_dir):  # rows-only (binary plumbing)
         F.lit("decode").alias("stage"),
         "doc_id",
         "media_ref",
-        F.to_json("feature").alias("payload"),
+        F.col("sha256").alias("payload"),
     )
-    resized = decode_media(
-        resize_images(img, 64, 64), fake=True, feature_dim=8
-    ).select(
+    resized = resize_images(img, 64, 64).select(
         F.lit("resize").alias("stage"),
         "doc_id",
         "media_ref",
-        F.to_json("feature").alias("payload"),
+        F.concat(
+            F.col("meta.mime"), F.lit(":"),
+            F.col("meta.width").cast("string"), F.lit("x"),
+            F.col("meta.height").cast("string"), F.lit(":"),
+            F.length("content").cast("string"),
+        ).alias("payload"),
     )
     frames = frame_sample(vid, every_ms=500, fake=True).select(
         F.lit("frames").alias("stage"),
         "doc_id",
         "media_ref",
-        F.concat(
-            F.col("frame_ms").cast("string"), F.lit(":"), F.col("frame")
-        ).alias("payload"),
+        F.col("frame_ms").cast("string").alias("payload"),
     )
     return decoded.unionByName(resized).unionByName(frames)
 
@@ -1566,6 +1571,22 @@ def oracle_sql() -> dict[str, str]:
             "  bulr <= 0.9 and ellr <= 0.3 and alpr >= 0.8 and "
             "  stop_hits >= 2 as gopher_keep"
             " from s"
+        ),
+        "multimodal_pipeline": (
+            "with d as (select * from documents where doc_id < 50) "
+            "select 'decode' as stage, cast(doc_id as varchar) as doc_id, "
+            "'media://i/' || cast(doc_id as varchar) as media_ref, "
+            "sha256(text) as payload from d "
+            "union all "
+            "select 'resize', cast(doc_id as varchar), "
+            "'media://i/' || cast(doc_id as varchar), "
+            "'image/png:64x64:128' from d "
+            "union all "
+            "select 'frames', cast(doc_id as varchar), "
+            "'media://v/' || cast(doc_id as varchar), "
+            "cast(g.ms as varchar) "
+            "from d, lateral (select unnest(generate_series(0, "
+            "cast((doc_id % 5 + 1) * 1000 as int) - 500, 500)) as ms) g"
         ),
         "pii_scrub": (
             "with t as ("
