@@ -314,3 +314,50 @@ def test_pdfs_to_html_into_pipeline(spark):
     assert row["html"] == "<p>from pdf</p>"
     spans = extract_spans_from_html(html_df).collect()[0]["spans"]
     assert [(s["kind"], s["text"]) for s in spans] == [("text", "from pdf")]
+
+
+# ------------------------------------------------------------------
+# property-based round trips
+# ------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+if _HAS_HYP:
+    _line = st.text(
+        alphabet=st.characters(
+            codec="cp1252", exclude_characters="\r\n\x00\x7f\xad"
+        ),
+        min_size=0,
+        max_size=40,
+    ).map(lambda s: " ".join(s.split()))  # writer emits trimmed lines
+    _page = st.lists(_line, min_size=1, max_size=8)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        pages=st.lists(_page, min_size=1, max_size=3),
+        variant=st.sampled_from(VARIANTS),
+    )
+    def test_property_roundtrip(pages, variant):
+        got = pdf_text_lines(make_pdf(pages, **variant))
+        want = []
+        for i, p in enumerate(pages):
+            if i:
+                want.append("")
+            want.extend(p)
+        assert got == want
+
+
+def test_tounicode_non_latin_text():
+    pages = [["héllo wörld", "日本語のテキスト", "mixed ascii & 漢字"]]
+    got = pdf_text_lines(make_pdf(pages, tounicode=True))
+    assert got == pages[0]
+
+
+def test_cp1252_accents_in_literal_strings():
+    pages = [["café résumé naïve"]]
+    assert pdf_text_lines(make_pdf(pages)) == pages[0]
