@@ -404,12 +404,28 @@ def q_url_filter_blocked(spark, sf_dir):
     return flag_blocked_domains(docs, bl).select("doc_id", "blocked")
 
 
-def q_ngram_profile(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        F.size(D.word_shingles(F.col("text"), 3)).cast("long").alias("n_shingles"),
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher n-gram repetition rules (top 2-4-gram and duplicate
+    5-10-gram character fractions vs published thresholds), oracle-
+    gated over the raw corpus plus a planted repeated-phrase tail on
+    every third doc. Replaced ngram_profile in the 50-row gate (r4):
+    the shingle machinery it projected stays gated through
+    dedup_minhash_pairs and jaccard_verify."""
+    from html_to_document_spark.operators.quality_rules import (
+        gopher_repetition_flags,
     )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.repeat(F.lit(" repeated segment phrase here now"), 20),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return gopher_repetition_flags(d)
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):
@@ -1039,7 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_exact_groups": q_dedup_exact_groups,
         "url_filter_blocked": q_url_filter_blocked,
-        "ngram_profile": q_ngram_profile,
+        "gopher_repetition": q_gopher_repetition,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
@@ -1293,13 +1309,75 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, doc_id % 5 in (0, 1) as blocked "
             "from documents"
         ),
-        "ngram_profile": (
-            "with w as (select doc_id, "
-            "string_split_regex(trim(text), '\\s+') as l from documents) "
-            "select doc_id, len(list_distinct(list_transform("
-            "range(1, greatest(len(l) - 2, 1) + 1), "
-            "i -> array_to_string(l[i:least(i+2, len(l))], ' ')))) "
-            "as n_shingles from w"
+        "gopher_repetition": (
+            "with v as ("
+            "  select doc_id, case when doc_id % 3 = 1 then text || "
+            "repeat(' repeated segment phrase here now', 20) "
+            "else text end as text from documents"
+            "), w as ("
+            "  select doc_id, length(text) as dc, "
+            "string_split_regex(trim(text), '\\s+') as words from v"
+            "), g as ("
+            # per-n unions: DuckDB's binder hits an internal error on
+            # the values+lateral formulation of this same expansion
+            + " union all ".join(
+                f"select doc_id, dc, {n} as n, "
+                f"unnest(list_transform(range(1, len(words) - {n} + 2), "
+                f"i -> array_to_string(words[i : i + {n} - 1], ' '))) "
+                f"as gram from w where len(words) >= {n}"
+                for n in (2, 3, 4, 5, 6, 7, 8, 9, 10)
+            )
+            + "), cnt as ("
+            "  select doc_id, n, gram, max(dc) as dc, count(*) as c, "
+            "length(gram) as gl from g group by doc_id, n, gram"
+            "), agg as ("
+            "  select doc_id, n,"
+            "    max(c * gl) / cast(max(dc) as double) as topf,"
+            "    least(coalesce(sum(case when c > 1 then c * gl end), 0) "
+            "/ cast(max(dc) as double), 1.0) as dupf"
+            "  from cnt group by doc_id, n"
+            ") select doc_id, "
+            + ", ".join(
+                f"floor(coalesce(max(case when n={n} then topf end), 0)"
+                f" * 10000 + 0.5)/10000 as top_{n}gram_char_frac"
+                for n in (2, 3, 4)
+            )
+            + ", "
+            + ", ".join(
+                f"floor(coalesce(max(case when n={n} then dupf end), 0)"
+                f" * 10000 + 0.5)/10000 as dup_{n}gram_char_frac"
+                for n in (5, 6, 7, 8, 9, 10)
+            )
+            + ", "
+            + ", ".join(
+                f"coalesce(max(case when n={n} then topf end), 0) <= {t} "
+                f"as top_{n}gram_ok"
+                for n, t in ((2, 0.20), (3, 0.18), (4, 0.16))
+            )
+            + ", "
+            + ", ".join(
+                f"coalesce(max(case when n={n} then dupf end), 0) <= {t} "
+                f"as dup_{n}gram_ok"
+                for n, t in (
+                    (5, 0.15), (6, 0.14), (7, 0.13),
+                    (8, 0.12), (9, 0.11), (10, 0.10),
+                )
+            )
+            + ", ("
+            + " and ".join(
+                [
+                    f"coalesce(max(case when n={n} then topf end), 0) <= {t}"
+                    for n, t in ((2, 0.20), (3, 0.18), (4, 0.16))
+                ]
+                + [
+                    f"coalesce(max(case when n={n} then dupf end), 0) <= {t}"
+                    for n, t in (
+                        (5, 0.15), (6, 0.14), (7, 0.13),
+                        (8, 0.12), (9, 0.11), (10, 0.10),
+                    )
+                ]
+            )
+            + ") as repetition_keep from agg group by doc_id"
         ),
         "ann_cosine_topk": (
             # explicit double left-folds mirroring the Spark expression

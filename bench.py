@@ -192,7 +192,7 @@ def run_headline_queries() -> dict[str, float]:
     names = [
         "extract_multi_block", "extract_table_linearize", "minify_normalize",
         "token_stats", "lang_id", "quality_score", "fingerprint",
-        "dedup_exact_groups", "dedup_minhash_pairs", "ngram_profile",
+        "dedup_exact_groups", "dedup_minhash_pairs", "gopher_repetition",
         "ann_cosine_topk", "pricing_summary", "revenue_by_nation",
         "top_events_per_user", "sessionize_events", "lineage_counts",
         # r4 hygiene additions (broadcast shapes — cheap, and their

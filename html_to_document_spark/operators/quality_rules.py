@@ -206,3 +206,107 @@ def c4_line_filter(
         )
         .filter(doc_ok)
     )
+
+
+# Rae et al. 2021, App. A1.1 — repetition thresholds
+TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition_flags(
+    df: "DataFrame",
+    text_col: str = "text",
+    *,
+    top_thresholds: dict = TOP_NGRAM_THRESHOLDS,
+    dup_thresholds: dict = DUP_NGRAM_THRESHOLDS,
+) -> "DataFrame":
+    """The Gopher n-gram repetition rules: per document, the fraction
+    of characters covered by the single most frequent word n-gram
+    (n=2..4) and by all duplicated word n-grams (n=5..10), each against
+    its published threshold, plus the conjunctive ``repetition_keep``.
+
+    Character fractions are (occurrences x gram chars) / doc chars —
+    overlapping occurrences are counted per occurrence (so the dup
+    fraction is capped at 1.0); this matches the cheap shuffle
+    definition, not a character-coverage bitmap, and is applied
+    identically in the DuckDB oracle.
+
+    Scale shape: ONE explode emits every (n, gram) occurrence with the
+    gram pre-hashed to 64 bits map-side — shuffle rows are
+    (doc_id, n, hash, gram_chars, doc_chars), never gram text (same
+    collision policy as exact_dedup). Two aggregations: per-gram count
+    (map-side combinable) then per-(doc, n), then a conditional-agg
+    pivot to one row per doc. All expressions JVM-side.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    words = _words(c)
+    all_ns = sorted(set(top_thresholds) | set(dup_thresholds))
+
+    def grams_for(n: int):
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - n + 1),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(words, i, n), " ").alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    exploded_grams = (
+        df.select(
+            "doc_id",
+            F.length(c).alias("_dc"),
+            F.explode(F.concat(*[grams_for(n) for n in all_ns])).alias("_g"),
+        )
+        .select(
+            "doc_id",
+            "_dc",
+            F.col("_g.n").alias("n"),
+            F.xxhash64("_g.g").alias("_gh"),
+            F.length("_g.g").alias("_gl"),
+        )
+    )
+    per_gram = exploded_grams.groupBy("doc_id", "n", "_gh").agg(
+        F.count("*").alias("_cnt"),
+        F.first("_gl").alias("_gl"),
+        F.first("_dc").alias("_dc"),
+    )
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        (F.max(F.col("_cnt") * F.col("_gl")) / F.max("_dc")).alias("_topf"),
+        F.least(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_cnt") > 1, F.col("_cnt") * F.col("_gl"))
+                ),
+                F.lit(0),
+            )
+            / F.max("_dc"),
+            F.lit(1.0),
+        ).alias("_dupf"),
+    )
+
+    r = lambda x: F.round(x, 4)  # noqa: E731
+    stat_cols, flag_exprs = [], []
+    for n, thr in sorted(top_thresholds.items()):
+        frac = F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("_topf"))), F.lit(0.0)
+        )
+        stat_cols.append(r(frac).alias(f"top_{n}gram_char_frac"))
+        flag_exprs.append((frac <= thr).alias(f"top_{n}gram_ok"))
+    for n, thr in sorted(dup_thresholds.items()):
+        frac = F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("_dupf"))), F.lit(0.0)
+        )
+        stat_cols.append(r(frac).alias(f"dup_{n}gram_char_frac"))
+        flag_exprs.append((frac <= thr).alias(f"dup_{n}gram_ok"))
+    keep = None
+    for e in flag_exprs:
+        keep = e if keep is None else keep & e
+
+    return per_n.groupBy("doc_id").agg(
+        *stat_cols, *flag_exprs, keep.alias("repetition_keep")
+    )

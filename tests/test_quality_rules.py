@@ -149,3 +149,52 @@ def test_pipeline_gopher_stage(spark):
     )
     assert {r.doc_id for r in base.collect()} == {"d0", "d1"}
     assert {r.doc_id for r in strict.collect()} == {"d0"}
+
+
+def test_repetition_flags(spark):
+    from html_to_document_spark.operators.quality_rules import (
+        gopher_repetition_flags,
+    )
+
+    clean = " ".join(f"distinct{i} token{i}" for i in range(30))
+    spammy = "spam phrase repeated here " * 30
+    top_heavy = ("the same pair " * 25) + " ".join(
+        f"filler{i}" for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, clean), (2, spammy), (3, top_heavy)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_repetition_flags(df).collect()}
+    r1 = rows[1]
+    assert r1.repetition_keep
+    assert r1.top_2gram_char_frac < 0.2 and r1.dup_5gram_char_frac == 0.0
+    r2 = rows[2]
+    assert not r2.repetition_keep
+    assert not r2.dup_5gram_ok and not r2.dup_10gram_ok
+    assert r2.dup_5gram_char_frac == 1.0  # capped
+    r3 = rows[3]
+    assert not r3.repetition_keep
+    assert not r3.top_2gram_ok  # one dominant 2-gram
+    # a doc shorter than every n yields no gram rows at all
+    short = spark.createDataFrame([(9, "one")], "doc_id long, text string")
+    assert gopher_repetition_flags(short).count() == 0
+
+
+def test_repetition_shuffle_carries_hash_not_text(spark):
+    from html_to_document_spark.operators.quality_rules import (
+        gopher_repetition_flags,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f g")],
+                               "doc_id long, text string")
+    plan = (
+        gopher_repetition_flags(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the exchange between the explode and the per-gram count must key
+    # on the 64-bit xxhash, never the gram string
+    import re
+    exch = [l for l in plan.split("\n") if "Exchange hashpartitioning" in l]
+    assert exch and all("xxhash64" in l or "_gh" in l or "doc_id" in l
+                        for l in exch)
