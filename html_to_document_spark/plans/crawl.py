@@ -45,6 +45,9 @@ def build_crawl_pipeline(
     cache_registry: list | None = None,
     pdf_types: tuple = ("application/pdf",),
     gopher_filter: bool = False,
+    repetition_filter: bool = False,
+    c4_clean: bool = False,
+    text_join: str = "space",
 ) -> "DataFrame":
     """WARC files -> curated training corpus.
 
@@ -96,6 +99,9 @@ def build_crawl_pipeline(
         cache_registry=cache_registry,
         html_col="html",
         gopher_filter=gopher_filter,
+        repetition_filter=repetition_filter,
+        c4_clean=c4_clean,
+        text_join=text_join,
     )
 
     if mixture_targets is not None:

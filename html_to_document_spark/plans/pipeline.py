@@ -103,6 +103,9 @@ def build_training_pipeline(
     decontaminate_mode: str = "paragraph",
     html_col: str | None = None,
     gopher_filter: bool = False,
+    repetition_filter: bool = False,
+    c4_clean: bool = False,
+    text_join: str = "space",
 ) -> "DataFrame":
     """(doc_id, spans[interleaved]) -> filtered, deduplicated corpus.
     ``html_col`` routes a raw-HTML source (e.g. a WARC scan) into the
@@ -129,7 +132,21 @@ def build_training_pipeline(
     document-quality rules (``operators/quality_rules.py``) to the
     assembled text — folded into the same codegen'd filter as the
     lang/quality predicates, so it adds zero scans and zero
-    shuffles."""
+    shuffles.
+
+    ``repetition_filter``: drop docs failing the Gopher n-gram
+    repetition thresholds (a doc_id-keyed anti-join against the
+    hash-shuffled repetition aggregate — the one rule family that
+    cannot be a projection).
+
+    ``c4_clean``: C4-style line cleaning of the assembled text before
+    scoring (line-ending punctuation, min words/line, drop markers);
+    docs with too few surviving lines are dropped.
+
+    ``text_join``: "space" (default, historical) or "newline" — the
+    separator between text spans in the assembled text. Line-based
+    rules (C4, Gopher bullet/ellipsis/dup-line) only see document line
+    structure under "newline"."""
     from pyspark.sql import functions as F
 
     spans = extract_spans_balanced(
@@ -137,8 +154,10 @@ def build_training_pipeline(
     )
 
     # assembled plain text per doc (text spans only), JVM-side
+    if text_join not in ("space", "newline"):
+        raise ValueError(f"unknown text_join {text_join!r}")
     text = F.concat_ws(
-        " ",
+        " " if text_join == "space" else "\n",
         F.filter(
             F.transform("spans", lambda s: F.when(s["kind"] == "text", s["text"])),
             lambda x: x.isNotNull() & (x != ""),
@@ -159,6 +178,12 @@ def build_training_pipeline(
     corpus = spans.select(
         "doc_id", F.to_json("spans").alias("_spans_json"), text.alias("text")
     ).filter(F.length("text") > 0)
+    if c4_clean:
+        from html_to_document_spark.operators.quality_rules import (
+            c4_line_filter,
+        )
+
+        corpus = c4_line_filter(corpus).drop("n_lines_in", "n_lines_kept")
 
     # per-row score projections — no join, no second extraction pass
     corpus = corpus.select(
@@ -176,6 +201,17 @@ def build_training_pipeline(
         )
 
         corpus = corpus.filter(gopher_keep_col("text"))
+    if repetition_filter:
+        from html_to_document_spark.operators.quality_rules import (
+            gopher_repetition_flags,
+        )
+
+        spam = (
+            gopher_repetition_flags(corpus)
+            .filter(~F.col("repetition_keep"))
+            .select("doc_id")
+        )
+        corpus = corpus.join(spam, "doc_id", "left_anti")
 
     # exact dedup (one shuffle on the 64-bit digest), then cut lineage:
     # everything below (LSH signature build + band self-join + final

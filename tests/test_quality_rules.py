@@ -198,3 +198,57 @@ def test_repetition_shuffle_carries_hash_not_text(spark):
     exch = [l for l in plan.split("\n") if "Exchange hashpartitioning" in l]
     assert exch and all("xxhash64" in l or "_gh" in l or "doc_id" in l
                         for l in exch)
+
+
+def test_pipeline_repetition_and_c4_stages(spark):
+    """repetition_filter drops a spam doc; c4_clean with newline join
+    strips unpunctuated lines and drops line-starved docs."""
+    from html_to_document_spark.plans.pipeline import (
+        build_training_pipeline,
+    )
+
+    def doc(name, blocks):
+        return (name, [
+            {"kind": "text", "text": f"<p>{b}</p>", "media_ref": None,
+             "offset": i}
+            for i, b in enumerate(blocks)
+        ])
+
+    # genuinely diverse lines: indexed tokens so no 5-gram repeats (a
+    # shared sentence TEMPLATE legitimately trips the dup-5gram rule —
+    # the first draft of this test proved that the hard way), plus one
+    # stopword-rich line so lang-ID still reads as English
+    sentences = [
+        " ".join(f"tok{i}word{j}" for j in range(9)) + " fine."
+        for i in range(5)
+    ] + ["We have the results that go with all of them now."]
+    spam_blocks = ["the spam phrase repeats here now again"] * 30
+    df = spark.createDataFrame(
+        [
+            doc("clean", sentences),
+            doc("spam", spam_blocks),
+            doc("noisy", sentences + ["no terminal punctuation line",
+                                      "menu home about contact"]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = build_training_pipeline(
+        df, num_partitions=2, min_quality=0.0, materialize="none",
+        text_join="newline", repetition_filter=True,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert "spam" not in ids and "clean" in ids
+
+    cleaned = build_training_pipeline(
+        df, num_partitions=2, min_quality=0.0, materialize="none",
+        text_join="newline", c4_clean=True,
+    )
+    rows = {r.doc_id: r for r in cleaned.collect()}
+    assert "clean" in rows
+    # the two junk lines are stripped from noisy's text
+    assert "no terminal punctuation line" not in rows.get(
+        "noisy", rows["clean"]
+    ).text
+    for r in rows.values():
+        assert all(l.endswith(".") for l in r.text.split("\n"))
