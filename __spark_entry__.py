@@ -529,18 +529,6 @@ def q_pdf_extract(spark, sf_dir):
     )
 
 
-def q_embedding_norms(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return emb.select("vec_id", TA.r4(norm).alias("l2_norm"))
-
-
 def q_embedding_near_dup(spark, sf_dir):  # rows-only (driver-seeded planes)
     emb = _emb(spark, sf_dir)
     mirror = emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"),
@@ -1332,7 +1320,10 @@ def oracle_sql() -> dict[str, str]:
             "length(gram) as gl from g group by doc_id, n, gram"
             "), agg as ("
             "  select doc_id, n,"
-            "    max(c * gl) / cast(max(dc) as double) as topf,"
+            # argmax by count, ties by covered chars (struct max —
+            # same lexicographic semantics as the Spark expression)
+            "    max(struct_pack(c := c, p := c * gl)).p "
+            "/ cast(max(dc) as double) as topf,"
             "    least(coalesce(sum(case when c > 1 then c * gl end), 0) "
             "/ cast(max(dc) as double), 1.0) as dupf"
             "  from cnt group by doc_id, n"

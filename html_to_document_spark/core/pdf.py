@@ -546,7 +546,6 @@ class _PdfDoc:
                     else len(payload) - int(first)
                 )
                 extra[onum] = payload[int(first) + off : int(first) + end]
-        base = len(self.data)
         if extra:
             # append member bodies to the buffer so spans stay uniform
             blob = bytearray(self.data)
@@ -557,7 +556,6 @@ class _PdfDoc:
                 blob += body
                 self.objs[onum] = (start, len(blob))
             self.data = bytes(blob)
-        del base
 
     # -- page tree ----------------------------------------------------
 

@@ -216,24 +216,60 @@ def extract_spans_balanced(
     flat = df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         html_expr.alias("html"),
-    ).repartition(num_partitions, F.xxhash64("doc_id", F.lit(salt_seed)))
-    is_giant = F.length("html") > giant_bytes
-    small_out = _run_extract(flat.filter(~is_giant), options)
-    # explicit hash-column repartition: round-robin repartition(n) is
-    # subject to AQE rebalancing, which coalesced all giants onto a few
-    # tasks (measured: wall identical at 8 and 32 cores). A distinct
-    # hash per giant doc pins ~1 giant per task. giant_pool_factor
-    # widens the pool for finer scheduling — measured SLOWER here
-    # (same-session A/B at local[8], 60 giants: factor 8 cost +2-3s on
-    # ~15s; task/shuffle overhead beats the straggler-variance win at
-    # this giant density), so the default stays 1; the knob documents
-    # the measurement and serves corpora with heavier giant tails
-    giant_out = _run_extract(
-        flat.filter(is_giant).repartition(
+    )
+    return balanced_map_in_arrow(
+        flat,
+        "html",
+        _arrow_extract_fn(options, None),
+        META_OUTPUT_SCHEMA if options.with_meta else OUTPUT_SCHEMA,
+        num_partitions=num_partitions,
+        giant_bytes=giant_bytes,
+        salt_seed=salt_seed,
+        giant_pool_factor=giant_pool_factor,
+    )
+
+
+def balanced_map_in_arrow(
+    flat: "DataFrame",
+    size_col: str,
+    fn,
+    schema: str,
+    *,
+    num_partitions: int,
+    giant_bytes: int,
+    salt_seed: int = 42,
+    giant_pool_factor: int = 1,
+) -> "DataFrame":
+    """The skew-routing policy, shared by every balanced Arrow stage
+    (HTML extraction, PDF extraction): salted even-spread repartition,
+    then giants (``length(size_col) > giant_bytes``, JVM-computed so
+    the predicate stays above the UDF) re-routed to their own
+    explicit-hash pool. One copy of the policy — the AQE lessons below
+    apply to every caller.
+
+    Explicit hash-column repartition: round-robin repartition(n) is
+    subject to AQE rebalancing, which coalesced all giants onto a few
+    tasks (measured: wall identical at 8 and 32 cores). A distinct
+    hash per giant doc pins ~1 giant per task. giant_pool_factor
+    widens the pool for finer scheduling — measured SLOWER here
+    (same-session A/B at local[8], 60 giants: factor 8 cost +2-3s on
+    ~15s; task/shuffle overhead beats the straggler-variance win at
+    this giant density), so the default stays 1; the knob documents
+    the measurement and serves corpora with heavier giant tails."""
+    from pyspark.sql import functions as F
+
+    flat = flat.repartition(
+        num_partitions, F.xxhash64("doc_id", F.lit(salt_seed))
+    )
+    is_giant = F.length(size_col) > giant_bytes
+    small_out = flat.filter(~is_giant).mapInArrow(fn, schema)
+    giant_out = (
+        flat.filter(is_giant)
+        .repartition(
             num_partitions * giant_pool_factor,
             F.xxhash64("doc_id", F.lit(salt_seed + 1)),
-        ),
-        options,
+        )
+        .mapInArrow(fn, schema)
     )
     return small_out.unionByName(giant_out)
 

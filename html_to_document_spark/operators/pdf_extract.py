@@ -87,15 +87,21 @@ def extract_pdf_spans(
     num_partitions: int | None = None,
     giant_bytes: int = GIANT_PDF_BYTES,
     salt_seed: int = 42,
+    giant_pool_factor: int = 1,
 ) -> "DataFrame":
     """(doc_id, <binary pdf>) -> (doc_id, spans).
 
-    With ``num_partitions`` set, applies the same salted + giant-routed
-    balancing as ``extract_spans_balanced`` (size skew from scanned /
-    media-heavy PDFs is worse than HTML page skew). NULL or non-PDF
+    With ``num_partitions`` set, applies the shared skew-routing policy
+    (``extract_spans.balanced_map_in_arrow`` — one copy of the salted +
+    giant-routed logic and its AQE lessons); size skew from scanned /
+    media-heavy PDFs is worse than HTML page skew. NULL or non-PDF
     payloads yield zero spans, not errors — corpus policy everywhere
     in this engine."""
     from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.extract_spans import (
+        balanced_map_in_arrow,
+    )
 
     flat = df.select(
         F.col(doc_id_col).cast("string").alias("doc_id"),
@@ -104,19 +110,16 @@ def extract_pdf_spans(
     schema = META_OUTPUT_SCHEMA if options.with_meta else OUTPUT_SCHEMA
     if num_partitions is None:
         return flat.mapInArrow(_arrow_pdf_fn(options, pdf_col), schema)
-    flat = flat.repartition(
-        num_partitions, F.xxhash64("doc_id", F.lit(salt_seed))
+    return balanced_map_in_arrow(
+        flat,
+        pdf_col,
+        _arrow_pdf_fn(options, pdf_col),
+        schema,
+        num_partitions=num_partitions,
+        giant_bytes=giant_bytes,
+        salt_seed=salt_seed,
+        giant_pool_factor=giant_pool_factor,
     )
-    is_giant = F.length(pdf_col) > giant_bytes
-    small = flat.filter(~is_giant).mapInArrow(
-        _arrow_pdf_fn(options, pdf_col), schema
-    )
-    giant = (
-        flat.filter(is_giant)
-        .repartition(num_partitions, F.xxhash64("doc_id", F.lit(salt_seed + 1)))
-        .mapInArrow(_arrow_pdf_fn(options, pdf_col), schema)
-    )
-    return small.unionByName(giant)
 
 
 def pdfs_to_html(

@@ -179,32 +179,43 @@ def c4_line_filter(
         F.transform(F.split(c, r"\n"), F.trim), lambda l: l != ""
     )
 
+    _TERMINALS = (".", "!", "?", '."', ".”", '!"', "!”", '?"', "?”")
+
     def keep_line(l):
         ok = F.size(F.split(l, r"\s+")) >= min_line_words
         if require_terminal_punct:
-            ok = ok & (
-                l.endswith(".") | l.endswith("!") | l.endswith("?")
-                | l.endswith('."') | l.endswith(".”")
-            )
+            punct = None
+            for t in _TERMINALS:
+                e = l.endswith(t)
+                punct = e if punct is None else punct | e
+            ok = ok & punct
         low = F.lower(l)
         for m in drop_markers:
             ok = ok & ~low.contains(m)
         return ok
 
     kept = F.filter(lines, keep_line)
-    doc_ok = (F.size(kept) >= min_kept_lines) & ~c.contains("{")
     out_cols = [
         F.col(n) if n != text_col else None for n in df.columns
     ]
     out_cols = [e for e in out_cols if e is not None]
+    # the code rule (curly brace) must see the ORIGINAL text — line
+    # cleaning may strip the very line that carries the brace; computed
+    # as a column here so the post-select filter reuses it and
+    # n_lines_kept instead of re-deriving the expression trees
     return (
         df.select(
             *out_cols,
             F.array_join(kept, "\n").alias(text_col),
             F.size(lines).alias("n_lines_in"),
             F.size(kept).alias("n_lines_kept"),
+            c.contains("{").alias("_had_brace"),
         )
-        .filter(doc_ok)
+        .filter(
+            (F.col("n_lines_kept") >= min_kept_lines)
+            & ~F.col("_had_brace")
+        )
+        .drop("_had_brace")
     )
 
 
@@ -275,8 +286,20 @@ def gopher_repetition_flags(
         F.first("_gl").alias("_gl"),
         F.first("_dc").alias("_dc"),
     )
+    # "most frequent n-gram" = argmax by count (ties broken by covered
+    # chars, lexicographic struct max — identical semantics in the
+    # DuckDB oracle); a long count-1 gram must NOT beat a short
+    # frequent one, so max(count*len) alone would be wrong
     per_n = per_gram.groupBy("doc_id", "n").agg(
-        (F.max(F.col("_cnt") * F.col("_gl")) / F.max("_dc")).alias("_topf"),
+        (
+            F.max(
+                F.struct(
+                    F.col("_cnt").alias("c"),
+                    (F.col("_cnt") * F.col("_gl")).alias("p"),
+                )
+            )["p"]
+            / F.max("_dc")
+        ).alias("_topf"),
         F.least(
             F.coalesce(
                 F.sum(

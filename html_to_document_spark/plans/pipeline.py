@@ -201,7 +201,20 @@ def build_training_pipeline(
         )
 
         corpus = corpus.filter(gopher_keep_col("text"))
+
+    # exact dedup (one shuffle on the 64-bit digest), then cut lineage:
+    # everything below (LSH signature build + band self-join + final
+    # anti-join) re-reads this one materialized corpus
+    corpus = _materialize(exact_dedup(corpus), materialize)
+    if cache_registry is not None and materialize == "persist":
+        cache_registry.append(corpus)
+
     if repetition_filter:
+        # AFTER materialization: the flags aggregate and the anti-join
+        # left side both branch off the corpus, so branching above the
+        # materialize point would run the mapInArrow extraction TWICE
+        # (exact dups share identical text, hence identical flags —
+        # ordering relative to dedup doesn't change the surviving set)
         from html_to_document_spark.operators.quality_rules import (
             gopher_repetition_flags,
         )
@@ -212,13 +225,6 @@ def build_training_pipeline(
             .select("doc_id")
         )
         corpus = corpus.join(spam, "doc_id", "left_anti")
-
-    # exact dedup (one shuffle on the 64-bit digest), then cut lineage:
-    # everything below (LSH signature build + band self-join + final
-    # anti-join) re-reads this one materialized corpus
-    corpus = _materialize(exact_dedup(corpus), materialize)
-    if cache_registry is not None and materialize == "persist":
-        cache_registry.append(corpus)
 
     if benchmark is not None:
         from html_to_document_spark.operators.corpus_hygiene import (

@@ -71,21 +71,31 @@ def _walk_warc_records(data: bytes) -> list[tuple[str, str, str, bytes]]:
         rtype = headers.get("warc-type", "")
         if rtype not in _WANTED_TYPES:
             continue
+        http_ctype = None
         if rtype == "response" and (
             body[:5] == b"HTTP/" or body[:5] == b"http/"
         ):
-            # strip the wrapped HTTP header block
+            # strip the wrapped HTTP header block, keeping its
+            # Content-Type — wget/heritrix archives carry the payload
+            # type ONLY here (no WARC-Identified-Payload-Type)
             http_end = body.find(b"\r\n\r\n")
             if http_end >= 0:
+                for hline in body[:http_end].split(b"\r\n")[1:]:
+                    k, sep, v = hline.partition(b":")
+                    if sep and k.strip().lower() == b"content-type":
+                        http_ctype = (
+                            v.strip().decode("latin-1").split(";")[0].strip()
+                        )
                 body = body[http_end + 4 :]
         out.append(
             (
                 headers.get("warc-record-id", "").strip("<>"),
                 headers.get("warc-target-uri", ""),
-                # for response records the WARC-level Content-Type is
-                # just "application/http"; crawls put the sniffed
-                # payload type in WARC-Identified-Payload-Type
+                # payload-type priority: the crawler's sniffed type,
+                # then the HTTP header's, then the WARC-level one
+                # (which for response records is just application/http)
                 headers.get("warc-identified-payload-type")
+                or http_ctype
                 or headers.get("content-type", ""),
                 body,
             )

@@ -252,3 +252,45 @@ def test_pipeline_repetition_and_c4_stages(spark):
     ).text
     for r in rows.values():
         assert all(l.endswith(".") for l in r.text.split("\n"))
+
+
+def test_c4_brace_rule_sees_original_text(spark):
+    """A code line stripped by line cleaning must still trigger the
+    document-level curly-brace drop (review finding: the rule must
+    evaluate the ORIGINAL text, not the cleaned text)."""
+    text = ("function handle() {\n"
+            "A proper sentence with plenty of words ends here.\n"
+            "Another proper sentence with plenty of words ends here.\n"
+            "A third proper sentence with plenty of words ends here.")
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    assert c4_line_filter(df).count() == 0
+
+
+def test_c4_keeps_quoted_exclamations(spark):
+    text = ('She shouted across the room, "We finally won the game!"\n'
+            "A proper sentence with plenty of words ends here.\n"
+            'Did anyone actually expect that outcome to happen today?"\n')
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = c4_line_filter(df).collect()
+    assert rows and rows[0].n_lines_kept == 3
+
+
+def test_top_ngram_is_argmax_by_count_not_product(spark):
+    """A single long unique n-gram must not beat a short frequent one
+    (review finding: max(count*len) alone deviates from 'the most
+    frequently-occurring n-gram')."""
+    from html_to_document_spark.operators.quality_rules import (
+        gopher_repetition_flags,
+    )
+
+    # "of the" occurs 3x (most frequent 2-gram, tiny); one very long
+    # unique 2-gram would dominate a max-product formula
+    text = (
+        "of the alpha of the bravo of the "
+        "supercalifragilisticexpialidocious pneumonoultramicroscopic "
+        + " ".join(f"w{i}" for i in range(40))
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_repetition_flags(df).collect()[0]
+    # most frequent 2-gram = "of the" (3 occurrences, 6 chars) -> tiny
+    assert r.top_2gram_char_frac < 0.12, r.top_2gram_char_frac

@@ -121,3 +121,35 @@ def test_read_warc_binary_types_keeps_pdf_bytes(spark, tmp_path):
     # text records are untouched and carry no payload bytes
     assert rows["urn:uuid:r1"].content is None
     assert rows["urn:uuid:r1"].html == "<h1>Title</h1><p>body one</p>"
+
+
+def test_http_content_type_used_when_no_identified_payload(spark, tmp_path):
+    """wget/heritrix archives carry the payload type only in the HTTP
+    header; the walker must surface it (review finding)."""
+    from html_to_document_spark.core.pdf import pdf_text_lines
+    from html_to_document_spark.sources.pdf_synth import make_pdf
+
+    pdf = make_pdf([["wget style pdf"]])
+    payload = (b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+               + pdf)
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:wg1>\r\n"
+        f"WARC-Target-URI: http://w.example/a.pdf\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    (tmp_path / "w.warc").write_bytes(head + payload + b"\r\n\r\n")
+    df = read_warc(spark, str(tmp_path), binary_types=("application/pdf",))
+    row = df.collect()[0]
+    assert row.content_type == "application/pdf"
+    assert row.html is None
+    assert pdf_text_lines(bytes(row.content)) == ["wget style pdf"]
+    # and the charset-parameter form still resolves to the bare type
+    recs = parse_warc_bytes(
+        head.replace(b"Content-Type: application/http; msgtype=response",
+                     b"Content-Type: application/http")
+        + payload.replace(b"application/pdf",
+                          b"text/html; charset=UTF-8 ") + b"\r\n\r\n")
+    assert recs[0][2] == "text/html"
