@@ -331,6 +331,40 @@ def q_fingerprint(spark, sf_dir):
     return TA.fingerprint(_docs(spark, sf_dir))
 
 
+def q_token_fingerprint(spark, sf_dir):
+    """token_stats + fingerprint merged into one gate row (r4) —
+    both are pure projections of the same table, so a doc_id join
+    gates the identical values while freeing a slot under the 50-row
+    cap for substring_dedup_ranges."""
+    return q_token_stats(spark, sf_dir).join(
+        q_fingerprint(spark, sf_dir), "doc_id"
+    )
+
+
+def q_substring_dedup_ranges(spark, sf_dir):
+    """ExactSubstr marking (Lee et al. 2021 hash form): every third/
+    fourth doc gets the same planted 30-word tail, so its 20-gram
+    windows duplicate corpus-wide; the gate checks the exact marked
+    (doc_id, pos) set with the global-min keeper excluded. The oracle
+    groups raw grams where Spark groups xxhash64 digests — the same
+    collision-tolerance contract as exact_dedup."""
+    from html_to_document_spark.operators.substring_dedup import (
+        exact_substring_ranges,
+    )
+
+    tail = " " + " ".join(f"shb{i}" for i in range(30))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 4 == 1) | (F.col("doc_id") % 4 == 3),
+            F.concat(F.col("text"), F.lit(tail)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return exact_substring_ranges(d, n=20).select(
+        "doc_id", F.col("pos").cast("int").alias("pos")
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style within-doc repetition signals over planted
     duplicate-line docs (documents.text has few natural dup lines)."""
@@ -1033,10 +1067,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pipeline": q_multimodal_pipeline,
         "training_pipeline": q_training_pipeline,
         # text analysis
-        "token_stats": q_token_stats,
+        # token_stats + fingerprint merged r4 (same-table projections,
+        # identical values gated) to admit substring_dedup_ranges
+        "token_fingerprint": q_token_fingerprint,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
+        "substring_dedup_ranges": q_substring_dedup_ranges,
         "repetition_stats": q_repetition_stats,
         "corpus_stats": q_corpus_stats,
         "top_ngram_stats": q_top_ngram_stats,
@@ -1191,8 +1227,8 @@ def oracle_sql() -> dict[str, str]:
         "style_normalize": (
             """select doc_id, 'border-bottom-color=663399;border-bottom-style=solid;border-bottom-width=2px;border-left-color=663399;border-left-style=solid;border-left-width=2px;border-right-color=663399;border-right-style=solid;border-right-width=2px;border-top-color=663399;border-top-style=solid;border-top-width=2px;color=FF6347;margin-bottom=' || cast(n_chars % 10 as varchar) || 'px;margin-left=' || cast(n_chars % 10 as varchar) || 'px;margin-right=' || cast(n_chars % 10 as varchar) || 'px;margin-top=' || cast(n_chars % 10 as varchar) || 'px' as normalized from documents"""
         ),
-        "token_stats": (
-            "select doc_id, length(text) as n_chars_measured, "
+        "token_fingerprint": (
+            "with t as (select doc_id, length(text) as n_chars_measured, "
             "len(string_split_regex(trim(text), '\\s+')) as n_tokens_ws, "
             "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) "
             "as n_tokens_bpe, "
@@ -1200,6 +1236,33 @@ def oracle_sql() -> dict[str, str]:
             "len(string_split_regex(trim(text), '\\s+')) * 10000 + 0.5) / 10000.0 "
             "as avg_token_len "
             "from documents"
+            "), fw as (select doc_id, "
+            "string_split_regex(trim(text), '\\s+') as l from documents"
+            "), f as (select doc_id, "
+            "cast(list_sum(list_transform(range(1, len(l) + 1), "
+            "i -> i * (ascii(l[i][1]) * 31 + length(l[i])))) "
+            f"% {FINGERPRINT_MOD} as bigint) as fp from fw"
+            ") select t.*, f.fp from t join f using (doc_id)"
+        ),
+        "substring_dedup_ranges": (
+            "with v as (select doc_id, case when doc_id % 4 = 1 or "
+            "doc_id % 4 = 3 then text || ' "
+            + " ".join(f"shb{i}" for i in range(30))
+            + "' else text end as text from documents"
+            "), w as (select doc_id, "
+            "string_split_regex(trim(text), '\\s+') as words from v"
+            "), o as (select doc_id, cast(occ.pos as int) as pos, "
+            "occ.gram as gram from ("
+            "  select doc_id, unnest(list_transform("
+            "range(0, len(words) - 20 + 1), i -> struct_pack(pos := i, "
+            "gram := array_to_string(words[i+1 : i+20], ' ')))) as occ "
+            "from w where len(words) >= 20)"
+            "), k as (select gram, count(*) as c, "
+            "min(struct_pack(doc_id := doc_id, pos := pos)) as keep "
+            "from o group by gram"
+            ") select o.doc_id, o.pos from o join k using (gram) "
+            "where k.c > 1 and not (o.doc_id = k.keep.doc_id "
+            "and o.pos = k.keep.pos)"
         ),
         "lang_id": (
             "with s as (select doc_id, "
@@ -1231,13 +1294,6 @@ def oracle_sql() -> dict[str, str]:
             "floor((0.5 * len_score + 0.3 * least(stopword_ratio * 5, 1.0) "
             "+ 0.2 * (1 - least(punct_ratio * 10, 1.0))) * 10000 + 0.5) "
             "/ 10000.0 as quality from r"
-        ),
-        "fingerprint": (
-            "with w as (select doc_id, "
-            "string_split_regex(trim(text), '\\s+') as l from documents) "
-            "select doc_id, cast(list_sum(list_transform(range(1, len(l) + 1), "
-            "i -> i * (ascii(l[i][1]) * 31 + length(l[i])))) "
-            f"% {FINGERPRINT_MOD} as bigint) as fp from w"
         ),
         "repetition_stats": (
             "with d as (select doc_id, text || chr(10) || source || chr(10) "

@@ -1,0 +1,148 @@
+"""Cross-document exact substring deduplication (the ExactSubstr
+technique of Lee et al. 2021, "Deduplicating Training Data Makes
+Language Models Better"), as the hash-marking approximation standard
+in open Spark pipelines: every word ``n``-gram occurrence is hashed;
+any gram occurring more than once in the corpus (across OR within
+documents) keeps its globally-first occurrence and marks every other
+occurrence's word range for removal.
+
+Differences from the paper's suffix-array formulation, stated plainly:
+ranges are fixed-length n-gram windows merged per document (not
+maximal repeated substrings), one pass (removal can create new
+adjacent duplicates that a re-run would catch), and removal rejoins
+words with single spaces (the same tokenization the grams were built
+from).
+
+Scale shape (100 TB lens):
+- the gram explode emits (8-byte xxhash64, doc_id, pos) — the gram
+  TEXT never enters a shuffle (collision policy as ``exact_dedup``).
+- duplicated-gram detection and keeper selection are ONE groupBy on
+  the hash (map-side combinable count + struct-min), and the mark join
+  is hash-keyed against that aggregate — same key as the groupBy, so
+  the exchange is reused. A boilerplate gram shared by millions of
+  docs skews ONE JOIN KEY, which AQE's skew-join handles by splitting
+  the probe side (unlike the LSH self-join case, no quadratic blowup —
+  the build side holds exactly one row per hash).
+- the rebuild stage shuffles (doc_id, sorted positions) — ints, not
+  text — and rejoins the corpus once, doc-keyed.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+__all__ = ["exact_substring_ranges", "exact_substring_dedup"]
+
+
+def _gram_occurrences(df: "DataFrame", text_col: str, id_col: str, n: int):
+    from pyspark.sql import functions as F
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.size(words) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(
+                            F.array_join(F.slice(words, i + 1, n), " ")
+                        ).alias("gh"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gh:long>>"))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+
+
+def exact_substring_ranges(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+) -> "DataFrame":
+    """Marked occurrences: (doc_id, pos) word positions starting an
+    ``n``-gram that appears elsewhere in the corpus, EXCLUDING the
+    global keeper occurrence (min by (doc_id, pos) — deterministic
+    under any partitioning). Feed to :func:`exact_substring_dedup` or
+    inspect directly for corpus forensics."""
+    from pyspark.sql import functions as F
+
+    grams = _gram_occurrences(df, text_col, id_col, n)
+    keepers = grams.groupBy("gh").agg(
+        F.count("*").alias("_cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("_keep"),
+    )
+    return (
+        grams.join(keepers.filter(F.col("_cnt") > 1), "gh")
+        .filter(
+            (F.col("doc_id") != F.col("_keep.doc_id"))
+            | (F.col("pos") != F.col("_keep.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+
+
+def exact_substring_dedup(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+) -> "DataFrame":
+    """Corpus with duplicated ``n``-word substrings removed (keeper
+    occurrence retained). Returns the input columns with ``text_col``
+    replaced plus ``n_words_removed``; documents whose text empties
+    entirely are dropped. Whitespace normalizes to single spaces (the
+    gram tokenization)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    marked = (
+        exact_substring_ranges(df, text_col, id_col, n)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_marked"))
+    )
+    src = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        *[c for c in df.columns if c != id_col],
+    )
+    joined = src.join(marked, "doc_id", "left")
+
+    other = [c for c in joined.columns if c not in (text_col, "_marked")]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in joined.schema.fields
+        if f.name in other
+    ) + f", {text_col} string, n_words_removed int"
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pdf[other].copy()
+            texts, removed = [], []
+            for text, pos_list in zip(pdf[text_col], pdf["_marked"]):
+                words = re.split(r"\s+", text.strip()) if text else []
+                if pos_list is None or len(pos_list) == 0:
+                    texts.append(" ".join(words))
+                    removed.append(0)
+                    continue
+                covered = set()
+                for p in pos_list:
+                    covered.update(range(int(p), int(p) + n))
+                kept = [w for i, w in enumerate(words) if i not in covered]
+                texts.append(" ".join(kept))
+                removed.append(len(words) - len(kept))
+            out[text_col] = texts
+            out["n_words_removed"] = removed
+            yield out
+
+    return (
+        joined.mapInPandas(fn, schema)
+        .filter(F.length(text_col) > 0)
+    )

@@ -1,0 +1,96 @@
+"""Exact substring dedup (Lee et al. 2021 hash-marking form)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from html_to_document_spark.operators.substring_dedup import (
+    exact_substring_dedup,
+    exact_substring_ranges,
+)
+
+SHARED = " ".join(f"boiler{i}" for i in range(8))  # 8-word shared block
+
+
+def _corpus(spark):
+    rows = [
+        ("a", "alpha one two three " + SHARED + " tail aaa bbb"),
+        ("b", "totally different words " + SHARED + " ending here now"),
+        ("c", "no overlap with anything else at all whatsoever today"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_ranges_mark_non_keeper_only(spark):
+    df = _corpus(spark)
+    marked = {(r.doc_id, r.pos)
+              for r in exact_substring_ranges(df, n=8).collect()}
+    # SHARED starts at word 4 in doc a (keeper: min (doc_id, pos)) and
+    # word 3 in doc b -> only b's occurrence is marked
+    assert ("b", 3) in marked
+    assert all(d != "a" for d, _ in marked) or ("a", 4) not in marked
+    assert all(d != "c" for d, _ in marked)
+
+
+def test_dedup_removes_from_non_keeper(spark):
+    df = _corpus(spark)
+    out = {r.doc_id: r for r in exact_substring_dedup(df, n=8).collect()}
+    assert out["a"].text == (
+        "alpha one two three " + SHARED + " tail aaa bbb"
+    )
+    assert out["a"].n_words_removed == 0
+    assert SHARED.split()[0] not in out["b"].text
+    assert out["b"].text == "totally different words ending here now"
+    assert out["b"].n_words_removed == 8
+    assert out["c"].n_words_removed == 0
+
+
+def test_within_doc_repeat_keeps_first(spark):
+    text = SHARED + " middle words go here " + SHARED
+    df = spark.createDataFrame([("x", text)], "doc_id string, text string")
+    out = exact_substring_dedup(df, n=8).collect()[0]
+    assert out.text == SHARED + " middle words go here"
+    assert out.n_words_removed == 8
+
+
+def test_overlapping_ranges_merge(spark):
+    # a 10-word shared block yields three overlapping 8-gram marks in
+    # the non-keeper; coverage must merge, not triple-count
+    block = " ".join(f"s{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [("a", "lead words " + block), ("b", block + " trail words")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in exact_substring_dedup(df, n=8).collect()}
+    assert out["b"].text == "trail words"
+    assert out["b"].n_words_removed == 10
+
+
+def test_doc_fully_covered_is_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", SHARED + " and some extra"), ("b", SHARED)],
+        "doc_id string, text string",
+    )
+    ids = {r.doc_id for r in exact_substring_dedup(df, n=8).collect()}
+    assert ids == {"a"}
+
+
+def test_short_docs_pass_through(spark):
+    df = spark.createDataFrame(
+        [("a", "tiny"), ("b", "also small")], "doc_id string, text string"
+    )
+    out = {r.doc_id: r.text for r in exact_substring_dedup(df, n=8).collect()}
+    assert out == {"a": "tiny", "b": "also small"}
+
+
+def test_deterministic_under_repartition(spark):
+    df = _corpus(spark)
+    a = sorted(
+        (r.doc_id, r.text)
+        for r in exact_substring_dedup(df.repartition(7), n=8).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.text)
+        for r in exact_substring_dedup(df.coalesce(1), n=8).collect()
+    )
+    assert a == b
