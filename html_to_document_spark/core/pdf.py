@@ -796,6 +796,15 @@ def _page_lines(content: bytes, fonts: dict[str, _Font]) -> list[str]:
                 font = fonts.get(stack[-2].name, _DEFAULT_FONT)
         elif op == b"BT":
             cur_y = None
+        elif op == b"BI":
+            # inline image: raw binary follows ID up to a whitespace-
+            # delimited EI — must NOT reach the lexer (its bytes can
+            # resemble string/operator tokens and leak garbage text)
+            m = re.search(
+                rb"(?:^|[\x00\t\n\x0c\r ])EI(?=$|[\x00\t\n\x0c\r ])",
+                lex.data[lex.pos : lex.end],
+            )
+            lex.pos = lex.end if m is None else lex.pos + m.end()
         elif op == b"ET":
             pass
         stack.clear()

@@ -361,3 +361,14 @@ def test_tounicode_non_latin_text():
 def test_cp1252_accents_in_literal_strings():
     pages = [["café résumé naïve"]]
     assert pdf_text_lines(make_pdf(pages)) == pages[0]
+
+
+def test_inline_image_bytes_do_not_leak_into_text():
+    # binary payload contains a plausible "(junk) Tj" byte sequence —
+    # the interpreter must skip from BI to the delimited EI
+    content = (
+        b"BT 72 720 Td (before) Tj "
+        b"BI /W 2 /H 2 /BPC 8 ID \x00(junk) Tj\xff\xfe EI "
+        b"(after)' ET"
+    )
+    assert pdf_text_lines(_wrap(content)) == ["before", "after"]
