@@ -191,7 +191,7 @@ def run_headline_queries() -> dict[str, float]:
     qs = entry_mod.queries()
     names = [
         "extract_multi_block", "extract_table_linearize", "minify_normalize",
-        "token_stats", "lang_id", "quality_score", "fingerprint",
+        "token_fingerprint", "lang_id", "quality_score",
         "dedup_exact_groups", "dedup_minhash_pairs", "gopher_repetition",
         "ann_cosine_topk", "pricing_summary", "revenue_by_nation",
         "top_events_per_user", "sessionize_events", "lineage_counts",
@@ -203,7 +203,11 @@ def run_headline_queries() -> dict[str, float]:
         # (~5k docs at sf0.1), so the number is an upper bound on the
         # byte-level parse cost itself
         "pdf_extract",
+        # r4 ExactSubstr marking (gram-hash groupBy + reused-exchange join)
+        "substring_dedup_ranges",
     ]
+    missing = [n for n in names if n not in qs]
+    assert not missing, f"bench names not in queries(): {missing}"
     # warm the session before the timed loop: the first mapInArrow
     # query in a fresh session absorbs 4-6 s of one-time cost (python
     # daemon spawn, codegen, parquet footer cache) — measured 6.6 s
