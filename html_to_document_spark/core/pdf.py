@@ -615,6 +615,9 @@ class _PdfDoc:
 
     def page_fonts(self, page: dict) -> dict[str, "_Font"]:
         res = self.resolve(page.get("Resources"))
+        return self._fonts_of(res)
+
+    def _fonts_of(self, res) -> dict[str, "_Font"]:
         if not isinstance(res, dict):
             return {}
         fonts = self.resolve(res.get("Font"))
@@ -626,6 +629,34 @@ class _PdfDoc:
             if isinstance(fd, dict):
                 out[fname] = _Font(self, fd)
         return out
+
+    def page_xobjects(self, page: dict) -> dict[str, int]:
+        res = self.resolve(page.get("Resources"))
+        return self._xobjects_of(res)
+
+    def _xobjects_of(self, res) -> dict[str, int]:
+        """name -> object number of the /XObject resources (Form
+        subtype filtering happens at Do time)."""
+        if not isinstance(res, dict):
+            return {}
+        xo = self.resolve(res.get("XObject"))
+        if not isinstance(xo, dict):
+            return {}
+        return {
+            name: ref.num
+            for name, ref in xo.items()
+            if isinstance(ref, _Ref)
+        }
+
+    def form_resources(
+        self, xdict: dict, parent_fonts: dict, parent_xobjects: dict
+    ) -> tuple[dict, dict]:
+        """A Form XObject's own /Resources, falling back to the
+        invoking context's (the spec's inheritance rule)."""
+        res = self.resolve(xdict.get("Resources"))
+        fonts = self._fonts_of(res) or parent_fonts
+        xobjects = self._xobjects_of(res) or parent_xobjects
+        return fonts, xobjects
 
 
 # --------------------------------------------------------------------
@@ -726,27 +757,37 @@ _DEFAULT_FONT.cmap = {}
 _TJ_SPACE_GAP = -180.0  # thousandths of an em (pdf.js word-gap heuristic)
 
 
-def _page_lines(content: bytes, fonts: dict[str, _Font]) -> list[str]:
+def _page_lines(
+    content: bytes,
+    fonts: dict[str, _Font],
+    *,
+    doc: "_PdfDoc | None" = None,
+    xobjects: dict | None = None,
+    depth: int = 0,
+    sink: dict | None = None,
+) -> list[str]:
+    """Interpret one content stream. ``doc``/``xobjects`` enable Form
+    XObject recursion (the ``Do`` operator — real-world PDFs routinely
+    put body text inside forms); ``sink`` shares the line state across
+    that recursion so a form's text lands in reading order."""
+    top = sink is None
+    if sink is None:
+        sink = {"lines": [], "cur": [], "started": False}
     lex = _Lexer(content)
     stack: list = []
-    lines: list[str] = []
-    cur: list[str] = []
     font = _DEFAULT_FONT
     cur_y: float | None = None
-    started = False  # no leading empty line from the page's first move
 
     def newline() -> None:
-        nonlocal cur
-        if not started and not cur:
+        if not sink["started"] and not sink["cur"]:
             return
-        lines.append("".join(cur))
-        cur = []
+        sink["lines"].append("".join(sink["cur"]))
+        sink["cur"] = []
 
     def emit(raw) -> None:
-        nonlocal started
         if isinstance(raw, bytes):
-            started = True
-            cur.append(font.decode(raw))
+            sink["started"] = True
+            sink["cur"].append(font.decode(raw))
 
     while True:
         v = lex.next_value()
@@ -771,10 +812,10 @@ def _page_lines(content: bytes, fonts: dict[str, _Font]) -> list[str]:
                     elif (
                         isinstance(item, (int, float))
                         and item < _TJ_SPACE_GAP
-                        and cur
-                        and not cur[-1].endswith(" ")
+                        and sink["cur"]
+                        and not sink["cur"][-1].endswith(" ")
                     ):
-                        cur.append(" ")
+                        sink["cur"].append(" ")
         elif op in (b"'", b'"'):
             newline()
             if stack:
@@ -805,12 +846,36 @@ def _page_lines(content: bytes, fonts: dict[str, _Font]) -> list[str]:
                 lex.data[lex.pos : lex.end],
             )
             lex.pos = lex.end if m is None else lex.pos + m.end()
+        elif op == b"Do":
+            if (
+                doc is not None
+                and xobjects
+                and depth < 8
+                and stack
+                and isinstance(stack[-1], _Name)
+            ):
+                num = xobjects.get(stack[-1].name)
+                xdict = doc.resolve(doc.get(num)) if num is not None else None
+                if isinstance(xdict, dict):
+                    st = xdict.get("Subtype")
+                    if isinstance(st, _Name) and st.name == "Form":
+                        sub = doc.stream_bytes(num)
+                        if sub:
+                            xf, xx = doc.form_resources(
+                                xdict, fonts, xobjects
+                            )
+                            _page_lines(
+                                sub, xf, doc=doc, xobjects=xx,
+                                depth=depth + 1, sink=sink,
+                            )
         elif op == b"ET":
             pass
         stack.clear()
-    if cur:
-        lines.append("".join(cur))
-    return lines
+    if top:
+        if sink["cur"]:
+            sink["lines"].append("".join(sink["cur"]))
+        return sink["lines"]
+    return sink["lines"]
 
 
 # --------------------------------------------------------------------
@@ -838,7 +903,14 @@ def pdf_text_lines(data: bytes) -> list[str]:
                 continue
             if out:
                 out.append("")  # blank line between pages
-            out.extend(_page_lines(content, doc.page_fonts(page)))
+            out.extend(
+                _page_lines(
+                    content,
+                    doc.page_fonts(page),
+                    doc=doc,
+                    xobjects=doc.page_xobjects(page),
+                )
+            )
         return out
     except Exception:
         return []

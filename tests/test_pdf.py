@@ -372,3 +372,54 @@ def test_inline_image_bytes_do_not_leak_into_text():
         b"(after)' ET"
     )
     assert pdf_text_lines(_wrap(content)) == ["before", "after"]
+
+
+def test_form_xobject_text_extracted():
+    """Real-world PDFs put body text inside Form XObjects invoked with
+    Do; their text must land in reading order with the form's own
+    fonts resolved (falling back to the page's)."""
+    form_content = b"BT /F1 10 Tf 10 10 Td (from the form) Tj ET"
+    page_content = (b"BT 72 720 Td (before form) Tj ET /Fm1 Do "
+                    b"BT 9 9 Td (after) Tj ET")
+    parts = [
+        b"%PDF-1.4\n",
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /XObject << /Fm1 5 0 R >> "
+        b"/Font << /F1 6 0 R >> >> >> endobj\n",
+        b"4 0 obj << /Length " + b"%d" % len(page_content)
+        + b" >>\nstream\n" + page_content + b"\nendstream endobj\n",
+        b"5 0 obj << /Subtype /Form /Length " + b"%d" % len(form_content)
+        + b" >>\nstream\n" + form_content + b"\nendstream endobj\n",
+        b"6 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        b" endobj\n",
+        b"trailer << /Size 9 /Root 1 0 R >>\n%%EOF\n",
+    ]
+    assert pdf_text_lines(b"".join(parts)) == [
+        "before form", "from the form", "after"
+    ]
+
+
+def test_image_xobject_ignored_and_depth_bounded():
+    # an Image XObject must not be interpreted; a self-referencing
+    # form must not recurse forever
+    self_form = b"BT 5 5 Td (loop) Tj ET /Me Do"
+    page_content = b"BT 72 720 Td (text) Tj ET /Im1 Do /Me Do"
+    parts = [
+        b"%PDF-1.4\n",
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /XObject << /Im1 5 0 R /Me 6 0 R >> >> >> endobj\n",
+        b"4 0 obj << /Length " + b"%d" % len(page_content)
+        + b" >>\nstream\n" + page_content + b"\nendstream endobj\n",
+        b"5 0 obj << /Subtype /Image /Length 6 >>\nstream\n"
+        b"\x00(x)Tj\nendstream endobj\n",
+        b"6 0 obj << /Subtype /Form /Length " + b"%d" % len(self_form)
+        + b" >>\nstream\n" + self_form + b"\nendstream endobj\n",
+        b"trailer << /Size 9 /Root 1 0 R >>\n%%EOF\n",
+    ]
+    lines = pdf_text_lines(b"".join(parts))
+    assert lines[0] == "text"
+    assert 1 <= lines.count("loop") <= 8  # bounded recursion
