@@ -42,9 +42,15 @@ __all__ = ["exact_substring_ranges", "exact_substring_dedup"]
 def _gram_occurrences(df: "DataFrame", text_col: str, id_col: str, n: int):
     from pyspark.sql import functions as F
 
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # split materialized as a column FIRST: a lambda referencing the
+    # outer split() makes Catalyst re-run the split per array element
+    # (O(doc_len^2) per doc; measured on the gopher gram explode)
+    words = F.col("_w")
     return df.select(
         F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+    ).select(
+        "doc_id",
         F.explode(
             F.when(
                 F.size(words) >= n,
