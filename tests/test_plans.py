@@ -26,8 +26,9 @@ def _formatted(df) -> str:
 
 
 def test_token_stats_scan_pruned(spark):
-    """documents has 5+ columns; the scan must read only (doc_id, text)."""
-    df = entry_mod.queries()["token_stats"](spark, SF_DIR)
+    """documents has 5+ columns; the scan must read only (doc_id, text)
+    (token_stats now gates via the merged token_fingerprint row)."""
+    df = entry_mod.queries()["token_fingerprint"](spark, SF_DIR)
     plan = _formatted(df)
     scan = [seg for seg in plan.split("\n\n") if "ReadSchema" in seg]
     assert scan, plan
