@@ -18,8 +18,11 @@ Scale shape (100 TB lens):
   TEXT never enters a shuffle (collision policy as ``exact_dedup``).
 - duplicated-gram detection and keeper selection are ONE groupBy on
   the hash (map-side combinable count + struct-min), and the mark join
-  is hash-keyed against that aggregate — same key as the groupBy, so
-  the exchange is reused. A boilerplate gram shared by millions of
+  is hash-keyed against that aggregate. (The occurrence rows are
+  re-shuffled for the join — the groupBy's exchange carries partial-
+  aggregate rows, so the two exchanges cannot be one ReusedExchange;
+  both carry 8-byte hashes, never gram text.) A boilerplate gram
+  shared by millions of
   docs skews ONE JOIN KEY, which AQE's skew-join handles by splitting
   the probe side (unlike the LSH self-join case, no quadratic blowup —
   the build side holds exactly one row per hash).
