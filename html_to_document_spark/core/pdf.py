@@ -756,6 +756,15 @@ _DEFAULT_FONT.cmap = {}
 
 _TJ_SPACE_GAP = -180.0  # thousandths of an em (pdf.js word-gap heuristic)
 
+# end of inline-image data: EI preceded by whitespace/start, followed
+# by whitespace, a delimiter (legal keyword terminators — '(after)'
+# can abut EI directly), or stream end. Precompiled and searched
+# in-place via pos/endpos so k inline images cost O(n), not O(k*n)
+# tail copies.
+_EI_RE = re.compile(
+    rb"(?:^|[\x00\t\n\x0c\r ])EI(?=$|[\x00\t\n\x0c\r ()<>\[\]{}/%])"
+)
+
 
 def _page_lines(
     content: bytes,
@@ -765,17 +774,21 @@ def _page_lines(
     xobjects: dict | None = None,
     depth: int = 0,
     sink: dict | None = None,
+    init_font: "_Font | None" = None,
 ) -> list[str]:
     """Interpret one content stream. ``doc``/``xobjects`` enable Form
     XObject recursion (the ``Do`` operator — real-world PDFs routinely
     put body text inside forms); ``sink`` shares the line state across
-    that recursion so a form's text lands in reading order."""
+    that recursion so a form's text lands in reading order, and
+    ``init_font`` carries the invoking context's active font (forms
+    inherit the graphics state — a form that never issues Tf must
+    decode with the caller's font, spec 8.10)."""
     top = sink is None
     if sink is None:
         sink = {"lines": [], "cur": [], "started": False}
     lex = _Lexer(content)
     stack: list = []
-    font = _DEFAULT_FONT
+    font = init_font if init_font is not None else _DEFAULT_FONT
     cur_y: float | None = None
 
     def newline() -> None:
@@ -838,14 +851,11 @@ def _page_lines(
         elif op == b"BT":
             cur_y = None
         elif op == b"BI":
-            # inline image: raw binary follows ID up to a whitespace-
-            # delimited EI — must NOT reach the lexer (its bytes can
-            # resemble string/operator tokens and leak garbage text)
-            m = re.search(
-                rb"(?:^|[\x00\t\n\x0c\r ])EI(?=$|[\x00\t\n\x0c\r ])",
-                lex.data[lex.pos : lex.end],
-            )
-            lex.pos = lex.end if m is None else lex.pos + m.end()
+            # inline image: raw binary follows ID up to the delimited
+            # EI — must NOT reach the lexer (its bytes can resemble
+            # string/operator tokens and leak garbage text)
+            m = _EI_RE.search(lex.data, lex.pos, lex.end)
+            lex.pos = lex.end if m is None else m.end()
         elif op == b"Do":
             if (
                 doc is not None
@@ -867,6 +877,7 @@ def _page_lines(
                             _page_lines(
                                 sub, xf, doc=doc, xobjects=xx,
                                 depth=depth + 1, sink=sink,
+                                init_font=font,
                             )
         elif op == b"ET":
             pass

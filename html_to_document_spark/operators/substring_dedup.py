@@ -106,10 +106,11 @@ def exact_substring_dedup(
     n: int = 50,
 ) -> "DataFrame":
     """Corpus with duplicated ``n``-word substrings removed (keeper
-    occurrence retained). Returns the input columns with ``text_col``
-    replaced plus ``n_words_removed``; documents whose text empties
-    entirely are dropped. Whitespace normalizes to single spaces (the
-    gram tokenization)."""
+    occurrence retained). Returns the input columns — ``id_col``
+    keeps its name and type — with ``text_col`` replaced plus
+    ``n_words_removed``; documents whose text empties entirely are
+    dropped. Whitespace normalizes to single spaces (the gram
+    tokenization)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -117,12 +118,9 @@ def exact_substring_dedup(
         exact_substring_ranges(df, text_col, id_col, n)
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("_marked"))
+        .withColumnRenamed("doc_id", id_col)
     )
-    src = df.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        *[c for c in df.columns if c != id_col],
-    )
-    joined = src.join(marked, "doc_id", "left")
+    joined = df.join(marked, id_col, "left")
 
     other = [c for c in joined.columns if c not in (text_col, "_marked")]
     schema = ", ".join(

@@ -423,3 +423,43 @@ def test_image_xobject_ignored_and_depth_bounded():
     lines = pdf_text_lines(b"".join(parts))
     assert lines[0] == "text"
     assert 1 <= lines.count("loop") <= 8  # bounded recursion
+
+
+def test_inline_image_ei_abutting_delimiter():
+    """EI may be terminated by a delimiter, not only whitespace —
+    '(after)' directly abutting EI must not swallow the page tail."""
+    content = (b"BT 72 720 Td (before) Tj "
+               b"BI /W 1 /H 1 /BPC 8 ID x EI(after)' ET")
+    assert pdf_text_lines(_wrap(content)) == ["before", "after"]
+
+
+def test_form_inherits_callers_font():
+    """A form that never issues Tf decodes with the INVOKING context's
+    active font (graphics-state inheritance, spec 8.10)."""
+    import zlib as _z
+
+    cmap = (b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"1 beginbfchar\n<0041> <0042>\nendbfchar\n")
+    form_content = b"BT 10 10 Td <0041> Tj ET"  # NO Tf in the form
+    page_content = b"BT /F1 10 Tf 72 720 Td <0041> Tj ET /Fm1 Do"
+    parts = [
+        b"%PDF-1.4\n",
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /XObject << /Fm1 5 0 R >> "
+        b"/Font << /F1 6 0 R >> >> >> endobj\n",
+        b"4 0 obj << /Length " + b"%d" % len(page_content)
+        + b" >>\nstream\n" + page_content + b"\nendstream endobj\n",
+        b"5 0 obj << /Subtype /Form /Length " + b"%d" % len(form_content)
+        + b" >>\nstream\n" + form_content + b"\nendstream endobj\n",
+        b"6 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"/ToUnicode 7 0 R >> endobj\n",
+        b"7 0 obj << /Length " + b"%d" % len(cmap)
+        + b" >>\nstream\n" + cmap + b"\nendstream endobj\n",
+        b"trailer << /Size 9 /Root 1 0 R >>\n%%EOF\n",
+    ]
+    # page shows 'B' (code 0x0041 -> U+0042); the form, inheriting F1,
+    # must produce 'B' too — not a cp1252 '\x00A' mojibake
+    lines = pdf_text_lines(b"".join(parts))
+    assert lines == ["B", "B"]

@@ -94,3 +94,15 @@ def test_deterministic_under_repartition(spark):
         for r in exact_substring_dedup(df.coalesce(1), n=8).collect()
     )
     assert a == b
+
+
+def test_custom_id_col_keeps_name_and_type(spark):
+    df = spark.createDataFrame(
+        [(1, "lead words " + SHARED), (2, SHARED + " trail words")],
+        "page_id long, text string",
+    )
+    out = exact_substring_dedup(df, id_col="page_id", n=8)
+    assert "page_id" in out.columns and "doc_id" not in out.columns
+    rows = {r.page_id: r for r in out.collect()}
+    assert isinstance(list(rows)[0], int)  # bigint preserved
+    assert rows[2].text == "trail words"
