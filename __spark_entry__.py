@@ -128,6 +128,20 @@ def q_extract_pages(spark, sf_dir):
     return _extract_exploded(_with_html(_docs(spark, sf_dir), html))
 
 
+def q_extract_structures(spark, sf_dir):
+    """Union of the br-split / caption-side / page-section fixtures
+    (identical span schema) under a fixture tag — merged r4 so three
+    always-green rows cost one slot of the driver's 50-row gate cap,
+    freeing slots for lm_perplexity + bloom_incremental. All three
+    remain fully oracle-gated via the union."""
+    a = q_extract_breaks(spark, sf_dir).withColumn("fixture", F.lit("breaks"))
+    b = q_extract_caption_side(spark, sf_dir).withColumn(
+        "fixture", F.lit("caption_side")
+    )
+    c = q_extract_pages(spark, sf_dir).withColumn("fixture", F.lit("pages"))
+    return a.unionByName(b).unionByName(c)
+
+
 def q_extract_sharded(spark, sf_dir):
     """Intra-document sharding path (core/shard.py + reassembly): the
     same multi-block document forced through per-block segments must
@@ -324,6 +338,58 @@ def q_quality_score(spark, sf_dir):
         "punct_ratio",
         "stopword_ratio",
         "quality",
+    )
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm_filter.py): fit
+    the interpolated add-k bigram LM on the documents table (with a
+    planted rare-word suffix so the <unk> mapping is exercised — at
+    sf0.01 words 'tail0'..'tail210' appear 2-3 times, straddling
+    min_count=3) and score every document's perplexity. The DuckDB
+    oracle recomputes the identical counts and probabilities in pure
+    SQL; ppl is rounded HALF_UP at 4 decimals on both engines."""
+    from html_to_document_spark.operators.lm_filter import (
+        fit_ngram_lm,
+        perplexity,
+    )
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" tail"),
+            (F.col("doc_id") % 211).cast("string"),
+        ).alias("text"),
+    )
+    model = fit_ngram_lm(planted, min_count=3, k=0.5, lam=0.9)
+    return perplexity(planted, model)
+
+
+def q_bloom_incremental(spark, sf_dir):
+    """Partitioned-Bloom incremental dedup (operators/incremental.py):
+    history = 13 template texts derived from doc_id%7==0 rows; the new
+    batch plants template duplicates on doc_id%5==0 rows. At this
+    bitmap sizing (2^17 bits/bucket, ~20 set bits) the false-positive
+    probability per probe is ~1e-21, so the Bloom output EQUALS the
+    exact anti-join the oracle computes — deterministic: fixed texts,
+    fixed xxhash64 seeds. FP behaviour at hostile sizings is pinned in
+    tests/test_incremental.py."""
+    from html_to_document_spark.operators.incremental import (
+        incremental_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tpl = F.concat(F.lit("tpl-"), (F.col("doc_id") % 13).cast("string"))
+    hist = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", tpl.alias("text")
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, tpl)
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return incremental_dedup(
+        new, hist, num_buckets=8, bits_per_bucket=1 << 17, num_hashes=5
     )
 
 
@@ -1051,9 +1117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_multi_block": q_extract_multi_block,
         "extract_table_linearize": q_extract_table_linearize,
         "extract_list_items": q_extract_list_items,
-        "extract_breaks": q_extract_breaks,
-        "extract_caption_side": q_extract_caption_side,
-        "extract_pages": q_extract_pages,
+        # breaks + caption_side + pages merged r4-cont (same span
+        # schema, fixture-tagged union; all three still oracle-gated)
+        # to free slots for lm_perplexity + bloom_incremental under
+        # the driver's 50-row cap
+        "extract_structures": q_extract_structures,
         "extract_boilerplate": q_extract_boilerplate,
         "extract_text_density": q_extract_text_density,
         "extract_meta": q_extract_meta,
@@ -1072,12 +1140,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_fingerprint": q_token_fingerprint,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "lm_perplexity": q_lm_perplexity,
         "substring_dedup_ranges": q_substring_dedup_ranges,
         "repetition_stats": q_repetition_stats,
         "corpus_stats": q_corpus_stats,
         "top_ngram_stats": q_top_ngram_stats,
         # dedup
         "dedup_exact_groups": q_dedup_exact_groups,
+        "bloom_incremental": q_bloom_incremental,
         "url_filter_blocked": q_url_filter_blocked,
         "gopher_repetition": q_gopher_repetition,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1162,27 +1232,21 @@ def oracle_sql() -> dict[str, str]:
                             ref=null_s),
             ]
         ),
-        "extract_breaks": (
-            "select doc_id, cast(0 as int) as offset, 'text' as kind, "
-            f"lang || chr(10) || source as text, {null_s} as media_ref "
-            "from documents"
-        ),
-        "extract_caption_side": " union all ".join(
-            [
-                span.format(off="cast(0 as int)", kind="'table'", text="lang",
-                            ref=null_s),
-                span.format(off="cast(1 as int)", kind="'text'", text="source",
-                            ref=null_s),
-            ]
-        ),
-        "extract_pages": " union all ".join(
-            [
-                span.format(off="cast(0 as int)", kind="'text'", text="lang",
-                            ref=null_s),
-                span.format(off="cast(1 as int)", kind="'pagebreak'",
-                            text=null_s, ref=null_s),
-                span.format(off="cast(2 as int)", kind="'text'", text="source",
-                            ref=null_s),
+        "extract_structures": " union all ".join(
+            "select doc_id, cast({off} as int) as offset, {kind} as kind, "
+            "{text} as text, {ref} as media_ref, '{fx}' as fixture "
+            "from documents".format(off=off, kind=kind, text=text, ref=ref,
+                                    fx=fx)
+            for off, kind, text, ref, fx in [
+                # breaks fixture: <br> inside <p> -> newline join
+                (0, "'text'", "lang || chr(10) || source", null_s, "breaks"),
+                # caption-side bottom: table span first, caption after
+                (0, "'table'", "lang", null_s, "caption_side"),
+                (1, "'text'", "source", null_s, "caption_side"),
+                # page sections: text / pagebreak / text
+                (0, "'text'", "lang", null_s, "pages"),
+                (1, "'pagebreak'", null_s, null_s, "pages"),
+                (2, "'text'", "source", null_s, "pages"),
             ]
         ),
         "extract_boilerplate": (
@@ -1294,6 +1358,68 @@ def oracle_sql() -> dict[str, str]:
             "floor((0.5 * len_score + 0.3 * least(stopword_ratio * 5, 1.0) "
             "+ 0.2 * (1 - least(punct_ratio * 10, 1.0))) * 10000 + 0.5) "
             "/ 10000.0 as quality from r"
+        ),
+        # interpolated add-k bigram LM (operators/lm_filter.py):
+        # identical planted corpus, counts, probabilities, and HALF_UP
+        # 4-decimal rounding recomputed in pure SQL. lam literals are
+        # written 0.9 / (1 - 0.9) to match python's 1.0 - lam double.
+        "lm_perplexity": (
+            "with tw as ("
+            "  select doc_id, string_split(regexp_replace(trim("
+            "    text || ' tail' || cast(doc_id % 211 as varchar)), "
+            "    '\\s+', ' ', 'g'), ' ') as w from documents"
+            "), tok as ("
+            "  select doc_id, g.i as i, w[g.i] as word"
+            "  from tw, unnest(generate_series(1, len(w))) as g(i)"
+            "), uni as ("
+            "  select word, count(*) as c from tok group by word"
+            "), tokm as ("
+            "  select t.doc_id, t.i, case when u.c >= 3 then t.word "
+            "    else '<unk>' end as mw"
+            "  from tok t join uni u on u.word = t.word"
+            "), c1m as ("
+            "  select mw, count(*) as c from tokm group by mw"
+            "), stats as ("
+            "  select cast(sum(c) as double) as n, "
+            "    cast(count(*) as double) as v from c1m"
+            "), big as ("
+            "  select a.mw as w1, b.mw as w2, count(*) as c"
+            "  from tokm a join tokm b "
+            "    on b.doc_id = a.doc_id and b.i = a.i + 1"
+            "  group by a.mw, b.mw"
+            "), hist as ("
+            "  select w1, cast(sum(c) as double) as h from big group by w1"
+            "), terms as ("
+            "  select t.doc_id,"
+            "    case when t.i = 1"
+            "      then ln((c1.c + 0.5) / (s.n + 0.5 * (s.v + 1)))"
+            "      else ln(0.9 * (coalesce(bg.c, 0) + 0.5)"
+            "              / (coalesce(ht.h, 0) + 0.5 * (s.v + 1))"
+            "              + (1 - 0.9) * (c1.c + 0.5)"
+            "              / (s.n + 0.5 * (s.v + 1))) end as lp"
+            "  from tokm t"
+            "  cross join stats s"
+            "  join c1m c1 on c1.mw = t.mw"
+            "  left join tokm p on p.doc_id = t.doc_id and p.i = t.i - 1"
+            "  left join big bg on bg.w1 = p.mw and bg.w2 = t.mw"
+            "  left join hist ht on ht.w1 = p.mw"
+            ") select doc_id, count(*) as n_tokens, "
+            "floor(exp(-sum(lp) / count(*)) * 10000 + 0.5) / 10000 as ppl "
+            "from terms group by doc_id"
+        ),
+        # bloom output == exact anti-join at this sizing (FP ~1e-21
+        # per probe; deterministic — see q_bloom_incremental)
+        "bloom_incremental": (
+            "with hist as ("
+            "  select distinct 'tpl-' || cast(doc_id % 13 as varchar) "
+            "    as text from documents where doc_id % 7 = 0"
+            "), nw as ("
+            "  select doc_id, case when doc_id % 5 = 0 "
+            "    then 'tpl-' || cast(doc_id % 13 as varchar) "
+            "    else text end as text "
+            "  from documents where doc_id % 7 <> 0"
+            ") select n.doc_id, n.text from nw n "
+            "where not exists (select 1 from hist h where h.text = n.text)"
         ),
         "repetition_stats": (
             "with d as (select doc_id, text || chr(10) || source || chr(10) "

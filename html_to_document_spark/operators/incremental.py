@@ -1,0 +1,249 @@
+"""Incremental (cross-snapshot) deduplication with partitioned Bloom
+filters: drop documents from a NEW crawl batch whose text already
+appears in a HISTORY corpus, without ever joining the history corpus
+at probe time.
+
+This is the standard shape for rolling web-crawl ingestion (each
+CommonCrawl snapshot deduped against all prior snapshots): the
+history is summarized ONCE into fixed-size Bloom bitmaps; every later
+batch probes the bitmaps. ``exact_dedup`` (operators/dedup.py) stays
+the intra-batch tool; this operator is the batch-vs-history tool.
+
+Scale shape (100 TB lens):
+- BUILD: one pass over history emitting (bucket, h1, h2) = 20 bytes
+  per row (the text never leaves the scan — same digest-only shuffle
+  policy as ``exact_dedup``), one groupBy(bucket) whose reducers each
+  OR a fixed ``bits_per_bucket`` bitmap. The index is
+  ``num_buckets × bits/8`` bytes TOTAL, independent of history size;
+  size it via ``suggest_bits`` (~14.4 bits/doc for 0.1% FP). The
+  bitmaps persist as a tiny (bucket, bloom) table — rebuilding is
+  never needed, new snapshots OR into it.
+- PROBE, broadcast mode (default; index ≤ a few GB — 10^10 docs at
+  0.1% FP is ~18 GB, at which point shard executors or use cogroup):
+  the driver ORs nothing — it collects the per-bucket bitmaps once,
+  ``sc.broadcast``s them, and membership is a shuffle-free
+  Arrow-batched mapInPandas projection over the new batch.
+- PROBE, cogroup mode (index too big to broadcast): new-batch keys
+  (bucket, h1, h2, id) — ~28 bytes/row — cogroup with the index on
+  bucket; each bitmap crosses the shuffle once per bucket, never per
+  probe row. (A plain equi-join would materialize the megabyte bitmap
+  into EVERY probe row's Arrow batch — that formulation is the trap
+  this mode exists to avoid.)
+
+False positives: a Bloom hit may be wrong (rate set by sizing; never
+false NEGATIVES — a true duplicate is always flagged). Flagged rows
+carry ``maybe_dup=true``; ``incremental_dedup(..., exact_confirm=
+history)`` re-checks ONLY the flagged rows against history digests
+(a join whose left side is the small flagged subset).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+    from pyspark.sql import Column, DataFrame
+
+__all__ = [
+    "suggest_bits",
+    "build_bloom_index",
+    "bloom_probe",
+    "incremental_dedup",
+]
+
+
+def suggest_bits(n_docs: int, fp_rate: float = 0.001) -> int:
+    """Total bitmap bits for ``n_docs`` at ``fp_rate`` (m = -n ln p /
+    ln^2 2; pair with k = round(m/n * ln 2) hashes)."""
+    return max(64, int(-n_docs * math.log(fp_rate) / (math.log(2) ** 2)))
+
+
+def _keys(df: "DataFrame", text_col: str, num_buckets: int):
+    """(bucket, h1, h2) columns from the text digest. h1/h2 are two
+    independently-seeded xxhash64 streams; bit positions derive from
+    double hashing (h1 + i*h2) so every k is two JVM hash calls."""
+    from pyspark.sql import functions as F
+
+    h1 = F.xxhash64(F.col(text_col))
+    h2 = F.xxhash64(F.col(text_col), F.lit(1))
+    return F.pmod(h1, F.lit(num_buckets)).cast("int").alias("bucket"), \
+        h1.alias("h1"), h2.alias("h2")
+
+
+def _positions(h1, h2, num_hashes: int, m_bits: int):
+    """numpy uint64 double-hashing bit positions, shape (rows, k)."""
+    import numpy as np
+
+    a = np.asarray(h1, dtype=np.int64).astype(np.uint64)[:, None]
+    b = np.asarray(h2, dtype=np.int64).astype(np.uint64)[:, None]
+    i = np.arange(num_hashes, dtype=np.uint64)[None, :]
+    return ((a + i * b) % np.uint64(m_bits)).astype(np.int64)
+
+
+def build_bloom_index(
+    history_df: "DataFrame",
+    text_col: str = "text",
+    *,
+    num_buckets: int = 64,
+    bits_per_bucket: int = 1 << 20,
+    num_hashes: int = 5,
+) -> "DataFrame":
+    """(bucket int, bloom binary) — one fixed-size bitmap per bucket.
+    Deterministic: the OR of a set of digests is order-independent."""
+    import numpy as np
+    import pandas as pd  # noqa: F811
+
+    def make(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bm = np.zeros(bits_per_bucket // 8, dtype=np.uint8)
+        pos = _positions(pdf["h1"], pdf["h2"], num_hashes, bits_per_bucket)
+        flat = pos.ravel()
+        np.bitwise_or.at(bm, flat >> 3, np.uint8(1) << (flat & 7).astype(np.uint8))
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "bloom": [bm.tobytes()]}
+        )
+
+    return (
+        history_df.select(*_keys(history_df, text_col, num_buckets))
+        .groupBy("bucket")
+        .applyInPandas(make, "bucket int, bloom binary")
+    )
+
+
+def bloom_probe(
+    new_df: "DataFrame",
+    index: "DataFrame",
+    text_col: str = "text",
+    *,
+    num_buckets: int = 64,
+    bits_per_bucket: int = 1 << 20,
+    num_hashes: int = 5,
+    mode: str = "broadcast",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """``new_df`` + ``maybe_dup`` boolean.
+
+    ``mode="broadcast"``: collect the (small, fixed-size) index once,
+    broadcast, and check membership as a shuffle-free projection — all
+    input columns pass through untouched.
+
+    ``mode="cogroup"``: returns ONLY (id_col, maybe_dup) — keys are
+    cogrouped with the index on bucket (28-byte shuffle rows); join
+    the flags back or feed them to :func:`incremental_dedup`.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import functions as F
+
+    bucket_c, h1_c, h2_c = _keys(new_df, text_col, num_buckets)
+
+    if mode == "broadcast":
+        # one dense (num_buckets, m/8) array: buckets with no history
+        # rows stay all-zero (membership correctly false)
+        dense = np.zeros((num_buckets, bits_per_bucket // 8), dtype=np.uint8)
+        for r in index.collect():
+            dense[r["bucket"]] = np.frombuffer(r["bloom"], dtype=np.uint8)
+        bc = new_df.sparkSession.sparkContext.broadcast(dense)
+        with_keys = new_df.withColumns(
+            {"_bk": bucket_c, "_h1": h1_c, "_h2": h2_c}
+        )
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in new_df.schema.fields
+        ) + ", maybe_dup boolean"
+        passthru = [f.name for f in new_df.schema.fields]
+
+        def probe(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            big = bc.value
+            for pdf in batches:
+                out = pdf[passthru].copy()
+                if len(pdf):
+                    pos = _positions(
+                        pdf["_h1"], pdf["_h2"], num_hashes, bits_per_bucket
+                    )
+                    bks = pdf["_bk"].to_numpy()[:, None]
+                    bits = big[bks, pos >> 3] & (
+                        np.uint8(1) << (pos & 7).astype(np.uint8)
+                    )
+                    out["maybe_dup"] = np.all(bits != 0, axis=1)
+                else:
+                    out["maybe_dup"] = np.zeros(0, dtype=bool)
+                yield out
+
+        return with_keys.mapInPandas(probe, schema)
+
+    if mode == "cogroup":
+        keys = new_df.select(
+            F.col(id_col), bucket_c, h1_c, h2_c
+        )
+        id_type = dict(new_df.dtypes)[id_col]
+
+        def check(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+            if len(left) == 0:
+                return pd.DataFrame(
+                    {id_col: left[id_col],
+                     "maybe_dup": pd.Series([], dtype=bool)}
+                )
+            if len(right) == 0:
+                return pd.DataFrame(
+                    {id_col: left[id_col], "maybe_dup": False}
+                )
+            bm = np.frombuffer(right["bloom"].iloc[0], dtype=np.uint8)
+            pos = _positions(left["h1"], left["h2"], num_hashes, bits_per_bucket)
+            hit = np.all(
+                bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8)) != 0,
+                axis=1,
+            )
+            return pd.DataFrame({id_col: left[id_col], "maybe_dup": hit})
+
+        return (
+            keys.groupBy("bucket")
+            .cogroup(index.groupBy("bucket"))
+            .applyInPandas(check, f"{id_col} {id_type}, maybe_dup boolean")
+        )
+
+    raise ValueError(f"unknown probe mode: {mode!r}")
+
+
+def incremental_dedup(
+    new_df: "DataFrame",
+    history_df: "DataFrame",
+    text_col: str = "text",
+    *,
+    num_buckets: int = 64,
+    bits_per_bucket: int = 1 << 20,
+    num_hashes: int = 5,
+    exact_confirm: bool = False,
+) -> "DataFrame":
+    """New-batch rows whose text is NOT in history (broadcast probe).
+
+    ``exact_confirm=True`` re-checks Bloom hits against the history
+    digest set before dropping, eliminating false positives: the
+    flagged subset (small by construction) is the join's left side and
+    history shuffles only 8-byte digests.
+    """
+    from pyspark.sql import functions as F
+
+    index = build_bloom_index(
+        history_df, text_col, num_buckets=num_buckets,
+        bits_per_bucket=bits_per_bucket, num_hashes=num_hashes,
+    )
+    probed = bloom_probe(
+        new_df, index, text_col, num_buckets=num_buckets,
+        bits_per_bucket=bits_per_bucket, num_hashes=num_hashes,
+    )
+    keep = probed.filter(~F.col("maybe_dup")).drop("maybe_dup")
+    if not exact_confirm:
+        return keep
+    flagged = probed.filter(F.col("maybe_dup")).drop("maybe_dup")
+    hist_digests = history_df.select(
+        F.xxhash64(F.col(text_col)).alias("_hd")
+    ).distinct()
+    rescued = (
+        flagged.withColumn("_hd", F.xxhash64(F.col(text_col)))
+        .join(hist_digests, "_hd", "left_anti")
+        .drop("_hd")
+    )
+    return keep.unionByName(rescued)

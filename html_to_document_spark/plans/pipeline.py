@@ -106,6 +106,8 @@ def build_training_pipeline(
     repetition_filter: bool = False,
     c4_clean: bool = False,
     text_join: str = "space",
+    lm_model: dict | None = None,
+    lm_max_ppl: float | None = None,
 ) -> "DataFrame":
     """(doc_id, spans[interleaved]) -> filtered, deduplicated corpus.
     ``html_col`` routes a raw-HTML source (e.g. a WARC scan) into the
@@ -146,7 +148,13 @@ def build_training_pipeline(
     ``text_join``: "space" (default, historical) or "newline" — the
     separator between text spans in the assembled text. Line-based
     rules (C4, Gopher bullet/ellipsis/dup-line) only see document line
-    structure under "newline"."""
+    structure under "newline".
+
+    ``lm_model`` + ``lm_max_ppl``: CCNet-style perplexity cut — fit
+    the model once on a trusted reference slice with
+    ``operators.lm_filter.fit_ngram_lm`` and docs scoring above
+    ``lm_max_ppl`` are dropped (broadcast model, shuffle-free
+    scoring)."""
     from pyspark.sql import functions as F
 
     spans = extract_spans_balanced(
@@ -201,6 +209,17 @@ def build_training_pipeline(
         )
 
         corpus = corpus.filter(gopher_keep_col("text"))
+
+    if lm_model is not None:
+        # CCNet-style perplexity cut (operators/lm_filter.py): the
+        # broadcast-model scoring is one Arrow-batched mapInPandas
+        # stage — no joins, no shuffles — placed with the other
+        # quality filters so dedup never sees dropped docs
+        if lm_max_ppl is None:
+            raise ValueError("lm_model given without lm_max_ppl")
+        from html_to_document_spark.operators.lm_filter import lm_filter
+
+        corpus = lm_filter(corpus, lm_model, lm_max_ppl).drop("ppl")
 
     # exact dedup (one shuffle on the 64-bit digest), then cut lineage:
     # everything below (LSH signature build + band self-join + final

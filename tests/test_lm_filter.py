@@ -1,0 +1,117 @@
+"""CCNet-style n-gram LM perplexity filter (operators/lm_filter.py)."""
+
+import math
+
+import pytest
+
+from html_to_document_spark.operators.lm_filter import (
+    UNK,
+    _score_text,
+    fit_ngram_lm,
+    lm_filter,
+    perplexity,
+)
+
+REF_ROWS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the rug"),
+    (2, "the cat ate the fish"),
+    (3, "a dog and a cat"),
+]
+
+
+@pytest.fixture(scope="module")
+def ref_df(spark):
+    return spark.createDataFrame(REF_ROWS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def model(ref_df):
+    return fit_ngram_lm(ref_df, min_count=2, k=0.5, lam=0.9)
+
+
+def test_fit_counts_exact(model):
+    # "the" appears 6x, "cat" 3x, "sat"/"on"/"dog"/"a" 2x; "mat",
+    # "rug", "ate", "fish", "and" once each -> <unk>
+    assert model["c1"]["the"] == 6
+    assert model["c1"]["cat"] == 3
+    assert model["c1"][UNK] == 5
+    assert model["vocab"] == {"the", "cat", "sat", "on", "dog", "a"}
+    assert model["N"] == sum(len(t.split()) for _, t in REF_ROWS)
+    # V = vocab + observed <unk>
+    assert model["V"] == 7
+    # bigram: "the cat" occurs twice; history count of "the" = 6
+    # occurrences of "the" followed by something = 5 (one doc-final
+    # "the"? none end in "the" -> check by hand: every "the" has a
+    # successor except none; docs: 6 "the" tokens, none doc-final)
+    assert model["c2"][("the", "cat")] == 2
+    assert model["h"]["the"] == 6
+
+
+def test_fit_deterministic_under_partitioning(spark, ref_df, model):
+    m2 = fit_ngram_lm(ref_df.repartition(7), min_count=2, k=0.5, lam=0.9)
+    assert m2 == model
+
+
+def test_vocab_cap_deterministic(ref_df):
+    m = fit_ngram_lm(ref_df, min_count=1, vocab_cap=3)
+    # top-3 by (count desc, word asc): the(6), cat(3), then a/dog/on/
+    # sat all tie at 2 -> "a" wins lexicographically
+    assert m["vocab"] == {"the", "cat", "a"}
+
+
+def test_score_matches_hand_computation(model):
+    # one-word doc: ppl = p1(w)^-1
+    k, N, V = model["k"], model["N"], model["V"]
+    p1_the = (model["c1"]["the"] + k) / (N + k * (V + 1))
+    n, ppl = _score_text("the", model)
+    assert n == 1
+    assert ppl == pytest.approx(math.floor(1.0 / p1_the * 1e4 + 0.5) / 1e4, abs=1e-4)
+
+
+def test_reference_like_beats_gibberish(spark, ref_df, model):
+    df = spark.createDataFrame(
+        [(10, "the cat sat on the rug"), (11, "zz qq ww ee rr tt")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in perplexity(df, model).collect()}
+    assert rows[10]["ppl"] < rows[11]["ppl"]
+    assert rows[10]["n_tokens"] == 6
+
+
+def test_lm_filter_passthrough_and_threshold(spark, model):
+    df = spark.createDataFrame(
+        [(10, "the cat sat on the rug", "keep"),
+         (11, "zz qq ww ee rr tt", "drop")],
+        "doc_id long, text string, tag string",
+    )
+    ref_ppl = {r["doc_id"]: r["ppl"]
+               for r in perplexity(df, model).collect()}
+    cut = (ref_ppl[10] + ref_ppl[11]) / 2
+    out = lm_filter(df, model, max_ppl=cut).collect()
+    assert [r["doc_id"] for r in out] == [10]
+    assert out[0]["tag"] == "keep"
+    assert out[0]["ppl"] == ref_ppl[10]
+
+
+def test_empty_and_whitespace_text(model):
+    n, ppl = _score_text("", model)
+    assert n == 0 and math.isnan(ppl)
+    n, ppl = _score_text("   ", model)
+    assert n == 0 and math.isnan(ppl)
+
+
+def test_unseen_history_backoff(model):
+    # "mat" maps to <unk>; <unk> as history exists. A vocab word that
+    # never appears as a history (none here) would hit h.get default 0
+    # -> uniform 1/(V+1) bigram term; exercise via a synthetic model
+    m = dict(model)
+    m["h"] = dict(model["h"])
+    m["h"].pop("on", None)
+    n, ppl = _score_text("on the", m)
+    assert n == 2 and ppl > 0
+
+
+def test_fit_fraction_samples(ref_df):
+    m = fit_ngram_lm(ref_df, min_count=1, fit_fraction=0.99, seed=7)
+    assert m["N"] > 0

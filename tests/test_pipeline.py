@@ -180,3 +180,40 @@ def test_pipeline_decontaminate_ngram_mode(spark):
     ng = build_training_pipeline(docs, min_quality=0.0, benchmark=bench,
                                  decontaminate_mode="ngram")
     assert victim not in {r.doc_id for r in ng.collect()}
+
+
+def test_pipeline_lm_filter_stage(spark):
+    """CCNet-style perplexity stage: a model fitted on the synthetic
+    corpus's own assembled text keeps normal docs and drops a planted
+    gibberish doc; the stage composes with the rest of the pipeline."""
+    from html_to_document_spark.operators.lm_filter import (
+        fit_ngram_lm,
+        perplexity,
+    )
+
+    docs = generate_corpus(spark, 40, seed=23, giant_frac=0.0)
+    # reference slice = the pipeline's own assembled text (no filters)
+    ref = build_training_pipeline(
+        docs, num_partitions=4, min_quality=0.0, materialize="none"
+    ).select("doc_id", "text")
+    model = fit_ngram_lm(ref, min_count=2)
+
+    # plant one gibberish doc: far-from-reference vocabulary
+    gib = spark.createDataFrame(
+        [("zzz-gibberish",
+          [("text", "xqj vfp wkz bnm qqv rrw ssx tty uuz vva", None, 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    ppls = perplexity(ref, model).collect()
+    cut = max(r["ppl"] for r in ppls) + 1e-4  # keep every normal doc
+
+    out = build_training_pipeline(
+        docs.unionByName(gib), num_partitions=4, min_quality=0.0,
+        lm_model=model, lm_max_ppl=cut, materialize="none",
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert "zzz-gibberish" not in ids
+    assert len(ids) > 0
+    # and ppl is not leaked into the output schema
+    assert "ppl" not in out.columns
