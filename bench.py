@@ -198,6 +198,9 @@ def run_headline_queries() -> dict[str, float]:
         # r4 hygiene additions (broadcast shapes — cheap, and their
         # scaling behavior is worth a per-round record)
         "paragraph_dedup", "decontaminate_modes", "pii_scrub",
+        # r4-cont: CCNet LM scoring (broadcast model, shuffle-free)
+        # and Bloom incremental dedup (index build + broadcast probe)
+        "lm_perplexity", "bloom_incremental",
         "gopher_rules",
         # r4 PDF path: writes AND parses one real PDF per document
         # (~5k docs at sf0.1), so the number is an upper bound on the
@@ -230,17 +233,24 @@ def run_headline_queries() -> dict[str, float]:
     docs = spark.read.parquet(CORPUS).filter(
         F.col("doc_id") < "doc-000000020000"
     )
-    t0 = time.time()
     # localCheckpoint: row-format storage beats the columnar cache's
     # build+decode for a once-written, thrice-read intermediate
     # (measured 19.2s vs 25.4s at 20k docs); at 100 TB this knob is a
-    # write/read of an intermediate table instead
-    n = build_training_pipeline(
-        docs, num_partitions=CPUS * 2, min_quality=0.0,
-        materialize="checkpoint",
-    ).count()
-    out["training_pipeline_20k"] = round(time.time() - t0, 2)
-    assert n > 0
+    # write/read of an intermediate table instead.
+    # min-of-2: the pipeline's first run pays the bench corpus's page-
+    # cache fill + python-worker ramp on top of the query (measured
+    # 67.5 / 33.9 / 23.7 s back-to-back — a single-shot reading is
+    # session bring-up, not query cost; r4's recorded 54.31 was this)
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        n = build_training_pipeline(
+            docs, num_partitions=CPUS * 2, min_quality=0.0,
+            materialize="checkpoint",
+        ).count()
+        walls.append(time.time() - t0)
+        assert n > 0
+    out["training_pipeline_20k"] = round(min(walls), 2)
     spark.stop()
     return out
 

@@ -50,6 +50,7 @@ if TYPE_CHECKING:  # pragma: no cover
 __all__ = [
     "suggest_bits",
     "build_bloom_index",
+    "merge_bloom_indexes",
     "bloom_probe",
     "incremental_dedup",
 ]
@@ -109,6 +110,33 @@ def build_bloom_index(
         history_df.select(*_keys(history_df, text_col, num_buckets))
         .groupBy("bucket")
         .applyInPandas(make, "bucket int, bloom binary")
+    )
+
+
+def merge_bloom_indexes(*indexes: "DataFrame") -> "DataFrame":
+    """OR several (bucket, bloom) indexes built with IDENTICAL sizing
+    into one — the rolling-snapshot update: each new crawl batch is
+    summarized with :func:`build_bloom_index` and merged into the
+    standing index; nothing is ever rebuilt. Bitmap OR is associative,
+    commutative, and idempotent, so merge order (and re-merging a
+    snapshot) cannot change the result."""
+    import functools
+
+    import numpy as np
+    import pandas as pd  # noqa: F811
+
+    def orit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        acc = functools.reduce(
+            np.bitwise_or,
+            (np.frombuffer(b, dtype=np.uint8) for b in pdf["bloom"]),
+        )
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "bloom": [acc.tobytes()]}
+        )
+
+    unioned = functools.reduce(lambda a, b: a.unionByName(b), indexes)
+    return unioned.groupBy("bucket").applyInPandas(
+        orit, "bucket int, bloom binary"
     )
 
 

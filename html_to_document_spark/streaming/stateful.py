@@ -113,6 +113,8 @@ def run_stream_pipeline(
     benchmark=None,
     decontaminate_mode: str = "paragraph",
     gopher_filter: bool = False,
+    lm_model: dict | None = None,
+    lm_max_ppl: float | None = None,
 ):
     """Streaming counterpart of plans.build_training_pipeline: continuous
     ingest -> span extraction -> (optional PII scrub, same projection as
@@ -174,6 +176,16 @@ def run_stream_pipeline(
         )
 
         corpus = corpus.filter(gopher_keep_col("text"))
+    if lm_model is not None:
+        # batch parity with build_training_pipeline(lm_model=...): the
+        # CCNet perplexity cut is a stateless broadcast-model
+        # mapInPandas projection, so it streams without a watermark;
+        # ordering parity too (before exact dedup)
+        if lm_max_ppl is None:
+            raise ValueError("lm_model given without lm_max_ppl")
+        from html_to_document_spark.operators.lm_filter import lm_filter
+
+        corpus = lm_filter(corpus, lm_model, lm_max_ppl).drop("ppl")
     deduped = streaming_exact_dedup(corpus.select("doc_id", "text"))
     if benchmark is not None:
         # test-set decontamination with exact BATCH parity: foreachBatch

@@ -123,3 +123,25 @@ def test_empty_history_flags_nothing(spark, new_df, hist_df):
     out = incremental_dedup(new_df, empty, num_buckets=8,
                             bits_per_bucket=1 << 14)
     assert out.count() == len(NEW)
+
+
+def test_merge_bloom_indexes_equals_union_build(spark, hist_df):
+    """Rolling-snapshot merge: OR of two snapshot indexes must be
+    byte-identical to the index built over the concatenated history."""
+    from html_to_document_spark.operators.incremental import (
+        merge_bloom_indexes,
+    )
+
+    kw = dict(num_buckets=8, bits_per_bucket=1 << 14)
+    a = hist_df.filter(F.col("doc_id") < 50)
+    b = hist_df.filter(F.col("doc_id") >= 50)
+    merged = merge_bloom_indexes(
+        build_bloom_index(a, **kw), build_bloom_index(b, **kw)
+    )
+    full = build_bloom_index(hist_df, **kw)
+    m = {r["bucket"]: r["bloom"] for r in merged.collect()}
+    f = {r["bucket"]: r["bloom"] for r in full.collect()}
+    assert m == f
+    # idempotent: re-merging a snapshot changes nothing
+    again = merge_bloom_indexes(merged, build_bloom_index(a, **kw))
+    assert {r["bucket"]: r["bloom"] for r in again.collect()} == f

@@ -235,3 +235,42 @@ def test_stream_pipeline_gopher_filter(spark, tmp_path):
                         min_quality=0.0, gopher_filter=True)
     assert {r.doc_id for r in spark.read.parquet(out_gopher).collect()} == \
         {"keep"}
+
+
+def test_stream_pipeline_lm_filter(spark, tmp_path):
+    """Streaming LM-perplexity parity with the batch pipeline: a model
+    fitted on the corpus keeps normal docs; a planted gibberish doc is
+    dropped by the same broadcast-model stage in the streaming plan."""
+    from html_to_document_spark.operators.lm_filter import (
+        fit_ngram_lm,
+        perplexity,
+    )
+    from html_to_document_spark.plans.pipeline import (
+        build_training_pipeline,
+    )
+    from html_to_document_spark.streaming.stateful import run_stream_pipeline
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus = generate_corpus(spark, 20, seed=41, giant_frac=0.0)
+    ref = build_training_pipeline(
+        corpus, num_partitions=4, min_quality=0.0, materialize="none"
+    ).select("doc_id", "text")
+    model = fit_ngram_lm(ref, min_count=2)
+    cut = max(r["ppl"] for r in perplexity(ref, model).collect()) + 1e-4
+
+    gib = spark.createDataFrame(
+        [("zzz-gibberish",
+          [("text", "xqj vfp wkz bnm qqv rrw ssx tty uuz vva", None, 0)])],
+        corpus.schema,
+    )
+    corpus.unionByName(gib).write.parquet(in_path)
+    run_stream_pipeline(
+        spark, in_path, out_path, ckpt,
+        min_quality=0.0, lm_model=model, lm_max_ppl=cut,
+    )
+    ids = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert "zzz-gibberish" not in ids
+    assert len(ids) > 0
