@@ -655,6 +655,134 @@ def q_ann_ivf_topk(spark, sf_dir):  # rows-only (KMeans coarse quantizer)
     )
 
 
+def q_ann_approx_topk(spark, sf_dir):  # rows-only (seeded planes / KMeans)
+    """ann_lsh_topk + ann_ivf_topk merged into one mode-tagged union
+    row (r4 continuation): identical (query_id, rank, candidate_id,
+    cosine) schema, both rows-only (seeded hyperplanes / KMeans cells
+    are not SQL-portable; recall-vs-exact is pytest-gated in
+    tests/test_similarity.py), so the merge frees a slot under the
+    driver's 50-row cap for interleaved_stats while both modes keep
+    running in the gate."""
+    lsh = q_ann_lsh_topk(spark, sf_dir).withColumn("mode", F.lit("lsh"))
+    ivf = q_ann_ivf_topk(spark, sf_dir).withColumn("mode", F.lit("ivf"))
+    return lsh.unionByName(ivf)
+
+
+# ---------------------------------------------------------------------------
+# interleaved text+media curation (OBELICS/MMC4-style, operators/interleaved)
+# ---------------------------------------------------------------------------
+
+_SPAN3 = "array<struct<kind:string,text:string,media_ref:string>>"
+
+
+def _interleaved_spans_expr():
+    """Deterministic interleaved spans synthesized from the documents
+    table — identical arithmetic on both engines: text split into
+    5-word text spans; after every 3rd text span an image whose ref is
+    shared across the source (doc_id%3==0 docs get a double image →
+    runs); doc_id%11==0 docs get a 2-image leading banner; every
+    has-image doc (doc_id%7!=0) ends with a doc-unique image ref.
+    Source-keyed and banner refs repeat across many docs (the hot
+    'site furniture' set); doc-unique refs never do."""
+    ws = F.split(F.col("text"), " ")
+    ng = F.ceil(F.size(ws) / F.lit(5.0)).cast("int")
+    doc = F.col("doc_id")
+    has_img = doc % 7 != 0
+    empty = F.array().cast(_SPAN3)
+
+    def text_span(i):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.array_join(F.slice(ws, i * 5 + 1, F.lit(5)), " ").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+        )
+
+    def img_span(ref):
+        return F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            ref.alias("media_ref"),
+        )
+
+    def group(i):
+        src_ref = F.concat(
+            F.lit("media://"), F.col("source"), F.lit("/"),
+            (i % 4).cast("string"),
+        )
+        return F.concat(
+            F.array(text_span(i)),
+            F.when(
+                has_img & ((i + 1) % 3 == 0),
+                F.when(
+                    doc % 3 == 0,
+                    F.array(img_span(src_ref), img_span(src_ref)),
+                ).otherwise(F.array(img_span(src_ref))),
+            ).otherwise(empty),
+        )
+
+    banner_ref = F.concat(
+        F.lit("media://banner/"), (doc % 2).cast("string")
+    )
+    banner = F.when(
+        doc % 11 == 0, F.array(img_span(banner_ref), img_span(banner_ref))
+    ).otherwise(empty)
+    tail_ref = F.concat(F.lit("media://doc/"), doc.cast("string"))
+    tail = F.when(has_img, F.array(img_span(tail_ref))).otherwise(empty)
+    return F.concat(
+        banner,
+        F.flatten(F.transform(F.sequence(F.lit(0), ng - 1), group)),
+        tail,
+    )
+
+
+def q_interleaved_stats(spark, sf_dir):
+    """Interleaved-document curation (operators/interleaved.py): the
+    OBELICS/MMC4 doc-level stats (span/image counts, text volume,
+    image runs, leading banners), hot-media (logo) detection with
+    per-doc map-side ref dedup, literal-set hot-span removal
+    (n_hot_images = images dropped), and the keep rule — all computed
+    over a spans table synthesized in-query so the DuckDB oracle can
+    rebuild the identical arrays and recompute every stat in SQL
+    (gaps-and-islands for runs)."""
+    from html_to_document_spark.operators.interleaved import (
+        drop_hot_media,
+        hot_media_refs,
+        interleaved_keep_col,
+        interleaved_stats,
+    )
+
+    sp = _docs(spark, sf_dir).select(
+        "doc_id", _interleaved_spans_expr().alias("spans")
+    )
+    hot = hot_media_refs(sp, min_docs=8)
+    stats = interleaved_stats(sp).withColumn("spans2", F.col("spans"))
+    after = drop_hot_media(
+        stats, hot, spans_col="spans2", renumber_offsets=False
+    )
+    n_img_after = F.size(
+        F.filter(F.col("spans2"), lambda s: s["kind"] == "image")
+    )
+    return after.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_spans",
+        "n_text",
+        "n_images",
+        "text_chars",
+        "max_image_run",
+        "leading_images",
+        (F.col("n_images") - n_img_after).cast("int").alias("n_hot_images"),
+        interleaved_keep_col(
+            min_text_chars=150,
+            max_images=6,
+            max_image_ratio=0.4,
+            max_image_run=1,
+            max_leading_images=0,
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational / scale patterns (TPC-H-ish)
 # ---------------------------------------------------------------------------
@@ -1155,9 +1283,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         # similarity
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
+        # lsh + ivf merged r4-cont (identical schema, both rows-only,
+        # both still run) to free a slot for interleaved_stats
+        "ann_approx_topk": q_ann_approx_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        # interleaved text+media curation (OBELICS/MMC4-style)
+        "interleaved_stats": q_interleaved_stats,
         # pdf_extract replaced embedding_norms in the 50-row gate (r4):
         # the norm is a sub-expression of ann_cosine_topk's oracle-
         # gated cosine, so it gated nothing new; the PDF path is a
@@ -1875,7 +2006,76 @@ def oracle_sql() -> dict[str, str]:
             "|| '</li><li>x</li></ul><p>' || lang || ' tail</p>' "
             "as html_out from documents"
         ),
+        "interleaved_stats": """
+WITH sized AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws,
+         CAST(ceil(len(string_split(text, ' '))/5.0) AS INT) AS ng,
+         (doc_id % 7 <> 0) AS has_img
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 11 = 0 THEN [
+        {'kind':'image','text':CAST(NULL AS VARCHAR),
+         'media_ref':'media://banner/' || CAST(doc_id % 2 AS VARCHAR)},
+        {'kind':'image','text':CAST(NULL AS VARCHAR),
+         'media_ref':'media://banner/' || CAST(doc_id % 2 AS VARCHAR)}]
+      ELSE CAST([] AS STRUCT(kind VARCHAR, text VARCHAR, media_ref VARCHAR)[]) END)
+    || flatten(list_transform(range(0, ng), i ->
+        [{'kind':'text','text':array_to_string(ws[i*5+1:i*5+5], ' '),
+          'media_ref':CAST(NULL AS VARCHAR)}]
+        || (CASE WHEN has_img AND (i+1)%3 = 0 THEN
+              (CASE WHEN doc_id%3 = 0 THEN
+                [{'kind':'image','text':CAST(NULL AS VARCHAR),
+                  'media_ref':'media://' || source || '/' || CAST(i%4 AS VARCHAR)},
+                 {'kind':'image','text':CAST(NULL AS VARCHAR),
+                  'media_ref':'media://' || source || '/' || CAST(i%4 AS VARCHAR)}]
+               ELSE [{'kind':'image','text':CAST(NULL AS VARCHAR),
+                      'media_ref':'media://' || source || '/' || CAST(i%4 AS VARCHAR)}] END)
+            ELSE CAST([] AS STRUCT(kind VARCHAR, text VARCHAR, media_ref VARCHAR)[]) END)))
+    || (CASE WHEN has_img THEN
+          [{'kind':'image','text':CAST(NULL AS VARCHAR),
+            'media_ref':'media://doc/' || CAST(doc_id AS VARCHAR)}]
+        ELSE CAST([] AS STRUCT(kind VARCHAR, text VARCHAR, media_ref VARCHAR)[]) END)
+    AS spans
+  FROM sized
+), f AS (
+  SELECT doc_id, generate_subscripts(spans, 1) AS ord,
+         unnest(spans, recursive := false) AS s
+  FROM built
+), g AS (
+  SELECT doc_id, ord, s.kind AS kind, s.text AS stext, s.media_ref AS ref FROM f
+), agg AS (
+  SELECT doc_id,
+    CAST(count(*) AS INT) AS n_spans,
+    CAST(count(*) FILTER (WHERE kind = 'text') AS INT) AS n_text,
+    CAST(count(*) FILTER (WHERE kind = 'image') AS INT) AS n_images,
+    CAST(coalesce(sum(length(stext)) FILTER (WHERE kind = 'text'), 0) AS BIGINT) AS text_chars,
+    CAST(coalesce(min(ord) FILTER (WHERE kind <> 'image') - 1, count(*)) AS INT) AS leading_images
+  FROM g GROUP BY doc_id
+), runs AS (
+  SELECT doc_id, CAST(max(cnt) AS INT) AS max_image_run FROM (
+    SELECT doc_id, isl, count(*) AS cnt FROM (
+      SELECT doc_id, ord,
+             ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS isl
+      FROM g WHERE kind = 'image') GROUP BY doc_id, isl) GROUP BY doc_id
+), hot AS (
+  SELECT ref FROM (SELECT DISTINCT doc_id, ref FROM g WHERE kind = 'image')
+  GROUP BY ref HAVING count(*) >= 8
+), hotcnt AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_hot_images
+  FROM g WHERE kind = 'image' AND ref IN (SELECT ref FROM hot)
+  GROUP BY doc_id
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id, a.n_spans, a.n_text, a.n_images,
+  a.text_chars, coalesce(r.max_image_run, 0) AS max_image_run,
+  a.leading_images, coalesce(h.n_hot_images, 0) AS n_hot_images,
+  CAST((a.text_chars >= 150 AND a.n_images <= 6 AND a.n_images >= 0
+        AND (CAST(a.n_images AS DOUBLE) / a.n_spans) <= 0.4
+        AND coalesce(r.max_image_run, 0) <= 1
+        AND a.leading_images <= 0) AS INT) AS keep
+FROM agg a LEFT JOIN runs r USING (doc_id) LEFT JOIN hotcnt h USING (doc_id)
+""",
         # rows-only (non-SQL-portable hashing / driver-seeded planes /
         # binary plumbing / generator-defined): dedup_simhash,
-        # ann_lsh_topk, multimodal_pipeline, training_pipeline
+        # ann_approx_topk, multimodal_pipeline, training_pipeline
     }

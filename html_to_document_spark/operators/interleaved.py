@@ -1,0 +1,263 @@
+"""Interleaved text+media document curation.
+
+The north-rule input is an Iceberg table of *interleaved* documents —
+``spans: array<struct<kind,text,media_ref,offset>>`` mixing text spans
+with image/media spans.  Multimodal web-corpus pipelines (OBELICS,
+Laurencon et al. 2023; MMC4, Zhu et al. 2023 — both public recipes)
+curate such documents with two families of rules this module provides:
+
+1. **Doc-level interleave stats + filters** — image count bounds, text
+   volume, image density, consecutive-image runs, leading-image
+   banners.  ``interleaved_stats`` computes every stat as ONE Column
+   projection over the spans array (higher-order ``aggregate`` /
+   ``filter`` — JVM codegen, no explode, no shuffle, array order
+   preserved); ``interleaved_keep_col`` folds the published-style
+   bounds into a single boolean Column so callers can merge it into an
+   existing filter without adding a scan.
+
+2. **Hot-media (logo/banner) removal** — MMC4 drops images whose URL
+   appears in many documents (site furniture, tracking pixels).
+   ``hot_media_refs`` counts per-ref document frequency with the refs
+   deduplicated *inside each document map-side first* (``array_distinct``
+   before the explode), so the shuffle carries one short (ref) row per
+   doc×ref, never span payloads.  ``drop_hot_media`` then strips those
+   image spans from every document via an in-literal set filter — the
+   hot set is provably tiny (≤ corpus_docs / min_docs), the corpus is
+   NEVER re-shuffled, and span order/offsets are preserved by
+   renumbering inside the same projection.
+
+Scale shape (100 TB lens): stats + keep are shuffle-free projections;
+the only exchange in the module is the hot-ref count, keyed by the
+media_ref string itself (short URLs — the natural key; per-doc
+pre-distinct bounds the row count at docs × distinct-refs-per-doc).
+
+Reference parity: the reference engine converts interleaved documents
+(``packages/core/src`` element middleware keeps ``<img>`` spans inline
+with text); it has no corpus-level curation — this module is part of
+the beyond-reference training-data surface the task brief mandates.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterable
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import Column, DataFrame
+
+__all__ = [
+    "interleaved_stats",
+    "interleaved_keep_col",
+    "hot_media_refs",
+    "drop_hot_media",
+]
+
+# A hot set larger than this is a sizing error (min_docs too low for the
+# corpus), not a logo set; refuse rather than ship a megabyte IN-list.
+MAX_HOT_REFS = 100_000
+
+
+def _is_image(s) -> "Column":
+    return s["kind"] == "image"
+
+
+def interleaved_stats(
+    df: "DataFrame", spans_col: str = "spans"
+) -> "DataFrame":
+    """Append per-document interleave statistics.
+
+    Adds (all computed in one shuffle-free Column projection):
+
+    - ``n_spans`` / ``n_text`` / ``n_images`` — span counts by kind
+      (anything that is not an image counts as text-like for ``n_text``
+      only when ``kind = 'text'``; tables/pagebreaks are in ``n_spans``
+      but neither bucket).
+    - ``text_chars`` — total characters across text spans.
+    - ``max_image_run`` — longest run of consecutive image spans
+      (galleries / scraped carousels).
+    - ``leading_images`` — images before the first non-image span
+      (banner/logo headers).
+    - ``image_ratio`` — n_images / n_spans (0.0 for empty docs).
+    - ``chars_per_image`` — text_chars / n_images (NULL when no images).
+    """
+    spans = F.col(spans_col)
+    n_spans = F.size(spans)
+    n_images = F.size(F.filter(spans, _is_image))
+    n_text = F.size(F.filter(spans, lambda s: s["kind"] == "text"))
+    text_chars = F.aggregate(
+        spans,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(
+            s["kind"] == "text", F.length(F.coalesce(s["text"], F.lit("")))
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    # (cur_run, best_run) accumulator: classic max-run-in-one-pass.
+    run = F.aggregate(
+        spans,
+        F.struct(
+            F.lit(0).cast("int").alias("cur"), F.lit(0).cast("int").alias("best")
+        ),
+        lambda acc, s: F.struct(
+            F.when(_is_image(s), acc["cur"] + 1).otherwise(F.lit(0)).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(_is_image(s), acc["cur"] + 1).otherwise(F.lit(0)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    # (count, stopped) accumulator: images seen before the first
+    # non-image span.
+    lead = F.aggregate(
+        spans,
+        F.struct(
+            F.lit(0).cast("int").alias("cnt"),
+            F.lit(False).alias("stopped"),
+        ),
+        lambda acc, s: F.struct(
+            F.when(acc["stopped"] | ~_is_image(s), acc["cnt"])
+            .otherwise(acc["cnt"] + 1)
+            .alias("cnt"),
+            (acc["stopped"] | ~_is_image(s)).alias("stopped"),
+        ),
+        lambda acc: acc["cnt"],
+    )
+    return df.withColumns(
+        {
+            "n_spans": n_spans.cast("int"),
+            "n_text": n_text.cast("int"),
+            "n_images": n_images.cast("int"),
+            "text_chars": text_chars,
+            "max_image_run": run,
+            "leading_images": lead,
+            "image_ratio": F.when(n_spans > 0, n_images / n_spans)
+            .otherwise(F.lit(0.0))
+            .cast("double"),
+            "chars_per_image": F.when(
+                n_images > 0, text_chars.cast("double") / n_images
+            ).cast("double"),
+        }
+    )
+
+
+def interleaved_keep_col(
+    *,
+    min_text_chars: int = 100,
+    max_images: int = 32,
+    min_images: int = 0,
+    max_image_ratio: float = 0.5,
+    max_image_run: int = 4,
+    max_leading_images: int = 4,
+) -> "Column":
+    """Doc-level keep predicate over :func:`interleaved_stats` columns.
+
+    Defaults follow the OBELICS/MMC4 shape: drop image-dump pages
+    (too many images, long galleries, image-heavy ratio), banner-led
+    pages, and text-starved pages.  ``min_images=1`` selects the
+    strictly-multimodal subset.  Returns a boolean Column; fold it
+    into an existing filter to add zero scans.
+    """
+    return (
+        (F.col("text_chars") >= min_text_chars)
+        & (F.col("n_images") <= max_images)
+        & (F.col("n_images") >= min_images)
+        & (F.col("image_ratio") <= max_image_ratio)
+        & (F.col("max_image_run") <= max_image_run)
+        & (F.col("leading_images") <= max_leading_images)
+    )
+
+
+def hot_media_refs(
+    df: "DataFrame",
+    *,
+    min_docs: int = 10,
+    spans_col: str = "spans",
+    doc_id_col: str = "doc_id",
+) -> "DataFrame":
+    """(media_ref, n_docs) for refs appearing in ``>= min_docs`` docs.
+
+    The MMC4 logo heuristic: an image embedded by many distinct
+    documents is site furniture, not content.  Refs are deduplicated
+    per document map-side (``array_distinct`` on the doc's own image
+    refs) BEFORE the explode, so the exchange carries one (ref) row
+    per doc×distinct-ref and the count is a plain ``count(*)`` — no
+    count-distinct rewrite, full map-side partial aggregation.
+    """
+    refs = F.array_distinct(
+        F.transform(
+            F.filter(F.col(spans_col), _is_image), lambda s: s["media_ref"]
+        )
+    )
+    per_doc = df.select(
+        F.col(doc_id_col), F.explode(refs).alias("media_ref")
+    ).where(F.col("media_ref").isNotNull())
+    return (
+        per_doc.groupBy("media_ref")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= int(min_docs))
+    )
+
+
+def drop_hot_media(
+    df: "DataFrame",
+    hot: "DataFrame | Iterable[str]",
+    *,
+    spans_col: str = "spans",
+    renumber_offsets: bool = True,
+) -> "DataFrame":
+    """Strip logo-like image spans (those whose ref is in ``hot``).
+
+    ``hot`` is the output of :func:`hot_media_refs` (or any iterable of
+    refs).  The set is bounded by corpus_docs / min_docs and is pulled
+    to the driver as literals — the same provably-tiny-side pattern as
+    the IVF centroids — so the corpus is filtered in place with NO
+    join and NO shuffle.  A set larger than ``MAX_HOT_REFS`` raises:
+    that is a ``min_docs`` sizing error, not a logo set.
+
+    Span order is preserved; offsets are renumbered to stay dense when
+    ``renumber_offsets`` (fields beyond kind/text/media_ref/offset are
+    not carried — the spans contract is exactly those four).
+    """
+    if hasattr(hot, "collect"):
+        rows = hot.limit(MAX_HOT_REFS + 1).collect()
+        if len(rows) > MAX_HOT_REFS:
+            raise ValueError(
+                f"hot-media set exceeds {MAX_HOT_REFS} refs; raise min_docs"
+            )
+        refs = [r["media_ref"] for r in rows]
+    else:
+        refs = list(hot)
+        if len(refs) > MAX_HOT_REFS:
+            raise ValueError(
+                f"hot-media set exceeds {MAX_HOT_REFS} refs; raise min_docs"
+            )
+    spans = F.col(spans_col)
+    if refs:
+        lit_set = F.array(*[F.lit(r) for r in refs])
+        kept = F.filter(
+            spans,
+            # coalesce: an image span with a NULL ref is content with a
+            # missing pointer, not a logo — keep it (array_contains
+            # yields NULL on NULL probe, which filter() would drop).
+            lambda s: ~(
+                _is_image(s)
+                & F.coalesce(
+                    F.array_contains(lit_set, s["media_ref"]), F.lit(False)
+                )
+            ),
+        )
+    else:
+        kept = spans
+    if renumber_offsets:
+        kept = F.transform(
+            kept,
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        )
+    return df.withColumn(spans_col, kept)

@@ -1,0 +1,197 @@
+"""Interleaved-document curation (operators/interleaved.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from html_to_document_spark.operators.interleaved import (
+    MAX_HOT_REFS,
+    drop_hot_media,
+    hot_media_refs,
+    interleaved_keep_col,
+    interleaved_stats,
+)
+
+SPANS_TYPE = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+SCHEMA = f"doc_id string, spans {SPANS_TYPE}"
+
+
+def t(text, off):
+    return ("text", text, None, off)
+
+
+def img(ref, off):
+    return ("image", None, ref, off)
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return mk(
+        spark,
+        [
+            # plain text-only doc
+            ("d0", [t("hello world", 0), t("more text here", 1)]),
+            # banner-led: 2 leading images, then text/image interleave
+            (
+                "d1",
+                [
+                    img("media://logo", 0),
+                    img("media://logo", 1),
+                    t("body text", 2),
+                    img("media://pic1", 3),
+                    t("tail", 4),
+                ],
+            ),
+            # gallery: run of 3 images mid-doc
+            (
+                "d2",
+                [
+                    t("intro", 0),
+                    img("media://a", 1),
+                    img("media://b", 2),
+                    img("media://c", 3),
+                    t("outro", 4),
+                ],
+            ),
+            # all-images doc
+            ("d3", [img("media://a", 0), img("media://logo", 1)]),
+            # empty doc
+            ("d4", []),
+            # table span is neither text nor image for the buckets
+            ("d5", [("table", "a\tb", None, 0), t("x", 1)]),
+            # image with NULL ref (missing pointer, not a logo)
+            ("d6", [t("y", 0), img(None, 1)]),
+        ],
+    )
+
+
+def _stats(docs):
+    return {
+        r["doc_id"]: r.asDict() for r in interleaved_stats(docs).collect()
+    }
+
+
+def test_stats_counts_and_chars(docs):
+    s = _stats(docs)
+    assert s["d0"]["n_spans"] == 2
+    assert s["d0"]["n_text"] == 2
+    assert s["d0"]["n_images"] == 0
+    assert s["d0"]["text_chars"] == len("hello world") + len("more text here")
+    assert s["d0"]["chars_per_image"] is None
+    assert s["d0"]["image_ratio"] == 0.0
+    assert s["d5"]["n_spans"] == 2
+    assert s["d5"]["n_text"] == 1  # table span in neither bucket
+    assert s["d5"]["text_chars"] == 1
+
+
+def test_stats_runs_and_leading(docs):
+    s = _stats(docs)
+    assert s["d1"]["leading_images"] == 2
+    assert s["d1"]["max_image_run"] == 2
+    assert s["d2"]["leading_images"] == 0
+    assert s["d2"]["max_image_run"] == 3
+    assert s["d3"]["leading_images"] == 2
+    assert s["d3"]["max_image_run"] == 2
+    assert s["d3"]["image_ratio"] == 1.0
+    assert s["d4"]["n_spans"] == 0
+    assert s["d4"]["max_image_run"] == 0
+    assert s["d4"]["leading_images"] == 0
+    assert s["d4"]["image_ratio"] == 0.0
+
+
+def test_keep_col_rules(docs):
+    kept = {
+        r["doc_id"]: r["keep"]
+        for r in interleaved_stats(docs)
+        .select(
+            "doc_id",
+            interleaved_keep_col(
+                min_text_chars=5,
+                max_image_ratio=0.9,
+                max_image_run=2,
+                max_leading_images=1,
+            ).alias("keep"),
+        )
+        .collect()
+    }
+    assert kept["d0"] is True
+    assert kept["d1"] is False  # 2 leading images > 1
+    assert kept["d2"] is False  # run of 3 > 2
+    assert kept["d3"] is False  # ratio 1.0 and no text
+    assert kept["d4"] is False  # no text
+    assert kept["d6"] is False  # text_chars 1 < 5
+
+
+def test_keep_col_is_single_stage(docs):
+    plan = (
+        interleaved_stats(docs)
+        .where(interleaved_keep_col(min_text_chars=1))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hot_media_refs_doc_frequency(docs):
+    hot = {
+        r["media_ref"]: r["n_docs"]
+        for r in hot_media_refs(docs, min_docs=2).collect()
+    }
+    # logo appears in d1 (twice -> counted once) and d3; 'a' in d2+d3
+    assert hot == {"media://logo": 2, "media://a": 2}
+
+
+def test_drop_hot_media_strips_and_renumbers(spark, docs):
+    hot = hot_media_refs(docs, min_docs=2)
+    out = {
+        r["doc_id"]: r["spans"]
+        for r in drop_hot_media(docs, hot).collect()
+    }
+    d1 = out["d1"]
+    assert [s["kind"] for s in d1] == ["text", "image", "text"]
+    assert [s["offset"] for s in d1] == [0, 1, 2]
+    assert d1[1]["media_ref"] == "media://pic1"
+    # d3 keeps only the non-hot 'b'? no — d3 has a (hot) and logo (hot)
+    assert out["d3"] == []
+    # NULL-ref image is kept
+    assert [s["kind"] for s in out["d6"]] == ["text", "image"]
+    # text spans untouched
+    assert out["d0"][0]["text"] == "hello world"
+
+
+def test_drop_hot_media_accepts_iterable_and_empty(spark, docs):
+    out = {
+        r["doc_id"]: r["spans"]
+        for r in drop_hot_media(docs, ["media://a", "media://b"]).collect()
+    }
+    assert [s["kind"] for s in out["d2"]] == ["text", "image", "text"]
+    assert out["d2"][1]["media_ref"] == "media://c"
+    # empty hot set: arrays unchanged (modulo offset renumber = identity)
+    same = {
+        r["doc_id"]: r["spans"] for r in drop_hot_media(docs, []).collect()
+    }
+    assert same["d1"] == docs.where("doc_id='d1'").collect()[0]["spans"]
+
+
+def test_drop_hot_media_refuses_oversized_set(docs):
+    with pytest.raises(ValueError, match="min_docs"):
+        drop_hot_media(docs, (f"r{i}" for i in range(MAX_HOT_REFS + 1)))
+
+
+def test_hot_media_shuffle_carries_refs_only(docs):
+    plan = (
+        hot_media_refs(docs, min_docs=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one exchange keyed by media_ref, with a partial aggregate below it
+    assert plan.count("Exchange") == 1
+    assert "media_ref" in plan.split("Exchange")[1]
