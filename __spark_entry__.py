@@ -341,6 +341,43 @@ def q_quality_score(spark, sf_dir):
     )
 
 
+def q_lang_quality(spark, sf_dir):
+    """lang_id + quality_score merged into one gate row (r4-cont) —
+    both are per-doc projections of the same table, so a doc_id join
+    gates the identical values while freeing a slot under the 50-row
+    cap for dsir_weight (the same merge shape as token_fingerprint)."""
+    return q_lang_id(spark, sf_dir).join(
+        q_quality_score(spark, sf_dir), "doc_id"
+    )
+
+
+def q_dsir_weight(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py, Xie et al. 2023):
+    target slice = doc_id%7==0 rows of the planted corpus (the same
+    ' tail<doc_id%211>' plant as lm_perplexity, straddling min_count=3
+    so the <unk> pool is exercised), raw = the full corpus; raw-gram
+    mode keeps every count an exact integer so the whole fit + score
+    is recomputed by the DuckDB oracle in pure SQL. log_weight is
+    rounded HALF_UP (sign-symmetric) at 4 decimals on both engines."""
+    from html_to_document_spark.operators.dsir import (
+        dsir_log_weight,
+        fit_dsir,
+    )
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" tail"),
+            (F.col("doc_id") % 211).cast("string"),
+        ).alias("text"),
+    )
+    target = planted.filter(F.col("doc_id") % 7 == 0)
+    model = fit_dsir(target, planted, min_count=3, alpha=0.5)
+    return dsir_log_weight(planted, model).select(
+        "doc_id", "n_grams", "log_weight"
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring (operators/lm_filter.py): fit
     the interpolated add-k bigram LM on the documents table (with a
@@ -1266,9 +1303,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token_stats + fingerprint merged r4 (same-table projections,
         # identical values gated) to admit substring_dedup_ranges
         "token_fingerprint": q_token_fingerprint,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
+        # lang_id + quality_score merged r4-cont (same-table per-doc
+        # projections, doc_id join gates identical values) to admit
+        # dsir_weight under the 50-row cap
+        "lang_quality": q_lang_quality,
         "lm_perplexity": q_lm_perplexity,
+        "dsir_weight": q_dsir_weight,
         "substring_dedup_ranges": q_substring_dedup_ranges,
         "repetition_stats": q_repetition_stats,
         "corpus_stats": q_corpus_stats,
@@ -1459,7 +1499,8 @@ def oracle_sql() -> dict[str, str]:
             "where k.c > 1 and not (o.doc_id = k.keep.doc_id "
             "and o.pos = k.keep.pos)"
         ),
-        "lang_id": (
+        "lang_quality": (
+            "select * from ("
             "with s as (select doc_id, "
             "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) as score_en, "
             "len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b')) as score_es, "
@@ -1473,8 +1514,7 @@ def oracle_sql() -> dict[str, str]:
             "when score_es = greatest(score_en, score_es, score_fr, score_de) then 'es' "
             "when score_fr = greatest(score_en, score_es, score_fr, score_de) then 'fr' "
             "else 'de' end as lang_pred from s"
-        ),
-        "quality_score": (
+            ") lq join ("
             "with s as (select doc_id, length(text) as n_chars_measured, "
             "len(string_split_regex(trim(text), '\\s+')) as n_words, "
             "len(regexp_extract_all(text, '[^\\w\\s]')) as n_punct, "
@@ -1489,6 +1529,58 @@ def oracle_sql() -> dict[str, str]:
             "floor((0.5 * len_score + 0.3 * least(stopword_ratio * 5, 1.0) "
             "+ 0.2 * (1 - least(punct_ratio * 10, 1.0))) * 10000 + 0.5) "
             "/ 10000.0 as quality from r"
+            ") qs using (doc_id)"
+        ),
+        # DSIR raw-gram mode (operators/dsir.py): identical planted
+        # corpus, target-slice gram counts, <unk> mapping, add-alpha
+        # smoothing and sign-symmetric HALF_UP 4-decimal rounding
+        # recomputed in pure SQL
+        "dsir_weight": (
+            "with d as ("
+            "  select doc_id, string_split(regexp_replace(trim("
+            "    text || ' tail' || cast(doc_id % 211 as varchar)), "
+            "    '\\s+', ' ', 'g'), ' ') as w from documents"
+            "), tok as ("
+            "  select doc_id, g.i as i, w[g.i] as gram"
+            "  from d, unnest(generate_series(1, len(w))) as g(i)"
+            "), grams as ("
+            "  select doc_id, gram from tok"
+            "  union all"
+            "  select a.doc_id, a.gram || ' ' || b.gram as gram"
+            "  from tok a join tok b"
+            "    on b.doc_id = a.doc_id and b.i = a.i + 1"
+            "), tgt as ("
+            "  select gram, count(*) as c from grams"
+            "  where doc_id % 7 = 0 group by gram"
+            "), vocab as (select gram from tgt where c >= 3"
+            "), ctm as ("
+            "  select case when v.gram is not null then t.gram"
+            "    else '<unk>' end as m, cast(sum(t.c) as double) as c"
+            "  from tgt t left join vocab v on v.gram = t.gram group by 1"
+            "), crm as ("
+            "  select case when v.gram is not null then g.gram"
+            "    else '<unk>' end as m, cast(count(*) as double) as c"
+            "  from grams g left join vocab v on v.gram = g.gram group by 1"
+            "), stats as ("
+            "  select cast((select count(*) from vocab) + 1 as double) as b,"
+            "    (select sum(c) from ctm) as nt,"
+            "    (select sum(c) from crm) as nr"
+            "), gm as ("
+            "  select g.doc_id, case when v.gram is not null then g.gram"
+            "    else '<unk>' end as m"
+            "  from grams g left join vocab v on v.gram = g.gram"
+            "), terms as ("
+            "  select gm.doc_id,"
+            "    ln((coalesce(ct.c, 0) + 0.5) / (0.5 * s.b + s.nt))"
+            "    - ln((coalesce(cr.c, 0) + 0.5) / (0.5 * s.b + s.nr)) as lp"
+            "  from gm cross join stats s"
+            "  left join ctm ct on ct.m = gm.m"
+            "  left join crm cr on cr.m = gm.m"
+            ") select doc_id, count(*) as n_grams, "
+            "case when sum(lp) >= 0 "
+            "then floor(sum(lp) * 10000 + 0.5) / 10000 "
+            "else -(floor(-sum(lp) * 10000 + 0.5) / 10000) end "
+            "as log_weight from terms group by doc_id"
         ),
         # interpolated add-k bigram LM (operators/lm_filter.py):
         # identical planted corpus, counts, probabilities, and HALF_UP

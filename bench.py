@@ -191,7 +191,7 @@ def run_headline_queries() -> dict[str, float]:
     qs = entry_mod.queries()
     names = [
         "extract_multi_block", "extract_table_linearize", "minify_normalize",
-        "token_fingerprint", "lang_id", "quality_score",
+        "token_fingerprint", "lang_quality",
         "dedup_exact_groups", "dedup_minhash_pairs", "gopher_repetition",
         "ann_cosine_topk", "pricing_summary", "revenue_by_nation",
         "top_events_per_user", "sessionize_events", "lineage_counts",
@@ -201,6 +201,9 @@ def run_headline_queries() -> dict[str, float]:
         # r4-cont: CCNet LM scoring (broadcast model, shuffle-free)
         # and Bloom incremental dedup (index build + broadcast probe)
         "lm_perplexity", "bloom_incremental",
+        # r4-cont: DSIR importance weighting (two count fits +
+        # broadcast-model scoring projection)
+        "dsir_weight",
         "gopher_rules",
         # r4 PDF path: writes AND parses one real PDF per document
         # (~5k docs at sf0.1), so the number is an upper bound on the

@@ -1,0 +1,317 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+Complements the CCNet perplexity filter (``operators/lm_filter.py``):
+where CCNet scores documents under ONE reference LM, DSIR contrasts a
+*target* distribution (the data you want more of) against the *raw*
+corpus distribution and weighs each document by how much more likely
+its features are under the target:
+
+    log w(x) = sum_{g in grams(x)} [ log p_hat(g) - log q_hat(g) ]
+
+with ``grams(x)`` the word unigrams + bigrams of the document and
+``p_hat`` / ``q_hat`` add-alpha-smoothed gram distributions fitted on
+the target slice and the raw corpus.  Selection then resamples
+documents with probability proportional to ``w`` (Gumbel top-k), which
+the paper shows beats both random selection and hard perplexity
+thresholds for pretraining-data curation.
+
+Two feature modes:
+
+- **raw-gram mode** (``num_buckets=None``): the feature space is the
+  target's gram vocabulary (``min_count`` cut, rare grams pooled into
+  ``<unk>``) — every quantity is an exact integer count, so the whole
+  fit+score is expressible in ANSI SQL for the DuckDB oracle.
+- **hashed mode** (``num_buckets=B``): the paper's formulation — grams
+  hash into ``B`` buckets (CRC32, reproducible on the JVM via
+  ``F.crc32`` and in Python via ``zlib.crc32``), bounding the model at
+  ``B`` floats regardless of vocabulary size.  This is the 100 TB
+  path: the broadcast model is ~80 KB at B=10k even over an unbounded
+  crawl vocabulary.
+
+Scale shape (100 TB lens):
+- FIT touches the target slice and the raw corpus once each with an
+  explode + map-side-combinable integer-count groupBy (hashed mode
+  shuffles 8-byte bucket ids, never gram text); ``fit_fraction`` fits
+  ``q_hat`` on a seeded sample — the raw distribution is a density
+  estimate, a 1% sample of 10^12 docs is statistically exact.
+- SCORING is shuffle-free: the model is an ``sc.broadcast`` dict /
+  numpy array and the weight is ONE Arrow-batched ``mapInPandas``
+  projection — the corpus is never joined or re-shuffled.
+- SELECTION (``dsir_select``) is a stateless seeded projection:
+  Gumbel noise derived from ``xxhash64(doc_id, seed)`` makes the
+  resample deterministic under any partitioning, with no global sort
+  (callers threshold the Gumbel key; an exact top-k would need one).
+
+Reference behavioural parity: the reference engine has no data
+selection — this operator belongs to the beyond-reference
+training-data surface the task brief mandates.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import zlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+    from pyspark.sql import Column, DataFrame
+
+__all__ = ["fit_dsir", "dsir_log_weight", "dsir_select", "gumbel_key_col"]
+
+UNK = "<unk>"
+_WS = re.compile(r"\s+")
+
+
+def _words(text: str) -> list[str]:
+    return _WS.split(text.strip()) if text and text.strip() else []
+
+
+def _doc_grams(words: list[str]) -> Iterator[str]:
+    yield from words
+    for i in range(len(words) - 1):
+        yield words[i] + " " + words[i + 1]
+
+
+def _gram_counts(df: "DataFrame", text_col: str) -> "DataFrame":
+    """(gram, count) over word unigrams + bigrams — one explode, one
+    map-side-combinable groupBy; gram construction is array-side (no
+    positional self-join)."""
+    from pyspark.sql import functions as F
+
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(F.concat(w, bigrams)).alias("gram"))
+        .groupBy("gram")
+        .count()
+    )
+
+
+def fit_dsir(
+    target_df: "DataFrame",
+    raw_df: "DataFrame",
+    text_col: str = "text",
+    *,
+    alpha: float = 0.5,
+    min_count: int = 2,
+    num_buckets: int | None = None,
+    vocab_cap: int | None = None,
+    fit_fraction: float | None = None,
+    seed: int = 42,
+) -> dict:
+    """Fit the target/raw gram distributions; returns a broadcastable
+    plain-dict model.
+
+    raw-gram mode: ``{"mode": "gram", "alpha", "B", "Nt", "Nr",
+    "ct", "cr", "vocab"}`` with ``ct``/``cr`` exact mapped-gram counts
+    (feature space = target grams with count >= min_count, rare grams
+    pooled into ``<unk>``) — identical under any partitioning.
+
+    hashed mode (``num_buckets=B``): ``{"mode": "hash", ...,
+    "ct"/"cr": list[int] of length B}`` with bucket = crc32(gram) % B.
+
+    ``fit_fraction`` samples the RAW side only (the target slice is
+    the small trusted set; the raw side is the 100 TB corpus whose
+    distribution a seeded sample estimates).
+    """
+    from pyspark.sql import functions as F
+
+    if fit_fraction is not None:
+        raw_df = raw_df.sample(False, fit_fraction, seed=seed)
+
+    tgt = _gram_counts(target_df, text_col)
+    raw = _gram_counts(raw_df, text_col)
+
+    if num_buckets is not None:
+        B = int(num_buckets)
+        bucketed = lambda df: (  # noqa: E731
+            df.groupBy(
+                F.pmod(F.crc32(F.col("gram").cast("binary")), F.lit(B))
+                .cast("int")
+                .alias("bucket")
+            )
+            .agg(F.sum("count").alias("c"))
+            .collect()
+        )
+        ct = [0] * B
+        for r in bucketed(tgt):
+            ct[r["bucket"]] = r["c"]
+        cr = [0] * B
+        for r in bucketed(raw):
+            cr[r["bucket"]] = r["c"]
+        return {
+            "mode": "hash",
+            "alpha": float(alpha),
+            "B": B,
+            "Nt": sum(ct),
+            "Nr": sum(cr),
+            "ct": ct,
+            "cr": cr,
+        }
+
+    if vocab_cap is not None:
+        tgt_rows = (
+            tgt.orderBy(F.col("count").desc(), F.col("gram").asc())
+            .limit(vocab_cap)
+            .collect()
+        )
+    else:
+        tgt_rows = tgt.collect()
+    ct_raw = {r["gram"]: r["count"] for r in tgt_rows}
+    vocab = {g for g, c in ct_raw.items() if c >= min_count}
+    ct: dict[str, int] = {}
+    for g, c in ct_raw.items():
+        m = g if g in vocab else UNK
+        ct[m] = ct.get(m, 0) + c
+    # raw counts mapped through the SAME feature space JVM-side
+    # (isin compiles to an InSet hash probe): the collected raw rows
+    # are bounded by |vocab|+1, never the raw corpus's open vocabulary
+    # — without this the driver collect would be O(crawl vocab)
+    in_vocab = (
+        F.col("gram").isin(sorted(vocab)) if vocab else F.lit(False)
+    )
+    raw_mapped = (
+        raw.groupBy(
+            F.when(in_vocab, F.col("gram"))
+            .otherwise(F.lit(UNK))
+            .alias("m")
+        )
+        .agg(F.sum("count").alias("c"))
+        .collect()
+    )
+    cr = {r["m"]: r["c"] for r in raw_mapped}
+    return {
+        "mode": "gram",
+        "alpha": float(alpha),
+        "B": len(vocab) + 1,  # feature space incl. <unk>
+        "Nt": sum(ct.values()),
+        "Nr": sum(cr.values()),
+        "ct": ct,
+        "cr": cr,
+        "vocab": vocab,
+    }
+
+
+def _r4(x: float) -> float:
+    return math.floor(x * 10000 + 0.5) / 10000 if x >= 0 else -(
+        math.floor(-x * 10000 + 0.5) / 10000
+    )
+
+
+def _score_text(text: str, m: dict) -> tuple[int, float]:
+    """(n_grams, log importance weight) of one document."""
+    words = _words(text)
+    a, B, Nt, Nr = m["alpha"], m["B"], m["Nt"], m["Nr"]
+    dt, dr = a * B + Nt, a * B + Nr
+    lw, n = 0.0, 0
+    if m["mode"] == "hash":
+        ct, cr = m["ct"], m["cr"]
+        nb = m["B"]
+        for g in _doc_grams(words):
+            b = zlib.crc32(g.encode("utf-8")) % nb
+            lw += math.log((ct[b] + a) / dt) - math.log((cr[b] + a) / dr)
+            n += 1
+    else:
+        ct, cr, vocab = m["ct"], m["cr"], m["vocab"]
+        for g in _doc_grams(words):
+            mg = g if g in vocab else UNK
+            lw += math.log((ct.get(mg, 0) + a) / dt) - math.log(
+                (cr.get(mg, 0) + a) / dr
+            )
+            n += 1
+    return n, lw
+
+
+def dsir_log_weight(
+    df: "DataFrame",
+    model: dict,
+    text_col: str = "text",
+    *,
+    out_col: str = "log_weight",
+    round4: bool = True,
+) -> "DataFrame":
+    """Append (n_grams, log_weight) — a shuffle-free broadcast-model
+    Arrow-batched projection; all input columns pass through."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    sc = df.sparkSession.sparkContext
+    bmodel = sc.broadcast(model)
+
+    # fresh StructType — StructType.add MUTATES in place, so chaining
+    # it off df.schema would corrupt the source DataFrame's schema
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("n_grams", LongType()),
+           StructField(out_col, DoubleType())]
+    )
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        m = bmodel.value
+        for pdf in batches:
+            scored = [_score_text(t, m) for t in pdf[text_col].astype(str)]
+            pdf = pdf.copy()
+            pdf["n_grams"] = pd.Series(
+                [s[0] for s in scored], index=pdf.index, dtype="int64"
+            )
+            vals = [s[1] for s in scored]
+            if round4:
+                vals = [_r4(v) for v in vals]
+            pdf[out_col] = pd.Series(vals, index=pdf.index, dtype="float64")
+            yield pdf
+
+    return df.mapInPandas(fn, schema)
+
+
+def gumbel_key_col(
+    log_weight_col: str = "log_weight",
+    *,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> "Column":
+    """Seeded Gumbel perturbation key: ``log_w + Gumbel(0,1)`` with the
+    noise derived from ``xxhash64(id, seed)`` — fully deterministic
+    under any partitioning (re-running the job reproduces the exact
+    sample), which a ``rand()``-based resample would not be."""
+    from pyspark.sql import functions as F
+
+    h = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    # map the 64-bit hash to (0,1): shift into [0, 2^53) then scale,
+    # +0.5 to keep u strictly inside the open interval
+    u = (F.pmod(h, F.lit(1 << 53)) + F.lit(0.5)) / F.lit(float(1 << 53))
+    return F.col(log_weight_col) + (-F.log(-F.log(u)))
+
+
+def dsir_select(
+    df: "DataFrame",
+    *,
+    min_gumbel_key: float,
+    log_weight_col: str = "log_weight",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> "DataFrame":
+    """Gumbel-threshold resampling: keep rows whose perturbed key
+    clears ``min_gumbel_key``.  Thresholding (not exact top-k) keeps
+    the selection a stateless projection — no global sort, no window;
+    pick the threshold from a driver-side quantile probe when a target
+    budget is needed (Gumbel-max: threshold selection IS importance
+    resampling without replacement in expectation)."""
+    key = gumbel_key_col(log_weight_col, id_col=id_col, seed=seed)
+    return df.where(key >= float(min_gumbel_key))
