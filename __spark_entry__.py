@@ -699,10 +699,69 @@ def q_ann_approx_topk(spark, sf_dir):  # rows-only (seeded planes / KMeans)
     are not SQL-portable; recall-vs-exact is pytest-gated in
     tests/test_similarity.py), so the merge frees a slot under the
     driver's 50-row cap for interleaved_stats while both modes keep
-    running in the gate."""
+    running in the gate. r4-cont: embedding_near_dup folded in too
+    (also rows-only — driver-seeded planes; pairs coerced to the
+    shared schema as query_id=id_a, rank=0, candidate_id=id_b), which
+    freed the slot for the oracle-gated semantic_dedup row."""
     lsh = q_ann_lsh_topk(spark, sf_dir).withColumn("mode", F.lit("lsh"))
     ivf = q_ann_ivf_topk(spark, sf_dir).withColumn("mode", F.lit("ivf"))
-    return lsh.unionByName(ivf)
+    nd = q_embedding_near_dup(spark, sf_dir).select(
+        F.col("id_a").alias("query_id"),
+        F.lit(0).cast("long").alias("rank"),
+        F.col("id_b").alias("candidate_id"),
+        "cosine",
+        F.lit("near_dup").alias("mode"),
+    )
+    return lsh.unionByName(ivf).unionByName(nd)
+
+
+# 8 deterministic block centroids over dim 64: centroid j is 1.0 on
+# dims [8j, 8j+8). Literal (not KMeans) so the DuckDB oracle can
+# reproduce the assignment analytically: cos(v, c_j) =
+# sum(v[8j:8j+8]) / (||v|| * sqrt(8)).
+_SEM_K, _SEM_DIM, _SEM_BLOCK = 8, 64, 8
+
+
+def _sem_centroids():
+    cents = []
+    for j in range(_SEM_K):
+        c = [0.0] * _SEM_DIM
+        for d in range(j * _SEM_BLOCK, (j + 1) * _SEM_BLOCK):
+            c[d] = 1.0
+        cents.append(c)
+    return cents
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) with a FULL value oracle: every
+    embedding is mirrored at vec_id+10M (an exact semantic dup, cosine
+    1.0), the union is clustered against 8 literal block centroids and
+    semantically deduped at eps=0.99. The keep rule (least centroid_sim,
+    then lowest id) must resolve every mirror pair to the original row;
+    DuckDB recomputes assignment, pairwise cosines and the removal set
+    from scratch. cluster_cap=None here because the hot-cluster LSH
+    routing uses driver-seeded hyperplanes (not SQL-portable); the
+    capped==uncapped and hot-clique-collapse properties are pinned in
+    tests/test_semdedup.py."""
+    from html_to_document_spark.operators.semdedup import semantic_dedup
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    mirror = emb.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    out = semantic_dedup(
+        emb.unionByName(mirror),
+        _sem_centroids(),
+        eps=0.99,
+        cluster_cap=None,
+    )
+    # embeddings projected away: float arrays hash differently across
+    # engines; the gate checks (id, cluster, centroid_sim)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        "centroid_sim",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1326,7 +1385,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lsh + ivf merged r4-cont (identical schema, both rows-only,
         # both still run) to free a slot for interleaved_stats
         "ann_approx_topk": q_ann_approx_topk,
-        "embedding_near_dup": q_embedding_near_dup,
+        # embedding_near_dup merged into ann_approx_topk r4-cont (both
+        # rows-only, no oracle lost) to admit the ORACLE-gated
+        # semantic_dedup row — a strict upgrade of the checked surface
+        "semantic_dedup": q_semantic_dedup,
         # interleaved text+media curation (OBELICS/MMC4-style)
         "interleaved_stats": q_interleaved_stats,
         # pdf_extract replaced embedding_norms in the 50-row gate (r4):
@@ -1795,6 +1857,40 @@ def oracle_sql() -> dict[str, str]:
             "order by cosine desc, candidate_id asc) as rank from scored) "
             "select query_id, rank, candidate_id, cosine from ranked "
             "where rank <= 3"
+        ),
+        "semantic_dedup": (
+            # mirrors q_semantic_dedup exactly: 8 block centroids
+            # (1.0 on dims [8j,8j+8)), argmax assignment with ties to
+            # the lowest centroid index, r4 floor-rounding everywhere,
+            # removal iff a same-cluster row within eps=0.99 has
+            # strictly lower (centroid_sim, id)
+            "with base as (select vec_id, embedding from embeddings "
+            "union all select vec_id + 10000000 as vec_id, embedding "
+            "from embeddings), "
+            "n as (select vec_id, embedding, "
+            "sqrt(list_sum(list_transform(embedding, "
+            "x -> cast(x as double) * cast(x as double)))) as nrm from base), "
+            "sims as (select vec_id, embedding, nrm, c.j, "
+            "floor((list_sum(list_transform(range(1, 9), "
+            "i -> cast(embedding[c.j * 8 + i] as double))) "
+            "/ (nrm * sqrt(8.0))) * 10000 + 0.5) / 10000.0 as sim "
+            "from n, (select unnest(range(0, 8)) as j) c), "
+            "assigned as (select vec_id, embedding, nrm, "
+            "cast(j as int) as cluster, sim as centroid_sim from "
+            "(select *, row_number() over (partition by vec_id "
+            "order by sim desc, j asc) as rn from sims) where rn = 1), "
+            "removed as (select distinct a.vec_id from assigned a "
+            "join assigned b on a.cluster = b.cluster "
+            "and a.vec_id <> b.vec_id "
+            "where (b.centroid_sim < a.centroid_sim or "
+            "(b.centroid_sim = a.centroid_sim and b.vec_id < a.vec_id)) "
+            "and floor((list_sum(list_transform("
+            "range(1, len(a.embedding) + 1), "
+            "i -> cast(a.embedding[i] as double) "
+            "* cast(b.embedding[i] as double))) "
+            "/ (a.nrm * b.nrm)) * 10000 + 0.5) / 10000.0 >= 0.99) "
+            "select vec_id, cluster, centroid_sim from assigned "
+            "where vec_id not in (select vec_id from removed)"
         ),
         "pdf_extract": (
             "select d.doc_id, cast(g.i as int) as offset, 'text' as kind, "

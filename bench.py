@@ -204,6 +204,11 @@ def run_headline_queries() -> dict[str, float]:
         # r4-cont: DSIR importance weighting (two count fits +
         # broadcast-model scoring projection)
         "dsir_weight",
+        # r4-cont: interleaved-span curation (single array-HOF
+        # projection + one hot-ref exchange) and SemDeDup (literal-
+        # centroid assignment + cluster-keyed pair join over the
+        # mirrored embeddings corpus)
+        "interleaved_stats", "semantic_dedup",
         "gopher_rules",
         # r4 PDF path: writes AND parses one real PDF per document
         # (~5k docs at sf0.1), so the number is an upper bound on the
