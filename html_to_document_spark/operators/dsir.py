@@ -63,11 +63,21 @@ if TYPE_CHECKING:  # pragma: no cover
 __all__ = ["fit_dsir", "dsir_log_weight", "dsir_select", "gumbel_key_col"]
 
 UNK = "<unk>"
-_WS = re.compile(r"\s+")
+# ASCII \s, matching the JVM (Java regex \s) and DuckDB (RE2 \s)
+# tokenizers bit-for-bit on interior whitespace: Python's default
+# Unicode \s would split "foo bar" into two tokens the fit side
+# never counted, scoring real web text against the wrong feature
+# space. Leading/trailing whitespace is handled by the emptiness
+# check below (whitespace-only docs = no tokens, all engines agree
+# on the fixture corpus).
+_WS = re.compile(r"\s+", re.ASCII)
 
 
-def _words(text: str) -> list[str]:
-    return _WS.split(text.strip()) if text and text.strip() else []
+def _words(text) -> list[str]:
+    # non-str guards NULL rows reaching mapInPandas as None
+    if not isinstance(text, str) or not text.strip():
+        return []
+    return _WS.split(text.strip())
 
 
 def _doc_grams(words: list[str]) -> Iterator[str]:
@@ -266,7 +276,11 @@ def dsir_log_weight(
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         m = bmodel.value
         for pdf in batches:
-            scored = [_score_text(t, m) for t in pdf[text_col].astype(str)]
+            # no astype(str): it would turn a NULL row into the
+            # literal token "None" with a nonzero weight — _words'
+            # isinstance guard scores NULLs as (0, 0.0) instead,
+            # matching the empty-text contract and the SQL oracle
+            scored = [_score_text(t, m) for t in pdf[text_col]]
             pdf = pdf.copy()
             pdf["n_grams"] = pd.Series(
                 [s[0] for s in scored], index=pdf.index, dtype="int64"

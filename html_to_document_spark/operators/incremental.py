@@ -28,7 +28,11 @@ Scale shape (100 TB lens):
   bucket; each bitmap crosses the shuffle once per bucket, never per
   probe row. (A plain equi-join would materialize the megabyte bitmap
   into EVERY probe row's Arrow batch — that formulation is the trap
-  this mode exists to avoid.)
+  this mode exists to avoid.) Sizing: cogroup materializes ONE
+  bucket's probe keys per task (~28 B x new_rows/num_buckets), so
+  pick num_buckets such that new_rows/num_buckets fits an executor —
+  num_buckets trades bitmap granularity against per-task probe
+  memory. The index BUILD has no such constraint (it streams).
 
 False positives: a Bloom hit may be wrong (rate set by sizing; never
 false NEGATIVES — a true duplicate is always flagged). Flagged rows
@@ -93,23 +97,49 @@ def build_bloom_index(
     num_hashes: int = 5,
 ) -> "DataFrame":
     """(bucket int, bloom binary) — one fixed-size bitmap per bucket.
-    Deterministic: the OR of a set of digests is order-independent."""
+    Deterministic: the OR of a set of digests is order-independent.
+
+    Scale shape: the 20-byte key rows are hash-repartitioned by bucket
+    and STREAMED through mapInPandas in Arrow batches, OR-ing into the
+    task's fixed-size bitmaps as they flow — a groupBy.applyInPandas
+    here would materialize an entire bucket's key set
+    (history_rows/num_buckets rows) as ONE pandas frame and OOM the
+    executor at the docstring's 10^10-doc history; task memory is now
+    bounded by (buckets-per-task x bits_per_bucket/8) regardless of
+    history row count."""
     import numpy as np
     import pandas as pd  # noqa: F811
 
-    def make(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        bm = np.zeros(bits_per_bucket // 8, dtype=np.uint8)
-        pos = _positions(pdf["h1"], pdf["h2"], num_hashes, bits_per_bucket)
-        flat = pos.ravel()
-        np.bitwise_or.at(bm, flat >> 3, np.uint8(1) << (flat & 7).astype(np.uint8))
-        return pd.DataFrame(
-            {"bucket": [int(pdf["bucket"].iloc[0])], "bloom": [bm.tobytes()]}
-        )
+    def make(batches):
+        acc: dict[int, "np.ndarray"] = {}
+        for pdf in batches:
+            pos = _positions(
+                pdf["h1"], pdf["h2"], num_hashes, bits_per_bucket
+            )
+            buckets = pdf["bucket"].to_numpy()
+            for bkt in np.unique(buckets):
+                bm = acc.get(int(bkt))
+                if bm is None:
+                    bm = acc.setdefault(
+                        int(bkt),
+                        np.zeros(bits_per_bucket // 8, dtype=np.uint8),
+                    )
+                flat = pos[buckets == bkt].ravel()
+                np.bitwise_or.at(
+                    bm, flat >> 3,
+                    np.uint8(1) << (flat & 7).astype(np.uint8),
+                )
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "bucket": list(acc.keys()),
+                    "bloom": [bm.tobytes() for bm in acc.values()],
+                }
+            )
 
-    return (
-        history_df.select(*_keys(history_df, text_col, num_buckets))
-        .groupBy("bucket")
-        .applyInPandas(make, "bucket int, bloom binary")
+    keys = history_df.select(*_keys(history_df, text_col, num_buckets))
+    return keys.repartition("bucket").mapInPandas(
+        make, "bucket int, bloom binary"
     )
 
 

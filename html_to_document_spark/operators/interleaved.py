@@ -80,8 +80,16 @@ def interleaved_stats(
       (banner/logo headers).
     - ``image_ratio`` — n_images / n_spans (0.0 for empty docs).
     - ``chars_per_image`` — text_chars / n_images (NULL when no images).
+
+    A NULL spans array (failed extraction upstream) counts as an EMPTY
+    document — without the coalesce, ``size(NULL)`` is -1 under
+    Spark's legacy sizeOfNull and every aggregate() stat goes NULL,
+    silently poisoning keep rules and downstream arithmetic.
     """
-    spans = F.col(spans_col)
+    spans = F.coalesce(
+        F.col(spans_col),
+        F.array().cast(df.schema[spans_col].dataType.simpleString()),
+    )
     n_spans = F.size(spans)
     n_images = F.size(F.filter(spans, _is_image))
     n_text = F.size(F.filter(spans, lambda s: s["kind"] == "text"))

@@ -120,10 +120,28 @@ def fit_ngram_lm(
                 )
             ).alias("b")
         )
-        .groupBy("b.w1", "b.w2")
-        .count()
-        .collect()
     )
+    if vocab_cap is not None:
+        # map through the capped vocab JVM-side BEFORE collecting
+        # (isin compiles to an InSet hash probe, |vocab| <= cap):
+        # the collected bigram rows are then bounded by the mapped
+        # pair space, not the reference's open bigram vocabulary —
+        # without this, vocab_cap capped the model but NOT the
+        # driver collect (the dsir.fit_dsir pattern)
+        def _mapped(c):
+            in_v = c.isin(sorted(vocab)) if vocab else F.lit(False)
+            return F.when(in_v, c).otherwise(F.lit(UNK))
+
+        big_rows = (
+            big_rows.groupBy(
+                _mapped(F.col("b.w1")).alias("w1"),
+                _mapped(F.col("b.w2")).alias("w2"),
+            )
+            .count()
+            .collect()
+        )
+    else:
+        big_rows = big_rows.groupBy("b.w1", "b.w2").count().collect()
 
     # driver-side <unk> mapping of the collected counts (exact)
     map_w = lambda t: t if t in vocab else UNK  # noqa: E731
@@ -152,9 +170,14 @@ def fit_ngram_lm(
 
 def _score_text(text: str, m: dict) -> tuple[int, float]:
     """(n_tokens, perplexity) of one document under the model."""
-    words = re.split(r"\s+", text.strip()) if text and text.strip() else []
-    if not words:
+    # non-str guards the NULL row (None via Arrow) and any stray
+    # pandas NaN — both mean "no tokens", never a crash
+    if not isinstance(text, str) or not text.strip():
         return 0, float("nan")
+    # ASCII \s to match the JVM fit side (Java \s) and the DuckDB
+    # oracle (RE2 \s): Unicode \s would split interior NBSPs into
+    # tokens the fitted counts never saw (see dsir._WS)
+    words = re.split(r"\s+", text.strip(), flags=re.ASCII)
     k, lam, n_tot, v = m["k"], m["lam"], m["N"], m["V"]
     c1, c2, h, vocab = m["c1"], m["c2"], m["h"], m["vocab"]
     uden = n_tot + k * (v + 1)
@@ -174,7 +197,14 @@ def _score_text(text: str, m: dict) -> tuple[int, float]:
 
 
 def _r4(x: float) -> float:
-    # engine-portable HALF_UP at 4 decimals (matches text_analysis.r4)
+    # engine-portable HALF_UP at 4 decimals (matches text_analysis.r4).
+    # NaN passes through: _score_text emits NaN for token-less docs and
+    # math.floor(nan) raises — a single empty/whitespace/image-only doc
+    # must not fail the whole Spark stage. The pandas->Arrow bridge
+    # surfaces the NaN as SQL NULL, and NULL <= max_ppl is NULL, so
+    # lm_filter deterministically drops such docs.
+    if x != x:
+        return x
     return math.floor(x * 10000 + 0.5) / 10000
 
 

@@ -39,9 +39,11 @@ Scale shape (100 TB lens):
   hot set, then routed through the hyperplane-LSH candidate
   generator (``similarity.embedding_near_dup_pairs``), which carries
   its own sound hot-bucket star guard — so no shuffle partition ever
-  receives an unbounded cluster, and dup cliques inside hot clusters
-  still collapse to one keeper.  Below the cap, capped == uncapped
-  (pytest-pinned).
+  receives an unbounded cluster.  The id handed to the generator is
+  priority-encoded ((rounded centroid_sim, id) packed into a long)
+  so the star representative IS the keep rule's keeper, which makes
+  dup cliques inside hot clusters collapse to exactly one keeper.
+  Below the cap, capped == uncapped (pytest-pinned).
 
 Cosines are rounded HALF_UP at 4 decimals (``text_analysis.r4``)
 before every comparison, pinning assignment, eps tests and the keep
@@ -172,10 +174,15 @@ def semantic_dedup(
     else:
         # hot-cluster routing: the cluster-keyed self-join is exact
         # for clusters under the cap; clusters over it route through
-        # the hyperplane-LSH candidate generator, which carries its
-        # own sound hot-bucket star guard (a clique's members all
-        # pair with the bucket-min member, so cliques still collapse
-        # to one keeper). A "compare against the cluster's priority
+        # the hyperplane-LSH candidate generator. The id handed to
+        # the generator is PRIORITY-ENCODED — pid = (rounded sim,
+        # id) packed into one long — so the generator's star
+        # representative (bucket-MIN pid) is exactly the member the
+        # keep rule keeps: every star pair (keeper, x) removes x and
+        # a dup clique collapses to its one keeper. With the raw id
+        # instead, a clique whose min-ID member is NOT the priority
+        # min would lose only that member and every other duplicate
+        # would survive. A "compare against the cluster's priority
         # heads" cap was considered and REJECTED: a dup clique at the
         # TAIL of the cluster's priority order would never meet a
         # head and escape dedup entirely; LSH sub-bucketing has no
@@ -184,6 +191,14 @@ def semantic_dedup(
         from html_to_document_spark.operators.similarity import (
             embedding_near_dup_pairs,
         )
+
+        id_type = dict(assigned.dtypes)[id_col]
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                "cluster_cap hot-routing requires an integral id "
+                f"column (got {id_col}: {id_type}); pass "
+                "cluster_cap=None or add a surrogate long id"
+            )
 
         hot = F.broadcast(
             assigned.groupBy(F.col("cluster").alias("_c"))
@@ -208,44 +223,54 @@ def semantic_dedup(
             )
             .select(id_col, vec_col, "cluster", "centroid_sim")
         )
+        # pid packs (rounded sim, id) so that pid order == the keep
+        # rule's (centroid_sim, id) lexicographic priority order:
+        # sim is r4-rounded (4 decimals in [-1,1]) => an exact
+        # integer key in [0, 20000] after round(sim*10000)+10000,
+        # shifted above _ID_BITS bits of id. Requires 0 <= id <
+        # 2^46 (~7e13 — generous for doc ids; the encode would wrap
+        # silently above it, hence the shift leaves 15 sim bits +
+        # sign headroom inside a long).
+        _ID_BITS = 46
+        _ID_SPAN = F.lit(1 << _ID_BITS).cast("long")
+        pid = (
+            (F.round(F.col("centroid_sim") * 10000).cast("long")
+             + F.lit(10000)) * _ID_SPAN
+            + F.col(id_col).cast("long")
+        )
         dim = len(centroids[0])
         pairs = embedding_near_dup_pairs(
-            hot_rows, threshold=float(eps), dim=dim,
-            id_col=id_col, vec_col=vec_col,
+            hot_rows.select(pid.alias("_pid"), vec_col),
+            threshold=float(eps), dim=dim,
+            id_col="_pid", vec_col=vec_col,
             bucket_cap=int(cluster_cap),
         )
+        # pairs come back id_a < id_b IN PID SPACE, so id_b is
+        # always the lower-priority member — the pair's loser. Decode
+        # the original ids arithmetically (no join), then keep only
+        # same-cluster pairs (the rule is within-cluster; hyperplane
+        # buckets do not respect cluster boundaries) via two id-keyed
+        # equi-joins on the small surfaced pair set.
         meta = hot_rows.select(
             F.col(id_col).alias("_mid"),
             F.col("cluster").alias("_mc"),
-            F.col("centroid_sim").alias("_ms"),
         )
-        # recover (cluster, priority) for both pair sides — id-keyed
-        # equi-joins on the (small) surfaced pair set, no skew; keep
-        # only same-cluster pairs (the rule is within-cluster) and
-        # remove the higher-(sim, id) member of each pair
-        pa = pairs.join(
+        decoded = pairs.select(
+            F.pmod(F.col("id_a"), _ID_SPAN).alias("_da"),
+            F.pmod(F.col("id_b"), _ID_SPAN).alias("_db"),
+        )
+        pa = decoded.join(
             meta.select(
-                F.col("_mid").alias("id_a"),
-                F.col("_mc").alias("_ca"),
-                F.col("_ms").alias("_sa"),
+                F.col("_mid").alias("_da"), F.col("_mc").alias("_ca")
             ),
-            "id_a",
+            "_da",
         ).join(
             meta.select(
-                F.col("_mid").alias("id_b"),
-                F.col("_mc").alias("_cb"),
-                F.col("_ms").alias("_sb"),
+                F.col("_mid").alias("_db"), F.col("_mc").alias("_cb")
             ),
-            "id_b",
+            "_db",
         ).where(F.col("_ca") == F.col("_cb"))
-        a_loses = (F.col("_sa") > F.col("_sb")) | (
-            (F.col("_sa") == F.col("_sb")) & (F.col("id_a") > F.col("id_b"))
-        )
-        hot_removed = pa.select(
-            F.when(a_loses, F.col("id_a"))
-            .otherwise(F.col("id_b"))
-            .alias(id_col)
-        )
+        hot_removed = pa.select(F.col("_db").cast(id_type).alias(id_col))
         removed = cold_removed.unionByName(hot_removed).distinct()
 
     return assigned.join(removed, id_col, "left_anti")

@@ -8,6 +8,7 @@ import pytest
 from html_to_document_spark.operators.dsir import (
     UNK,
     _score_text,
+    _words,
     dsir_log_weight,
     dsir_select,
     fit_dsir,
@@ -209,3 +210,20 @@ def test_gumbel_key_col_is_finite(spark, model):
         gumbel_key_col().alias("k")
     ).collect()
     assert all(math.isfinite(r["k"]) for r in keys)
+
+
+def test_null_text_scores_zero_not_none_token(spark, model):
+    # regression (r4-cont review): astype(str) turned a NULL row into
+    # the literal token "None" with a nonzero importance weight
+    df = spark.createDataFrame(
+        [(1, None), (2, "the cat")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dsir_log_weight(df, model).collect()}
+    assert rows[1]["n_grams"] == 0
+    assert rows[1]["log_weight"] == 0.0
+
+
+def test_interior_unicode_whitespace_is_one_word():
+    # ASCII \s: match the JVM fit and RE2 oracle tokenizers on NBSP
+    assert _words("foo bar") == ["foo bar"]
+    assert _words(None) == []

@@ -195,3 +195,24 @@ def test_hot_media_shuffle_carries_refs_only(docs):
     # one exchange keyed by media_ref, with a partial aggregate below it
     assert plan.count("Exchange") == 1
     assert "media_ref" in plan.split("Exchange")[1]
+
+
+def test_null_spans_counts_as_empty_doc(spark):
+    # regression (r4-cont review): size(NULL) is -1 under Spark's
+    # legacy sizeOfNull, so a failed-extraction row got n_spans=-1
+    # and NULL fold stats that silently poisoned keep rules; NULL
+    # spans must behave exactly like an empty array
+    df = mk(spark, [("dnull", None), ("dempty", [])])
+    s = {r["doc_id"]: r.asDict()
+         for r in interleaved_stats(df).collect()}
+    for k in ("n_spans", "n_text", "n_images", "text_chars",
+              "max_image_run", "leading_images", "image_ratio",
+              "chars_per_image"):
+        assert s["dnull"][k] == s["dempty"][k], k
+    assert s["dnull"]["n_spans"] == 0
+    assert s["dnull"]["image_ratio"] == 0.0
+    # keep rule evaluates to a deterministic boolean, not NULL
+    kept = interleaved_stats(df).select(
+        "doc_id", interleaved_keep_col().alias("keep")
+    ).collect()
+    assert all(r["keep"] is False for r in kept)

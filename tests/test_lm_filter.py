@@ -115,3 +115,47 @@ def test_unseen_history_backoff(model):
 def test_fit_fraction_samples(ref_df):
     m = fit_ngram_lm(ref_df, min_count=1, fit_fraction=0.99, seed=7)
     assert m["N"] > 0
+
+
+def test_null_and_empty_rows_survive_spark_path(spark, model):
+    # regression (r4-cont review): _r4(nan) raised ValueError inside
+    # the mapInPandas worker — one image-only/empty doc failed the
+    # whole stage. Empty/NULL docs score (0, NaN); the pandas->Arrow
+    # bridge surfaces the NaN as SQL NULL, and NULL <= max_ppl is
+    # NULL, so lm_filter deterministically drops such docs.
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in perplexity(df, model).collect()}
+    assert rows[1]["n_tokens"] == 3 and not math.isnan(rows[1]["ppl"])
+    for d in (2, 3, 4):
+        assert rows[d]["n_tokens"] == 0
+        assert rows[d]["ppl"] is None or math.isnan(rows[d]["ppl"])
+    kept = [r["doc_id"]
+            for r in lm_filter(df, model, max_ppl=1e9).collect()]
+    assert kept == [1]
+
+
+def test_interior_unicode_whitespace_is_one_token(model):
+    # regression: Python's default Unicode \s split "foo\xa0bar" into
+    # tokens the JVM fit (Java \s, ASCII) never counted; the ASCII
+    # flag keeps scoring in the fitted feature space
+    n, _ = _score_text("foo bar", model)
+    assert n == 1
+
+
+def test_vocab_cap_bounds_collect_and_matches_driver_mapping(ref_df):
+    # regression: vocab_cap capped the model but the bigram collect
+    # was still the raw bigram vocabulary; the JVM-side InSet mapping
+    # must produce byte-identical c2/h to driver-side mapping
+    m = fit_ngram_lm(ref_df, min_count=1, vocab_cap=3)
+    vocab = m["vocab"]
+    exp_c2, exp_h = {}, {}
+    for _, t in REF_ROWS:
+        ws = [w if w in vocab else UNK for w in t.split()]
+        for a, b in zip(ws, ws[1:]):
+            exp_c2[(a, b)] = exp_c2.get((a, b), 0) + 1
+            exp_h[a] = exp_h.get(a, 0) + 1
+    assert m["c2"] == exp_c2
+    assert m["h"] == exp_h

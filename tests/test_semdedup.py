@@ -139,3 +139,35 @@ def test_output_carries_cluster_columns(spark):
     assert set(out.columns) == {
         "vec_id", "embedding", "cluster", "centroid_sim"
     }
+
+
+def test_hot_clique_collapses_when_min_id_is_most_central(spark):
+    # Regression (r4-cont review): the LSH star guard pairs a hot
+    # bucket's members with the bucket-MIN representative. If that
+    # representative were chosen by raw id, a clique whose lowest-id
+    # member is the MOST centroid-similar one would remove only that
+    # member and every other duplicate would survive. The priority
+    # encoding must make the clique collapse to its least-similar
+    # member regardless of id order.
+    u = [2 ** -0.5, 2 ** -0.5, 0.0, 0.0]     # centroid direction
+    v = [2 ** -0.5, -(2 ** -0.5), 0.0, 0.0]  # orthogonal, same plane
+    rows = []
+    for i in range(8):
+        # angle from centroid 45deg + 0.02deg*i: pairwise cosines all
+        # round to 1.0 (>= eps) while centroid sims are DISTINCT at 4
+        # decimals and DECREASE with id -> id 100 (lowest) is the most
+        # central, id 107 (highest) is the keep rule's keeper
+        ang = math.radians(45 + 0.02 * i)
+        rows.append((100 + i, [
+            math.cos(ang) * u[d] + math.sin(ang) * v[d] for d in range(4)
+        ]))
+    rows.append((1, [0.0, 0.0, 1.0, 0.0]))   # cluster 1, untouched
+    df = _mk(spark, rows)
+    kept_unc = {r["vec_id"] for r in
+                semantic_dedup(df, C2, eps=0.999,
+                               cluster_cap=None).collect()}
+    kept_hot = {r["vec_id"] for r in
+                semantic_dedup(df, C2, eps=0.999,
+                               cluster_cap=4).collect()}
+    assert kept_unc == {107, 1}
+    assert kept_hot == {107, 1}
