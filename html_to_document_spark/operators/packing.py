@@ -39,12 +39,18 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    tokens_col: str | None = None,
 ) -> "DataFrame":
     """(doc_id, bin_id, n_tokens, oversize): greedy first-fit-
-    decreasing packing of whitespace token counts into ``budget``-sized
-    bins, per partition. Deterministic for a fixed ``num_partitions``
+    decreasing packing of token counts into ``budget``-sized bins,
+    per partition. Deterministic for a fixed ``num_partitions``
     (rows are routed by hash of doc_id and sorted inside the
     partition); bin ids are opaque, globally unique labels.
+
+    Counts come from ``tokens_col`` when given (e.g. the exact
+    ``n_bpe_tokens`` of :func:`tokenizer.bpe_encode` — the real
+    tokenize→pack path), else from the whitespace estimate over
+    ``text_col``.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -52,11 +58,14 @@ def pack_sequences(
     if budget <= 0:
         raise ValueError("budget must be positive")
 
+    count_expr = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    )
     counted = df.select(
         F.col(id_col).cast("string").alias("doc_id"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias(
-            "n_tokens"
-        ),
+        count_expr.alias("n_tokens"),
     )
     if num_partitions is not None:
         counted = counted.repartition(
