@@ -481,8 +481,13 @@ def main() -> None:
     # round. 3 rounds; the HEADLINE number is the MEDIAN pair (the r2
     # verdict's bar: the target must hold in the median run, not the
     # best run); the full range is reported alongside.
+    # 5 paired rounds (was 3): on this box the background-steal
+    # windows last minutes — with 3 rounds one bad window owns the
+    # median (measured 0.596 in a window whose membw probe also read
+    # 10-20% low and whose 8->16 pair read an impossible 0.976);
+    # 5 rounds keeps the median anchored to the box's typical state
     low_rounds: list[tuple] = []
-    for _ in range(max(ROUNDS, 3)):
+    for _ in range(max(ROUNDS, 5)):
         low2 = worker(2, limit=min(60_000, N_DOCS), n_runs=3)
         low8 = worker(8, limit=min(60_000, N_DOCS), n_runs=3)
         low_rounds.append(
