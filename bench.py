@@ -271,7 +271,8 @@ def write_baseline_md(r8: dict, r32: dict, eff: float, queries: dict,
                       r16: dict | None = None, j16: dict | None = None,
                       eff_8_16: float | None = None,
                       eff_16_32: float | None = None,
-                      membw: dict | None = None) -> None:
+                      membw: dict | None = None,
+                      n_low_rounds: int = 3) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     lines = [
         "# BENCH/BASELINE — measured results",
@@ -349,8 +350,8 @@ def write_baseline_md(r8: dict, r32: dict, eff: float, queries: dict,
             f"| local[8] | {r8l['docs']} | {r8l['sec']} | {r8l['docs_per_sec']} |",
             "",
             f"**Extraction scaling efficiency 2 -> 8 threads: "
-            f"{eff_low:.3f}** (= (rate8/rate2) / 4, MEDIAN of 3 paired "
-            f"rounds; target >= 0.8).",
+            f"{eff_low:.3f}** (= (rate8/rate2) / 4, MEDIAN of "
+            f"{n_low_rounds} paired rounds; target >= 0.8).",
             "",
         ]
         if eff_low_range is not None:
@@ -516,7 +517,8 @@ def main() -> None:
     write_baseline_md(r8, r32, eff, queries, j8, j32, eff_jvm,
                       r2l, r8l, eff_low, eff_low_range,
                       r16=r16, j16=j16, eff_8_16=eff_8_16,
-                      eff_16_32=eff_16_32, membw=membw)
+                      eff_16_32=eff_16_32, membw=membw,
+                      n_low_rounds=len(low_rounds))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
