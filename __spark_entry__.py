@@ -1598,10 +1598,14 @@ def oracle_sql() -> dict[str, str]:
         # smoothing and sign-symmetric HALF_UP 4-decimal rounding
         # recomputed in pure SQL
         "dsir_weight": (
+            # trim AFTER the \s+ collapse (not before): DuckDB trim
+            # strips spaces only, so trim-first would keep a leading
+            # tab/newline as a '' token — the fit side filters empty
+            # tokens (dsir._gram_counts), and the oracle must agree
             "with d as ("
-            "  select doc_id, string_split(regexp_replace(trim("
-            "    text || ' tail' || cast(doc_id % 211 as varchar)), "
-            "    '\\s+', ' ', 'g'), ' ') as w from documents"
+            "  select doc_id, string_split(trim(regexp_replace("
+            "    text || ' tail' || cast(doc_id % 211 as varchar), "
+            "    '\\s+', ' ', 'g')), ' ') as w from documents"
             "), tok as ("
             "  select doc_id, g.i as i, w[g.i] as gram"
             "  from d, unnest(generate_series(1, len(w))) as g(i)"
@@ -1649,10 +1653,12 @@ def oracle_sql() -> dict[str, str]:
         # 4-decimal rounding recomputed in pure SQL. lam literals are
         # written 0.9 / (1 - 0.9) to match python's 1.0 - lam double.
         "lm_perplexity": (
+            # trim AFTER the \s+ collapse — same empty-token mirror
+            # as the dsir_weight oracle (fit_ngram_lm filters '')
             "with tw as ("
-            "  select doc_id, string_split(regexp_replace(trim("
-            "    text || ' tail' || cast(doc_id % 211 as varchar)), "
-            "    '\\s+', ' ', 'g'), ' ') as w from documents"
+            "  select doc_id, string_split(trim(regexp_replace("
+            "    text || ' tail' || cast(doc_id % 211 as varchar), "
+            "    '\\s+', ' ', 'g')), ' ') as w from documents"
             "), tok as ("
             "  select doc_id, g.i as i, w[g.i] as word"
             "  from tw, unnest(generate_series(1, len(w))) as g(i)"

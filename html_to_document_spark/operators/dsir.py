@@ -92,7 +92,12 @@ def _gram_counts(df: "DataFrame", text_col: str) -> "DataFrame":
     positional self-join)."""
     from pyspark.sql import functions as F
 
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    # empty-token filter after the split (F.trim strips ASCII spaces
+    # only): a leading tab/newline would otherwise count a '' gram the
+    # scorer's _words (.strip() + ASCII \s split) never emits — the
+    # same fit/score-consistency filter as lm_filter.fit_ngram_lm and
+    # tokenizer.fit_bpe, mirrored in the DuckDB oracle
+    w = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     bigrams = F.when(
         F.size(w) >= 2,
         F.transform(
@@ -117,7 +122,7 @@ def fit_dsir(
     alpha: float = 0.5,
     min_count: int = 2,
     num_buckets: int | None = None,
-    vocab_cap: int | None = None,
+    vocab_cap: int | None = 65536,
     fit_fraction: float | None = None,
     seed: int = 42,
 ) -> dict:
@@ -132,6 +137,12 @@ def fit_dsir(
     hashed mode (``num_buckets=B``): ``{"mode": "hash", ...,
     "ct"/"cr": list[int] of length B}`` with bucket = crc32(gram) % B.
 
+    ``vocab_cap`` (default 65536) bounds the raw-gram-mode driver
+    collect at the top-``cap`` target grams by (count desc, gram asc)
+    regardless of the target slice's open gram vocabulary — the
+    100 TB-safe shape is the default; pass ``vocab_cap=None`` to
+    explicitly opt into an unbounded full-vocabulary collect. Hashed
+    mode is bounded by ``B`` by construction and ignores the cap.
     ``fit_fraction`` samples the RAW side only (the target slice is
     the small trusted set; the raw side is the 100 TB corpus whose
     distribution a seeded sample estimates).

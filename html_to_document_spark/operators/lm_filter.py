@@ -60,7 +60,7 @@ def fit_ngram_lm(
     min_count: int = 2,
     k: float = 0.5,
     lam: float = 0.9,
-    vocab_cap: int | None = None,
+    vocab_cap: int | None = 65536,
     fit_fraction: float | None = None,
     seed: int = 42,
 ) -> dict:
@@ -73,7 +73,11 @@ def fit_ngram_lm(
     fitted model is identical under any partitioning of ``ref_df``.
 
     ``vocab_cap`` keeps only the top-``cap`` words by (count desc,
-    word asc) — deterministic — before the ``min_count`` cut;
+    word asc) — deterministic — before the ``min_count`` cut. The
+    default (65536) bounds the driver collect regardless of the
+    reference slice's open vocabulary — the 100 TB-safe shape is what
+    you get without reading this docstring; pass ``vocab_cap=None``
+    to explicitly opt into an unbounded full-vocabulary collect.
     ``fit_fraction`` fits on a seeded Bernoulli sample of the
     reference (for when even the reference slice is large).
     """
@@ -82,8 +86,16 @@ def fit_ngram_lm(
     if fit_fraction is not None:
         ref_df = ref_df.sample(False, fit_fraction, seed=seed)
 
+    # filter empty tokens after the split: F.trim strips ASCII spaces
+    # only, so a leading/trailing tab or newline would otherwise emit
+    # a '' token into the fitted counts that the scorer's .strip()
+    # tokenization (_score_text) never produces — a silent fit/score
+    # inconsistency on real web text (same filter as tokenizer.fit_bpe
+    # and dsir._gram_counts; mirrored in the DuckDB oracle)
     words = ref_df.select(
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+        ).alias("_w")
     )
     # unigram counts: one explode + map-side-combinable groupBy
     uni = (

@@ -51,6 +51,13 @@ def pack_sequences(
     ``n_bpe_tokens`` of :func:`tokenizer.bpe_encode` — the real
     tokenize→pack path), else from the whitespace estimate over
     ``text_col``.
+
+    NULL contract: a NULL count (NULL in ``tokens_col``, or NULL text
+    in the whitespace path) packs as a 0-token document — it consumes
+    no budget and is never ``oversize``. Without the coalesce the NULL
+    would surface as a pandas NaN and ``int(n)`` would fail the whole
+    task for one bad row; callers who want NULL-count rows dropped
+    should filter before packing.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -58,10 +65,15 @@ def pack_sequences(
     if budget <= 0:
         raise ValueError("budget must be positive")
 
-    count_expr = (
-        F.col(tokens_col).cast("long")
-        if tokens_col is not None
-        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    count_expr = F.coalesce(
+        (
+            F.col(tokens_col).cast("long")
+            if tokens_col is not None
+            else F.size(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).cast("long")
+        ),
+        F.lit(0),
     )
     counted = df.select(
         F.col(id_col).cast("string").alias("doc_id"),

@@ -233,10 +233,27 @@ def semantic_dedup(
         # sign headroom inside a long).
         _ID_BITS = 46
         _ID_SPAN = F.lit(1 << _ID_BITS).cast("long")
+        # runtime range guard: the type check above validates only
+        # the column's TYPE; a negative or >= 2^46 id would wrap the
+        # encode silently and corrupt both the pid priority order and
+        # the pmod decode (wrong removals). assert_true rides the pid
+        # projection itself (returns NULL when the predicate holds,
+        # raises with the message otherwise), so the guard costs no
+        # extra Spark job — coalesce folds the NULL to a 0 addend.
+        _id_long = F.col(id_col).cast("long")
+        _guard = F.assert_true(
+            (_id_long >= 0) & (_id_long < _ID_SPAN),
+            F.lit(
+                "cluster_cap hot-routing requires 0 <= id < 2^46 "
+                f"(id column {id_col} has out-of-range values); pass "
+                "cluster_cap=None or add a surrogate long id"
+            ),
+        )
         pid = (
             (F.round(F.col("centroid_sim") * 10000).cast("long")
              + F.lit(10000)) * _ID_SPAN
-            + F.col(id_col).cast("long")
+            + _id_long
+            + F.coalesce(_guard.cast("long"), F.lit(0))
         )
         dim = len(centroids[0])
         pairs = embedding_near_dup_pairs(

@@ -227,3 +227,26 @@ def test_interior_unicode_whitespace_is_one_word():
     # ASCII \s: match the JVM fit and RE2 oracle tokenizers on NBSP
     assert _words("foo bar") == ["foo bar"]
     assert _words(None) == []
+
+
+def test_fit_filters_empty_tokens(spark, raw_df):
+    # regression (r4 ADVICE): same empty-token fit/score asymmetry as
+    # lm_filter — a leading tab/newline must not count a '' gram
+    df = spark.createDataFrame(
+        [(0, "\tthe cat\n")], "doc_id long, text string"
+    )
+    m = fit_dsir(df, raw_df, min_count=1, alpha=0.5)
+    assert "" not in m["ct"]
+    assert not any(g.startswith(" ") or g.endswith(" ") for g in m["ct"])
+    assert m["Nt"] == 3  # 2 unigrams + 1 bigram
+    assert "the cat" in m["ct"]
+
+
+def test_default_vocab_cap_is_bounded(target_df, raw_df, model):
+    # r5: bounded collect by default, None = explicit opt-out
+    import inspect
+
+    default = inspect.signature(fit_dsir).parameters["vocab_cap"].default
+    assert default == 65536
+    m_unc = fit_dsir(target_df, raw_df, min_count=2, vocab_cap=None)
+    assert m_unc == model  # the model fixture uses the default cap

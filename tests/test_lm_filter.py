@@ -159,3 +159,33 @@ def test_vocab_cap_bounds_collect_and_matches_driver_mapping(ref_df):
             exp_h[a] = exp_h.get(a, 0) + 1
     assert m["c2"] == exp_c2
     assert m["h"] == exp_h
+
+
+def test_fit_filters_empty_tokens(spark):
+    # regression (r4 ADVICE): F.trim strips ASCII spaces only — a
+    # leading tab/newline contributed a '' token to the fitted counts
+    # that _score_text's .strip() tokenization never emits, silently
+    # inflating N/V on real web text
+    df = spark.createDataFrame(
+        [(0, "\tthe cat\n"), (1, "\n\nthe cat")],
+        "doc_id long, text string",
+    )
+    m = fit_ngram_lm(df, min_count=1, k=0.5, lam=0.9)
+    assert "" not in m["c1"] and "" not in m["vocab"]
+    assert m["N"] == 4
+    assert m["c2"] == {("the", "cat"): 2}
+    # fit/score consistency: the scorer sees the same 2 tokens
+    n, ppl = _score_text("\tthe cat\n", m)
+    assert n == 2 and ppl > 0
+
+
+def test_default_vocab_cap_is_bounded(ref_df):
+    # r5: the 100 TB-safe bounded collect is the DEFAULT; None is the
+    # explicit opt-out. A cap far above the vocab is a no-op.
+    import inspect
+
+    default = inspect.signature(fit_ngram_lm).parameters["vocab_cap"].default
+    assert default == 65536
+    m_default = fit_ngram_lm(ref_df, min_count=2)
+    m_uncapped = fit_ngram_lm(ref_df, min_count=2, vocab_cap=None)
+    assert m_default == m_uncapped

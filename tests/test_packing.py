@@ -70,3 +70,21 @@ def test_packing_utilization(spark):
 def test_pack_budget_validation(spark):
     with pytest.raises(ValueError):
         pack_sequences(_corpus(spark, n=5), budget=0)
+
+
+def test_null_counts_pack_as_zero(spark):
+    # regression (r4 ADVICE): a NULL count surfaced as NaN in the
+    # pandas batch and int(n) failed the whole task for one bad row;
+    # NULL counts now pack as 0-token docs (no budget, never oversize)
+    df = spark.createDataFrame(
+        [("a", "x y z", 3), ("b", None, None), ("c", "q", None)],
+        "doc_id string, text string, nt long",
+    )
+    by_tok = {r.doc_id: r for r in pack_sequences(
+        df, budget=10, num_partitions=1, tokens_col="nt").collect()}
+    assert by_tok["b"].n_tokens == 0 and not by_tok["b"].oversize
+    assert by_tok["c"].n_tokens == 0
+    assert by_tok["a"].n_tokens == 3
+    by_ws = {r.doc_id: r for r in pack_sequences(
+        df, budget=10, num_partitions=1).collect()}
+    assert by_ws["b"].n_tokens == 0  # NULL text, whitespace path

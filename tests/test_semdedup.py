@@ -171,3 +171,15 @@ def test_hot_clique_collapses_when_min_id_is_most_central(spark):
                                cluster_cap=4).collect()}
     assert kept_unc == {107, 1}
     assert kept_hot == {107, 1}
+
+
+def test_hot_routing_rejects_out_of_range_ids(spark):
+    # regression (r4 ADVICE): only the id column's TYPE was checked; a
+    # negative (or >= 2^46) id silently wrapped the pid encode and
+    # corrupted priority order + decode. The assert_true guard riding
+    # the pid projection must raise instead.
+    rows = [(-5 if i == 100 else i, [1.0, 1.0, 0.0, 0.0])
+            for i in range(100, 130)]
+    df = _mk(spark, rows)
+    with pytest.raises(Exception, match=r"2\^46"):
+        semantic_dedup(df, C2, eps=0.9999, cluster_cap=5).collect()
