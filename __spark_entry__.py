@@ -578,17 +578,53 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return D.verify_pairs_jaccard(df, cands, threshold=0.9, shingle_n=3)
 
 
-def q_dedup_simhash(spark, sf_dir):  # rows-only (xxhash64-based)
-    return D.simhash(_docs(spark, sf_dir))
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup family, value-oracled (VERDICT r4 #3 — the
+    dedup_minhash_pairs upgrade pattern): a planted 3-clique corpus
+    (each doc mirrored at +10M and +20M) runs the full sketch path —
+    64-bit word-vote simhash, 16-bit chunk join, hamming filter —
+    then exact 3-gram-shingle verification at threshold 1.0 fixes the
+    final pair set, which must equal DuckDB's all-pairs shingle-set-
+    equality set (3 pairs per clique). Threshold 1.0 is the sketch's
+    PROVABLE recall band: identical texts hash to identical simhashes
+    (hamming 0 shares all 4 chunks by pigeonhole), while the corpus's
+    natural cross pairs top out at jaccard 0.9891 and drop on verify
+    — so the row is deterministic, not luck (measured: >=0.9 cross
+    pairs reach hamming 5, OUTSIDE the chunk join's guarantee, which
+    is why the probabilistic band stays pytest-gated instead).
+    simhash values themselves are xxhash64-based (not SQL-computable);
+    what this row pins is the sketch's end-to-end pair recall."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    df = d
+    for off in (10_000_000, 20_000_000):
+        df = df.unionByName(
+            d.select((F.col("doc_id") + off).alias("doc_id"), "text")
+        )
+    cands = D.simhash_near_pairs(df, max_hamming=3).select("id_a", "id_b")
+    return D.verify_pairs_jaccard(df, cands, threshold=1.0, shingle_n=3)
 
 
-def q_dedup_clusters(spark, sf_dir):  # rows-only (iterative algorithm)
-    """Near-dup clustering: LSH pairs -> connected components. The
-    planted mirrors must cluster onto their originals."""
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering, value-oracled (VERDICT r4 #3): LSH
+    candidates (recall threshold 0.5) -> exact 3-gram Jaccard >= 0.9
+    verification -> large-star/small-star connected components. The
+    verified edge set is exact (the dedup_minhash_pairs row pins the
+    sketch's total recall on this corpus), so the component partition
+    must equal DuckDB's recursive-CTE connected components over the
+    same all-pairs >= 0.9 graph — mirrors cluster onto originals, and
+    the corpus's natural near-dup pairs (e.g. 87~134) merge 4-doc
+    components. Iterative algorithm, but the FIXPOINT is SQL-checkable
+    even though the rounds are not."""
     df = _docs_with_planted_dups(spark, sf_dir)
     # limit corpus for bounded per-round iteration cost in the gate
     df = df.filter((F.col("doc_id") % 10_000_000) < 200)
-    return D.dedup_clusters(df, threshold=0.9)
+    return D.dedup_clusters(
+        df,
+        threshold=0.5,
+        cc_algorithm="star",
+        exact_verify_threshold=0.9,
+        verify_shingle_n=3,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2008,6 +2044,67 @@ def oracle_sql() -> dict[str, str]:
             "  * 10000 + 0.5) / 10000.0 as jaccard "
             "  from sh a join sh b on a.doc_id < b.doc_id"
             ") select id_a, id_b, jaccard from p where jaccard >= 0.9"
+        ),
+        "dedup_simhash": (
+            # ground truth for the simhash sketch's provable recall
+            # band: all pairs with IDENTICAL 3-gram shingle sets on
+            # the 3-clique planted corpus (threshold 1.0 after r4
+            # rounding) — see q_dedup_simhash for why 1.0 and not 0.9
+            "with u as ("
+            "  select doc_id, text from documents"
+            "  union all"
+            "  select doc_id + 10000000 as doc_id, text from documents"
+            "  union all"
+            "  select doc_id + 20000000 as doc_id, text from documents"
+            "), w as ("
+            "  select doc_id, string_split(regexp_replace(trim(text), "
+            "  '\\s+', ' ', 'g'), ' ') as w from u"
+            "), sh as ("
+            "  select doc_id, list_distinct(list_transform("
+            "  generate_series(1, greatest(len(w) - 2, 1)), "
+            "  i -> array_to_string(w[i:i+2], ' '))) as s from w"
+            "), p as ("
+            "  select a.doc_id as id_a, b.doc_id as id_b, "
+            "  floor((cast(len(list_intersect(a.s, b.s)) as double) / "
+            "  cast(len(list_distinct(list_concat(a.s, b.s))) as double))"
+            "  * 10000 + 0.5) / 10000.0 as jaccard "
+            "  from sh a join sh b on a.doc_id < b.doc_id"
+            ") select id_a, id_b, jaccard from p where jaccard >= 1.0"
+        ),
+        "dedup_clusters": (
+            # connected components over the exact >= 0.9 pair graph
+            # via recursive CTE (UNION dedupe terminates the
+            # recursion; symmetric edges make min(reachable) the
+            # component label). The Spark side's edge set is the
+            # exact-verified pair set, so the partitions must match.
+            "with recursive uc as ("
+            "  select doc_id, text from documents where doc_id < 200"
+            "  union all"
+            "  select doc_id + 10000000 as doc_id, text from documents"
+            "  where doc_id < 200"
+            "), w as ("
+            "  select doc_id, string_split(regexp_replace(trim(text), "
+            "  '\\s+', ' ', 'g'), ' ') as w from uc"
+            "), sh as ("
+            "  select doc_id, list_distinct(list_transform("
+            "  generate_series(1, greatest(len(w) - 2, 1)), "
+            "  i -> array_to_string(w[i:i+2], ' '))) as s from w"
+            "), p as ("
+            "  select a.doc_id as id_a, b.doc_id as id_b"
+            "  from sh a join sh b on a.doc_id < b.doc_id"
+            "  where floor((cast(len(list_intersect(a.s, b.s)) as double)"
+            "  / cast(len(list_distinct(list_concat(a.s, b.s))) "
+            "  as double)) * 10000 + 0.5) / 10000.0 >= 0.9"
+            "), e as ("
+            "  select id_a as src, id_b as dst from p"
+            "  union all select id_b as src, id_a as dst from p"
+            "), reach(id, r) as ("
+            "  select doc_id, doc_id from uc"
+            "  union"
+            "  select e.dst, reach.r from reach join e on e.src = reach.id"
+            ") select id as doc_id, min(r) as component, "
+            "(id = min(r)) as is_representative "
+            "from reach group by id"
         ),
         "dedup_exact_normalized": (
             "with unioned as ("

@@ -785,18 +785,39 @@ def dedup_clusters(
     id_col: str = "doc_id",
     threshold: float = 0.85,
     cc_algorithm: str = "label",
+    exact_verify_threshold: float | None = None,
+    verify_shingle_n: int | None = None,
     **lsh_kwargs,
 ) -> "DataFrame":
     """End-to-end near-dup clustering: MinHash-LSH pairs -> connected
     components -> (doc_id, component, is_representative). Docs with no
     near-dup edges are their own singleton component. ``cc_algorithm``
     picks the component algorithm ("label" for typical small-diameter
-    dup graphs, "star" for adversarial chained-template corpora)."""
+    dup graphs, "star" for adversarial chained-template corpora).
+
+    ``exact_verify_threshold`` inserts exact Jaccard verification
+    (:func:`verify_pairs_jaccard`, over ``verify_shingle_n``-gram
+    shingle sets when given) between the LSH candidates and the
+    component build: ``threshold`` then acts as the sketch's RECALL
+    knob (set it low) and the verified threshold fixes precision —
+    the edge set becomes exact, so the component partition is ground
+    truth, not estimate. The verify joins texts onto the surfaced
+    pair set only (never corpus x corpus), so the 100 TB shape is
+    unchanged."""
     from pyspark.sql import functions as F
 
     pairs = minhash_lsh_pairs(
         df, text_col, id_col, threshold=threshold, **lsh_kwargs
     )
+    if exact_verify_threshold is not None:
+        pairs = verify_pairs_jaccard(
+            df,
+            pairs.select("id_a", "id_b"),
+            threshold=exact_verify_threshold,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=verify_shingle_n,
+        )
     comp = connected_components(pairs, algorithm=cc_algorithm)
     out = (
         df.select(F.col(id_col).alias("id"))

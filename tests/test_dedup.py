@@ -354,3 +354,30 @@ def test_star_components_random_graphs_match_union_find(spark):
                  for r in connected_components(e, max_iter=80).collect()}
         assert star == expected, f"trial {trial}"
         assert label == expected, f"trial {trial}"
+
+
+def test_dedup_clusters_exact_verify_fixes_precision(spark):
+    """r5: exact_verify_threshold inserts true-Jaccard verification
+    between the LSH candidates and the component build — a near-dup
+    below the verified threshold must NOT merge, even when the sketch
+    (run at a low recall threshold) surfaces the pair."""
+    from html_to_document_spark.operators.dedup import dedup_clusters
+
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, base),
+        (2, base),                       # exact mirror of 1
+        (3, base.replace("w7", "xx")),   # near-dup: jaccard < 1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_clusters(
+        df, threshold=0.3, cc_algorithm="star",
+        exact_verify_threshold=1.0, verify_shingle_n=3,
+    ).collect()}
+    assert out[1].component == 1 and out[1].is_representative
+    assert out[2].component == 1 and not out[2].is_representative
+    assert out[3].component == 3 and out[3].is_representative
+    # without the verify the same sketch threshold merges doc 3
+    loose = {r.doc_id: r.component for r in dedup_clusters(
+        df, threshold=0.3, cc_algorithm="star").collect()}
+    assert loose[3] == 1
