@@ -651,7 +651,9 @@ def q_pdf_extract(spark, sf_dir):
     chunked into 7-word lines, assembled into a real PDF by the
     deterministic writer (variant cycled by doc_id so the gate covers
     literal/hex/TJ strings, Td/Tm line moves, AHx filter, ToUnicode
-    CMaps and object streams), parsed back by the pure-stdlib reader
+    CMaps, object streams, and simple-font /Encoding — a /Differences
+    remap and a named MacRoman base), parsed back by the pure-stdlib
+    reader
     through the reference's <p>-per-line composition, and the spans
     must equal the DuckDB-computed chunks. A writer bug cannot mask a
     reader bug: the oracle derives from the TEXT, not from the PDF."""
@@ -670,6 +672,8 @@ def q_pdf_extract(spark, sf_dir):
         dict(tounicode=True),
         dict(filter="ahx"),
         dict(objstm=True),
+        dict(encoding="differences"),
+        dict(encoding="macroman"),
     )
 
     def synth(batches):

@@ -17,7 +17,10 @@ layout): classic xref and xref-stream documents, object streams
 filters, the page tree, and the content-stream text operators
 (BT/ET, Tf, Td, TD, T*, TL, Tm, Tj, TJ, ', "). Glyph decoding uses the
 font's /ToUnicode CMap when present (bfchar + bfrange, 1- and 2-byte
-codes), else cp1252 for simple fonts. Encrypted documents and
+codes), else the simple-font /Encoding — named base encodings
+(WinAnsi / MacRoman / Standard) and /Differences glyph-name arrays
+resolved through an AGL-subset table — else cp1252. Encrypted
+documents and
 vector/raster layout reconstruction are out of scope — extraction
 returns ``""`` rather than raising, the same "malformed input is data,
 not an error" policy as the HTML tokenizer.
@@ -660,7 +663,7 @@ class _PdfDoc:
 
 
 # --------------------------------------------------------------------
-# fonts / ToUnicode
+# fonts / ToUnicode / simple-font encodings
 # --------------------------------------------------------------------
 
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
@@ -668,19 +671,191 @@ _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 _HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 
 
+def _build_glyph_table() -> dict[str, str]:
+    """Glyph-name -> unicode for the AGL subset crawled PDFs actually
+    use in /Differences arrays (pdf.js ships the full Adobe Glyph List;
+    this is the working subset: ASCII names, Latin-1 signs, typographic
+    punctuation, ligatures, and every base-letter+accent composition
+    NFC can form). Names outside the table fall through to the uniXXXX
+    / uXXXX[XX] conventions and then to U+FFFD."""
+    t = {
+        "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+        "dollar": "$", "percent": "%", "ampersand": "&",
+        "quotesingle": "'", "parenleft": "(", "parenright": ")",
+        "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+        "period": ".", "slash": "/", "colon": ":", "semicolon": ";",
+        "less": "<", "equal": "=", "greater": ">", "question": "?",
+        "at": "@", "bracketleft": "[", "backslash": "\\",
+        "bracketright": "]", "asciicircum": "^", "underscore": "_",
+        "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+        "asciitilde": "~",
+        "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+        "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+        "exclamdown": "¡", "cent": "¢", "sterling": "£",
+        "currency": "¤", "yen": "¥", "brokenbar": "¦",
+        "section": "§", "dieresis": "¨", "copyright": "©",
+        "ordfeminine": "ª", "guillemotleft": "«",
+        "logicalnot": "¬", "registered": "®",
+        "macron": "¯", "degree": "°", "plusminus": "±",
+        "acute": "´", "mu": "µ", "paragraph": "¶",
+        "periodcentered": "·", "cedilla": "¸",
+        "ordmasculine": "º", "guillemotright": "»",
+        "onequarter": "¼", "onehalf": "½",
+        "threequarters": "¾", "questiondown": "¿",
+        "multiply": "×", "divide": "÷",
+        "quoteleft": "‘", "quoteright": "’",
+        "quotedblleft": "“", "quotedblright": "”",
+        "quotesinglbase": "‚", "quotedblbase": "„",
+        "endash": "–", "emdash": "—", "bullet": "•",
+        "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+        "perthousand": "‰", "guilsinglleft": "‹",
+        "guilsinglright": "›", "fraction": "⁄",
+        "trademark": "™", "minus": "−", "florin": "ƒ",
+        "Euro": "€", "euro": "€",
+        "fi": "ﬁ", "fl": "ﬂ",
+        "AE": "Æ", "ae": "æ", "OE": "Œ", "oe": "œ",
+        "Oslash": "Ø", "oslash": "ø", "Eth": "Ð",
+        "eth": "ð", "Thorn": "Þ", "thorn": "þ",
+        "germandbls": "ß", "Lslash": "Ł", "lslash": "ł",
+        "dotlessi": "ı", "Ydieresis": "Ÿ",
+        "breve": "˘", "caron": "ˇ", "circumflex": "ˆ",
+        "dotaccent": "˙", "hungarumlaut": "˝",
+        "ogonek": "˛", "ring": "˚", "tilde": "˜",
+    }
+    for ch in (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    ):
+        t[ch] = ch
+    import unicodedata
+
+    combining = {
+        "grave": "̀", "acute": "́", "circumflex": "̂",
+        "tilde": "̃", "macron": "̄", "breve": "̆",
+        "dotaccent": "̇", "dieresis": "̈", "ring": "̊",
+        "hungarumlaut": "̋", "caron": "̌",
+        "cedilla": "̧", "ogonek": "̨",
+    }
+    for base in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+        for acc, comb in combining.items():
+            composed = unicodedata.normalize("NFC", base + comb)
+            if len(composed) == 1:
+                t.setdefault(base + acc, composed)
+    return t
+
+
+_GLYPH_TO_UNI = _build_glyph_table()
+
+
+def _glyph_unicode(name: str) -> str:
+    g = _GLYPH_TO_UNI.get(name)
+    if g is not None:
+        return g
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return "�"
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except (ValueError, OverflowError):
+            return "�"
+    return "�"
+
+
+# Adobe StandardEncoding's non-ASCII slots, as glyph names (the ASCII
+# range is identity except 0x27 quoteright / 0x60 quoteleft).
+_STANDARD_HIGH = {
+    0xA1: "exclamdown", 0xA2: "cent", 0xA3: "sterling", 0xA4: "fraction",
+    0xA5: "yen", 0xA6: "florin", 0xA7: "section", 0xA8: "currency",
+    0xA9: "quotesingle", 0xAA: "quotedblleft", 0xAB: "guillemotleft",
+    0xAC: "guilsinglleft", 0xAD: "guilsinglright", 0xAE: "fi", 0xAF: "fl",
+    0xB1: "endash", 0xB2: "dagger", 0xB3: "daggerdbl",
+    0xB4: "periodcentered", 0xB6: "paragraph", 0xB7: "bullet",
+    0xB8: "quotesinglbase", 0xB9: "quotedblbase", 0xBA: "quotedblright",
+    0xBB: "guillemotright", 0xBC: "ellipsis", 0xBD: "perthousand",
+    0xBF: "questiondown", 0xC1: "grave", 0xC2: "acute",
+    0xC3: "circumflex", 0xC4: "tilde", 0xC5: "macron", 0xC6: "breve",
+    0xC7: "dotaccent", 0xC8: "dieresis", 0xCA: "ring", 0xCB: "cedilla",
+    0xCD: "hungarumlaut", 0xCE: "ogonek", 0xCF: "caron", 0xD0: "emdash",
+    0xE1: "AE", 0xE3: "ordfeminine", 0xE8: "Lslash", 0xE9: "Oslash",
+    0xEA: "OE", 0xEB: "ordmasculine", 0xF1: "ae", 0xF5: "dotlessi",
+    0xF8: "lslash", 0xF9: "oslash", 0xFA: "oe", 0xFB: "germandbls",
+}
+
+_BASE_TABLE_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _base_encoding_table(name: str) -> tuple[str, ...]:
+    """256-entry code -> text table for a named simple-font base
+    encoding. Unknown names fall back to WinAnsi (== cp1252, the
+    pre-existing default)."""
+    cached = _BASE_TABLE_CACHE.get(name)
+    if cached is not None:
+        return cached
+    if name == "MacRomanEncoding":
+        table = [
+            bytes([i]).decode("mac_roman", errors="replace")
+            for i in range(256)
+        ]
+    elif name == "StandardEncoding":
+        table = ["�"] * 256
+        for i in range(0x20, 0x7F):
+            table[i] = chr(i)
+        table[0x27] = "’"
+        table[0x60] = "‘"
+        for code, glyph in _STANDARD_HIGH.items():
+            table[code] = _glyph_unicode(glyph)
+    else:  # WinAnsiEncoding / PDFDocEncoding / unknown
+        table = [
+            bytes([i]).decode("cp1252", errors="replace")
+            for i in range(256)
+        ]
+    out = tuple(table)
+    _BASE_TABLE_CACHE[name] = out
+    return out
+
+
 class _Font:
-    """Code -> text decoding for one font: ToUnicode CMap when present,
-    cp1252 otherwise; Type0 fonts read 2-byte codes."""
+    """Code -> text decoding for one font: ToUnicode CMap when
+    present; else the simple-font /Encoding (named base encodings
+    WinAnsi / MacRoman / Standard, and /Differences glyph-name
+    overrides — the pdf.js behavior the reference inherits through
+    pdf-parse, ``pdf.deconverter.ts:23-43``); else cp1252. Type0
+    fonts read 2-byte codes."""
 
     def __init__(self, doc: _PdfDoc, fd: dict) -> None:
         sub = fd.get("Subtype")
         self.two_byte = isinstance(sub, _Name) and sub.name == "Type0"
         self.cmap: dict[int, str] = {}
+        self.enc_table: tuple[str, ...] | list[str] | None = None
         tu = fd.get("ToUnicode")
         if isinstance(tu, _Ref):
             payload = doc.stream_bytes(tu.num)
             if payload:
                 self._parse_cmap(payload)
+        if not self.two_byte:
+            enc = doc.resolve(fd.get("Encoding"))
+            if isinstance(enc, _Name):
+                if enc.name != "WinAnsiEncoding":  # WinAnsi == default
+                    self.enc_table = _base_encoding_table(enc.name)
+            elif isinstance(enc, dict):
+                base = enc.get("BaseEncoding")
+                table = list(_base_encoding_table(
+                    base.name if isinstance(base, _Name)
+                    else "WinAnsiEncoding"
+                ))
+                diffs = doc.resolve(enc.get("Differences"))
+                if isinstance(diffs, list):
+                    code = 0
+                    for item in diffs:
+                        if isinstance(item, (int, float)):
+                            code = int(item)
+                        elif isinstance(item, _Name):
+                            if 0 <= code <= 255:
+                                table[code] = _glyph_unicode(item.name)
+                            code += 1
+                self.enc_table = table
 
     def _parse_cmap(self, payload: bytes) -> None:
         code_lens = set()
@@ -731,6 +906,9 @@ class _Font:
 
     def decode(self, raw: bytes) -> str:
         if not self.cmap and not self.two_byte:
+            if self.enc_table is not None:
+                table = self.enc_table
+                return "".join(table[b] for b in raw)
             return raw.decode("cp1252", errors="replace")
         step = 2 if self.two_byte else 1
         out = []
@@ -739,7 +917,12 @@ class _Font:
             if code in self.cmap:
                 out.append(self.cmap[code])
             elif step == 1:
-                out.append(raw[i : i + 1].decode("cp1252", errors="replace"))
+                if self.enc_table is not None:
+                    out.append(self.enc_table[code])
+                else:
+                    out.append(
+                        raw[i : i + 1].decode("cp1252", errors="replace")
+                    )
             else:
                 out.append("�")
         return "".join(out)
@@ -748,6 +931,7 @@ class _Font:
 _DEFAULT_FONT = _Font.__new__(_Font)
 _DEFAULT_FONT.two_byte = False
 _DEFAULT_FONT.cmap = {}
+_DEFAULT_FONT.enc_table = None
 
 
 # --------------------------------------------------------------------

@@ -19,11 +19,69 @@ import zlib
 __all__ = ["make_pdf"]
 
 
-def _esc_literal(s: str) -> bytes:
-    raw = s.encode("cp1252", errors="replace")
+def _esc_literal(raw: bytes) -> bytes:
     return (
         raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
     )
+
+
+# Writer-side char -> glyph name for the /Differences variant. Written
+# by hand, independently of the reader's AGL table in ``core/pdf.py``,
+# so a table bug on either side shows up as a round-trip mismatch
+# instead of cancelling out.
+_GLYPH_NAMES = {
+    " ": "space", "!": "exclam", '"': "quotedbl", "#": "numbersign",
+    "$": "dollar", "%": "percent", "&": "ampersand", "'": "quotesingle",
+    "(": "parenleft", ")": "parenright", "*": "asterisk", "+": "plus",
+    ",": "comma", "-": "hyphen", ".": "period", "/": "slash",
+    ":": "colon", ";": "semicolon", "<": "less", "=": "equal",
+    ">": "greater", "?": "question", "@": "at", "[": "bracketleft",
+    "\\": "backslash", "]": "bracketright", "_": "underscore",
+    "0": "zero", "1": "one", "2": "two", "3": "three", "4": "four",
+    "5": "five", "6": "six", "7": "seven", "8": "eight", "9": "nine",
+    "é": "eacute", "è": "egrave", "ê": "ecircumflex", "à": "agrave",
+    "ä": "adieresis", "ö": "odieresis", "ü": "udieresis",
+    "ñ": "ntilde", "ç": "ccedilla", "ß": "germandbls",
+    "€": "Euro", "–": "endash", "—": "emdash",
+    "“": "quotedblleft", "”": "quotedblright", "•": "bullet",
+}
+for _ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _GLYPH_NAMES[_ch] = _ch
+
+
+def _differences_charmap(pages: list[list[str]]) -> dict[str, int]:
+    """Deterministic char -> byte-code remap for every char that has a
+    writer glyph name; chars without a name keep their cp1252 byte and
+    stay out of /Differences (WinAnsi base covers them). Codes come
+    from bytes no identity char occupies, high range first, so the raw
+    content bytes are deliberately NOT cp1252 of the text."""
+    chars = sorted({ch for page in pages for ln in page for ch in ln})
+    namable = [ch for ch in chars if ch in _GLYPH_NAMES]
+    identity = {
+        ch.encode("cp1252", errors="replace")[0]
+        for ch in chars
+        if ch not in _GLYPH_NAMES
+    }
+    pool = [
+        c
+        for c in list(range(0x80, 0x100)) + list(range(0x21, 0x7F))
+        if c not in identity
+    ]
+    assert len(namable) <= len(pool), "alphabet too large for remap"
+    return {ch: pool[i] for i, ch in enumerate(namable)}
+
+
+def _differences_array(charmap: dict[str, int]) -> bytes:
+    """[ code /name /name ... ] with run-length code grouping."""
+    by_code = sorted((code, _GLYPH_NAMES[ch]) for ch, code in charmap.items())
+    parts: list[bytes] = []
+    prev = None
+    for code, name in by_code:
+        if prev is None or code != prev + 1:
+            parts.append(b"%d" % code)
+        parts.append(b"/" + name.encode("ascii"))
+        prev = code
+    return b"[ " + b" ".join(parts) + b" ]"
 
 
 def _a85(data: bytes) -> bytes:
@@ -39,9 +97,15 @@ def _content_stream(
     line_op: str,
     two_byte: bool,
     charmap: dict[str, int] | None,
+    byte_enc=None,
 ) -> bytes:
-    """Build one page's BT..ET text block."""
+    """Build one page's BT..ET text block. ``byte_enc`` overrides the
+    default cp1252 text->bytes encoding for simple-font variants
+    (MacRoman base encoding, /Differences remaps)."""
     ops: list[bytes] = [b"BT", b"/F1 12 Tf"]
+    if byte_enc is None:
+        def byte_enc(s: str) -> bytes:
+            return s.encode("cp1252", errors="replace")
 
     def encode_string(s: str) -> bytes:
         if two_byte:
@@ -49,12 +113,8 @@ def _content_stream(
             hx = b"".join(b"%04X" % charmap[ch] for ch in s)
             return b"<" + hx + b">"
         if string_mode == "hex":
-            return (
-                b"<"
-                + s.encode("cp1252", errors="replace").hex().upper().encode()
-                + b">"
-            )
-        return b"(" + _esc_literal(s) + b")"
+            return b"<" + byte_enc(s).hex().upper().encode() + b">"
+        return b"(" + _esc_literal(byte_enc(s)) + b")"
 
     for i, line in enumerate(lines):
         if line_op == "Tm":
@@ -110,6 +170,7 @@ def make_pdf(
     line_op: str = "Td",
     tounicode: bool = False,
     objstm: bool = False,
+    encoding: str | None = None,
 ) -> bytes:
     """Assemble a complete PDF whose extracted text is exactly
     ``pages`` (one list of lines per page; pages joined downstream
@@ -121,11 +182,34 @@ def make_pdf(
     tounicode: use a Type0 font + 2-byte codes + ToUnicode CMap.
     objstm: pack catalog/pages/page/font dicts into a compressed
     object stream (xref-stream-era layout).
+    encoding: None (WinAnsi-implicit cp1252) | "macroman" (named
+    /MacRomanEncoding base, mac_roman content bytes) | "differences"
+    (indirect /Encoding dict with a /Differences remap — content
+    bytes deliberately differ from cp1252 so a reader that ignores
+    the table extracts garbage).
     """
+    assert not (tounicode and encoding), "tounicode excludes encoding"
     charmap: dict[str, int] | None = None
+    byte_enc = None
+    diff_map: dict[str, int] | None = None
     if tounicode:
         alphabet = sorted({ch for page in pages for ln in page for ch in ln})
         charmap = {ch: i + 1 for i, ch in enumerate(alphabet)}
+    elif encoding == "macroman":
+        def byte_enc(s: str) -> bytes:
+            return s.encode("mac_roman", errors="replace")
+    elif encoding == "differences":
+        diff_map = _differences_charmap(pages)
+
+        def byte_enc(s: str) -> bytes:
+            return bytes(
+                diff_map[ch]
+                if ch in diff_map
+                else ch.encode("cp1252", errors="replace")[0]
+                for ch in s
+            )
+    elif encoding is not None:
+        raise ValueError(f"unknown encoding variant: {encoding!r}")
 
     objects: dict[int, bytes] = {}  # num -> full body (dict [+ stream])
     n_pages = len(pages)
@@ -173,6 +257,7 @@ def make_pdf(
             line_op=line_op,
             two_byte=tounicode,
             charmap=charmap,
+            byte_enc=byte_enc,
         )
         objects[content_base + i] = stream_obj(b"", payload, filter)
 
@@ -183,6 +268,23 @@ def make_pdf(
         )
         assert charmap is not None
         objects[cmap_num] = stream_obj(b"", _tounicode_cmap(charmap), "flate")
+    elif encoding == "macroman":
+        objects[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /MacRomanEncoding >>"
+        )
+    elif encoding == "differences":
+        # indirect /Encoding dict (reuses the cmap slot) so the
+        # reader's resolve() path is exercised, matching real files
+        objects[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding %d 0 R >>" % cmap_num
+        )
+        assert diff_map is not None
+        objects[cmap_num] = (
+            b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            b"/Differences " + _differences_array(diff_map) + b" >>"
+        )
     else:
         objects[font_num] = (
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"

@@ -42,6 +42,11 @@ VARIANTS = [
     dict(tounicode=True),
     dict(objstm=True),
     dict(objstm=True, tounicode=True, string_mode="hex", line_op="Tm"),
+    dict(encoding="differences"),
+    dict(encoding="macroman"),
+    dict(encoding="differences", string_mode="hex"),
+    dict(encoding="differences", string_mode="tj", filter="ahx"),
+    dict(encoding="macroman", objstm=True, line_op="Tm"),
 ]
 
 
@@ -344,12 +349,57 @@ if _HAS_HYP:
     )
     def test_property_roundtrip(pages, variant):
         got = pdf_text_lines(make_pdf(pages, **variant))
+        if variant.get("encoding") == "macroman":
+            # the MacRoman writer is lossy for cp1252 chars outside the
+            # MacRoman repertoire (e.g. 'ý'); expect the writer's '?'
+            pages = [
+                [
+                    ln.encode("mac_roman", errors="replace").decode(
+                        "mac_roman"
+                    )
+                    for ln in p
+                ]
+                for p in pages
+            ]
         want = []
         for i, p in enumerate(pages):
             if i:
                 want.append("")
             want.extend(p)
         assert got == want
+
+
+def test_differences_garbled_without_table():
+    """The /Differences writer deliberately remaps bytes away from
+    cp1252, so a reader that ignored the /Encoding table (the pre-r5
+    behavior: blanket cp1252 fallback) would extract garbage. Pin both
+    sides: the encoding-aware reader round-trips exactly, and the raw
+    content bytes cp1252-decode to something else entirely."""
+    pages = [["Café naïve — “quoted” • résumé", "plain ascii line"]]
+    blob = make_pdf(pages, filter="none", encoding="differences")
+    assert pdf_text_lines(blob) == pages[0]
+    # pull the literal string bytes straight out of the uncompressed
+    # content stream and decode them the old way
+    import re as _re
+
+    literals = _re.findall(rb"\((.*?)(?<!\\)\)", blob, _re.S)
+    assert literals, "expected literal strings in the content stream"
+    old_way = b"".join(literals).decode("cp1252", errors="replace")
+    assert "Café" not in old_way and "résumé" not in old_way
+
+
+def test_macroman_garbled_without_table():
+    """Same pin for the named-base-encoding path: MacRoman content
+    bytes cp1252-decode to mojibake (e.g. 0x8E is 'é' in MacRoman but
+    'Ž' in cp1252)."""
+    pages = [["déjà vu — açaí"]]
+    blob = make_pdf(pages, filter="none", encoding="macroman")
+    assert pdf_text_lines(blob) == pages[0]
+    import re as _re
+
+    literals = _re.findall(rb"\((.*?)(?<!\\)\)", blob, _re.S)
+    old_way = b"".join(literals).decode("cp1252", errors="replace")
+    assert "déjà" not in old_way
 
 
 def test_tounicode_non_latin_text():
