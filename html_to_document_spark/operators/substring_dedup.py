@@ -8,10 +8,11 @@ occurrence's word range for removal.
 
 Differences from the paper's suffix-array formulation, stated plainly:
 ranges are fixed-length n-gram windows merged per document (not
-maximal repeated substrings), one pass (removal can create new
-adjacent duplicates that a re-run would catch), and removal rejoins
-words with single spaces (the same tokenization the grams were built
-from).
+maximal repeated substrings), one pass by default (removal can stitch
+words together into NEW adjacent duplicates — ``max_passes`` > 1
+re-runs mark→rebuild until a pass produces no marks, bounded), and
+removal rejoins words with single spaces (the same tokenization the
+grams were built from).
 
 Scale shape (100 TB lens):
 - the gram explode emits (8-byte xxhash64, doc_id, pos) — the gram
@@ -104,13 +105,62 @@ def exact_substring_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 50,
+    max_passes: int = 1,
 ) -> "DataFrame":
     """Corpus with duplicated ``n``-word substrings removed (keeper
     occurrence retained). Returns the input columns — ``id_col``
     keeps its name and type — with ``text_col`` replaced plus
     ``n_words_removed``; documents whose text empties entirely are
     dropped. Whitespace normalizes to single spaces (the gram
-    tokenization)."""
+    tokenization).
+
+    ``max_passes``: removal can stitch surviving words into NEW
+    duplicated ``n``-grams (the paper's suffix-array formulation is a
+    fixpoint); values > 1 re-run mark→rebuild on the rebuilt corpus
+    until a pass marks nothing, at most ``max_passes`` times. Each
+    extra pass re-shuffles the corpus and runs one driver-side
+    convergence action (a sum over the per-pass removal counts), so
+    the default stays the standard open-pipeline single pass;
+    ``n_words_removed`` accumulates across passes. Intermediate
+    passes are persisted for the convergence action and unpersisted
+    before return — the returned frame is NOT persisted and its
+    lineage replays every executed pass."""
+    from pyspark.sql import functions as F
+
+    if max_passes < 1:
+        raise ValueError(f"max_passes must be >= 1, got {max_passes}")
+    out = _dedup_pass(df, text_col, id_col, n)
+    for _ in range(max_passes - 1):
+        prev = out.persist()
+        nxt = _dedup_pass(
+            prev.withColumnRenamed("n_words_removed", "_rm_acc"),
+            text_col,
+            id_col,
+            n,
+        ).persist()
+        # full action (not limit-short-circuited) so nxt's cache is
+        # complete before prev is released
+        pass_removed = nxt.agg(F.sum("n_words_removed")).first()[0] or 0
+        if pass_removed == 0:
+            nxt.unpersist()
+            prev.unpersist()
+            return prev
+        out = nxt.withColumn(
+            "n_words_removed",
+            (F.col("_rm_acc") + F.col("n_words_removed")).cast("int"),
+        ).drop("_rm_acc")
+        prev.unpersist()
+        nxt.unpersist()
+    return out
+
+
+def _dedup_pass(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    n: int,
+) -> "DataFrame":
+    """One mark→rebuild sweep (the original single-pass operator)."""
     import pandas as pd
     from pyspark.sql import functions as F
 

@@ -106,3 +106,48 @@ def test_custom_id_col_keeps_name_and_type(spark):
     rows = {r.page_id: r for r in out.collect()}
     assert isinstance(list(rows)[0], int)  # bigint preserved
     assert rows[2].text == "trail words"
+
+
+def test_fixpoint_chain_converges_on_pass_two(spark):
+    # removal stitches doc z's neighbors "x y | z w" together, creating
+    # the 3-gram "y z w" that duplicates doc c's — invisible to pass 1,
+    # caught by pass 2; pass 3 must be a no-op
+    rows = [
+        ("a_keep", "D E F"),                 # keeper for "D E F"
+        ("c_other", "q y z w r"),            # keeper for "y z w"
+        ("z_doc", "x y D E F z w"),          # loses both, one per pass
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    one = {r.doc_id: r for r in exact_substring_dedup(df, n=3).collect()}
+    assert one["z_doc"].text == "x y z w"
+    assert one["z_doc"].n_words_removed == 3
+    # residual dup mass after pass 1: the stitched gram is still there
+    residual = exact_substring_ranges(
+        spark.createDataFrame(
+            [(k, v.text) for k, v in one.items()],
+            "doc_id string, text string",
+        ),
+        n=3,
+    ).count()
+    assert residual == 1
+
+    for passes in (2, 3, 5):
+        multi = {
+            r.doc_id: r
+            for r in exact_substring_dedup(
+                df, n=3, max_passes=passes
+            ).collect()
+        }
+        assert multi["z_doc"].text == "x"
+        assert multi["z_doc"].n_words_removed == 6
+        assert multi["a_keep"].text == "D E F"
+        assert multi["c_other"].text == "q y z w r"
+
+
+def test_fixpoint_invalid_passes(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with _pytest.raises(ValueError):
+        exact_substring_dedup(df, max_passes=0)
