@@ -29,7 +29,6 @@ from html_to_document_spark.operators import dedup as D
 from html_to_document_spark.operators import similarity as SIM
 from html_to_document_spark.operators import text_analysis as TA
 from html_to_document_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
-from html_to_document_spark.sources.synthetic import generate_corpus
 
 FINGERPRINT_MOD = TA.FINGERPRINT_MOD
 
@@ -1349,13 +1348,71 @@ def q_serialize_typed(spark, sf_dir):
     return d.mapInPandas(fn, "doc_id long, html_out string")
 
 
-def q_training_pipeline(spark, sf_dir):  # rows-only (generator-defined)
-    """Composed pipeline: extract -> lang/quality filter -> dedup."""
+def q_training_pipeline(spark, sf_dir):
+    """Composed pipeline gated END-TO-END (VERDICT r5 #5 — the row
+    moves from rows-only to a value oracle): a planted corpus derived
+    from the documents table runs the REAL
+    ``build_training_pipeline`` (HTML extraction -> lang/quality
+    filter -> exact dedup -> MinHash-LSH near-dup removal), and the
+    surviving (doc_id, lang_pred, quality) set plus per-stage counts
+    must equal a DuckDB composition of the already-oracled stage
+    semantics. Plant: every doc_id%5==0 doc, grouped by g=doc_id//20;
+    roles 0 and 5 share IDENTICAL text (exact dedup drops 5), role 10
+    is the same 10-word phrase repeated 6x instead of 4x — a
+    different string with the IDENTICAL 3-gram shingle SET, so its
+    MinHash signature equals role 0's and the LSH pair surfaces with
+    probability 1 (est=1.0, the sketch's provable band; the same
+    determinism argument as dedup_simhash) — and role 15 is a
+    doc-salted independent survivor. Every 3-gram contains a
+    group-salt token, so cross-group Jaccard is exactly 0 and no
+    other pair can reach the 0.85 threshold. Counts rows: doc_id=-1
+    carries the exact-dedup survivor count, -2 the final count."""
     from html_to_document_spark.plans.pipeline import build_training_pipeline
 
-    docs = generate_corpus(spark, 150, seed=42, giant_frac=0.0)
-    out = build_training_pipeline(docs, num_partitions=8, min_quality=0.0)
-    return out.select("doc_id", "text", "lang_pred", "quality")
+    g = F.expr("doc_id div 20").cast("string")
+    u = F.col("doc_id").cast("string")
+
+    def _phrase(tok):
+        return F.concat(
+            F.lit("the "), tok, F.lit("x0 and "), tok, F.lit("x1 of "),
+            tok, F.lit("x2 to "), tok, F.lit("x3 is "), tok, F.lit("x4 "),
+        )
+
+    phrase = _phrase(F.concat(F.lit("g"), g))
+    uphrase = _phrase(F.concat(F.lit("u"), u))
+    r = F.col("doc_id") % 20
+    text = (
+        F.when(r.isin(0, 5), F.rtrim(F.repeat(phrase, 4)))
+        .when(r == 10, F.rtrim(F.repeat(phrase, 6)))
+        .otherwise(F.rtrim(F.repeat(uphrase, 3)))
+    )
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.lit("<p>"), text, F.lit("</p>")).alias("html"),
+        )
+    )
+    reg: list = []
+    out = build_training_pipeline(
+        docs,
+        html_col="html",
+        num_partitions=8,
+        min_quality=0.0,
+        cache_registry=reg,
+    )
+    final = out.select("doc_id", "lang_pred", "quality")
+    # stage counts branch off the PERSISTED post-exact-dedup corpus
+    # (reg[0]) — zero extra extraction passes; both are bounded
+    # driver-side reads
+    n_exact = reg[0].count()
+    n_final = final.count()
+    counts = spark.createDataFrame(
+        [(-1, "n_exact", float(n_exact)), (-2, "n_final", float(n_final))],
+        "doc_id long, lang_pred string, quality double",
+    )
+    return final.unionByName(counts)
 
 
 # ---------------------------------------------------------------------------
@@ -2370,7 +2427,84 @@ SELECT CAST(a.doc_id AS BIGINT) AS doc_id, a.n_spans, a.n_text, a.n_images,
         AND a.leading_images <= 0) AS INT) AS keep
 FROM agg a LEFT JOIN runs r USING (doc_id) LEFT JOIN hotcnt h USING (doc_id)
 """,
-        # rows-only (non-SQL-portable hashing / driver-seeded planes /
-        # binary plumbing / generator-defined): dedup_simhash,
-        # ann_approx_topk, multimodal_pipeline, training_pipeline
+        # Composed training pipeline (VERDICT r5 #5): the oracle
+        # recomputes every stage from the planted corpus — text
+        # synthesis, lang/quality (the lang_quality row's SQL),
+        # exact dedup (min-id keeper per text), and near-dup removal
+        # as 3-gram shingle-SET equality (provably what MinHash-LSH
+        # surfaces here: identical sets => identical signatures =>
+        # est 1.0; all other pairs share zero grams). Counts rows
+        # mirror the Spark side's -1/-2 sentinels.
+        "training_pipeline": """
+WITH base AS (
+  SELECT doc_id, doc_id // 20 AS g, doc_id % 20 AS r
+  FROM documents WHERE doc_id % 5 = 0
+), phr AS (
+  SELECT doc_id, r,
+    'the g' || g || 'x0 and g' || g || 'x1 of g' || g ||
+      'x2 to g' || g || 'x3 is g' || g || 'x4 ' AS phrase,
+    'the u' || doc_id || 'x0 and u' || doc_id || 'x1 of u' || doc_id ||
+      'x2 to u' || doc_id || 'x3 is u' || doc_id || 'x4 ' AS uph
+  FROM base
+), planted AS (
+  SELECT doc_id,
+    CASE WHEN r IN (0, 5) THEN rtrim(repeat(phrase, 4))
+         WHEN r = 10 THEN rtrim(repeat(phrase, 6))
+         ELSE rtrim(repeat(uph, 3)) END AS text
+  FROM phr
+), scored AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des)\\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS s_de,
+    length(text) AS n_chars,
+    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS n_stop
+  FROM planted
+), lq AS (
+  SELECT doc_id, text,
+    CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+         WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+         WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+         WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+         ELSE 'de' END AS lang_pred,
+    floor((0.5 * least(n_words / 20.0, 1.0)
+      + 0.3 * least((floor(n_stop * 1.0 / greatest(n_words, 1) * 10000 + 0.5)
+                     / 10000.0) * 5, 1.0)
+      + 0.2 * (1 - least((floor(n_punct * 1.0 / greatest(n_chars, 1) * 10000
+                     + 0.5) / 10000.0) * 10, 1.0))) * 10000 + 0.5)
+      / 10000.0 AS quality
+  FROM scored
+), filtered AS (
+  SELECT * FROM lq
+  WHERE lang_pred IN ('en', 'es', 'fr', 'de') AND quality >= 0.0
+), exact AS (
+  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM filtered
+), survivors AS (
+  SELECT doc_id, text, lang_pred, quality FROM exact WHERE rn = 1
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM survivors
+), gsets AS (
+  SELECT doc_id,
+    list_sort(list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+  GROUP BY doc_id
+), near_losers AS (
+  SELECT a.doc_id FROM gsets a JOIN gsets b
+    ON a.gs = b.gs AND b.doc_id < a.doc_id
+), final AS (
+  SELECT doc_id, lang_pred, quality FROM survivors
+  WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)
+)
+SELECT doc_id, lang_pred, quality FROM final
+UNION ALL
+SELECT -1, 'n_exact', CAST(count(*) AS DOUBLE) FROM survivors
+UNION ALL
+SELECT -2, 'n_final', CAST(count(*) AS DOUBLE) FROM final
+""",
+        # rows-only (non-SQL-portable: driver-seeded hyperplanes /
+        # seeded KMeans): ann_approx_topk
     }
