@@ -282,11 +282,23 @@ def q_minify_normalize(spark, sf_dir):
 
 def q_style_normalize(spark, sf_dir):
     """Style/attribute normalization column (F6 shorthand expansion +
-    color/length canonicalization) as a deterministic serialized map."""
+    color/length canonicalization) as a deterministic serialized map;
+    r5 adds a planted @page stylesheet per doc (margins cycled by
+    n_chars, size variant cycled by doc_id across named / named+
+    orientation / explicit / none) normalized through C11
+    (core/page.py, ref docx.adapter.ts:396-483) into a second
+    serialized column the oracle recomputes arm by arm."""
     import pandas as pd
     from html_to_document_spark.core.css import parse_style_attr
+    from html_to_document_spark.core.page import page_setup_from_css
     from html_to_document_spark.functions.styles import normalize_style
 
+    size_arm = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("A4"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("letter"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("8.5in 11in"))
+        .otherwise(F.lit("A4 landscape"))
+    )
     df = _docs(spark, sf_dir).select(
         "doc_id",
         F.concat(
@@ -294,17 +306,41 @@ def q_style_normalize(spark, sf_dir):
             # tomato/rebeccapurple: beyond the old 24-entry color table
             F.lit("px; color: tomato; border: 2px solid rebeccapurple"),
         ).alias("style"),
+        F.concat(
+            F.lit("body { color: red } @page { margin: "),
+            (F.col("n_chars") % 10).cast("string"),
+            F.lit("in 2cm; size: "), size_arm, F.lit(" }"),
+        ).alias("css"),
     )
+
+    def _ser(d: dict) -> str:
+        flat = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                for kk, vv in v.items():
+                    flat[f"{k}_{kk}"] = vv
+            else:
+                flat[k] = v
+        parts = []
+        for k, v in sorted(flat.items()):
+            if isinstance(v, float) and v.is_integer():
+                v = int(v)
+            parts.append(f"{k}={v}")
+        return ";".join(parts)
 
     def fn(batches):
         for pdf in batches:
-            out = []
-            for raw in pdf["style"]:
+            out, page = [], []
+            for raw, css in zip(pdf["style"], pdf["css"]):
                 norm = normalize_style(parse_style_attr(raw))
                 out.append(";".join(f"{k}={v}" for k, v in sorted(norm.items())))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "normalized": out})
+                page.append(_ser(page_setup_from_css(css)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "normalized": out, "page_setup": page})
 
-    return df.mapInPandas(fn, "doc_id long, normalized string")
+    return df.mapInPandas(
+        fn, "doc_id long, normalized string, page_setup string"
+    )
 
 
 def q_token_stats(spark, sf_dir):
@@ -1619,7 +1655,21 @@ def oracle_sql() -> dict[str, str]:
             "from documents"
         ),
         "style_normalize": (
-            """select doc_id, 'border-bottom-color=663399;border-bottom-style=solid;border-bottom-width=2px;border-left-color=663399;border-left-style=solid;border-left-width=2px;border-right-color=663399;border-right-style=solid;border-right-width=2px;border-top-color=663399;border-top-style=solid;border-top-width=2px;color=FF6347;margin-bottom=' || cast(n_chars % 10 as varchar) || 'px;margin-left=' || cast(n_chars % 10 as varchar) || 'px;margin-right=' || cast(n_chars % 10 as varchar) || 'px;margin-top=' || cast(n_chars % 10 as varchar) || 'px' as normalized from documents"""
+            """select doc_id, 'border-bottom-color=663399;border-bottom-style=solid;border-bottom-width=2px;border-left-color=663399;border-left-style=solid;border-left-width=2px;border-right-color=663399;border-right-style=solid;border-right-width=2px;border-top-color=663399;border-top-style=solid;border-top-width=2px;color=FF6347;margin-bottom=' || cast(n_chars % 10 as varchar) || 'px;margin-left=' || cast(n_chars % 10 as varchar) || 'px;margin-right=' || cast(n_chars % 10 as varchar) || 'px;margin-top=' || cast(n_chars % 10 as varchar) || 'px' as normalized, """
+            # C11 @page normalization recomputed arm by arm: margins
+            # "Nin 2cm" -> top/bottom N*1440 twips, right/left 1134;
+            # size variants named A4 (code 9, 210x297mm rounded),
+            # letter (code 1, 8.5x11in), explicit 8.5in 11in, and
+            # A4+landscape orientation
+            """'margin_bottom=' || cast((n_chars % 10) * 1440 as varchar)
+            || ';margin_left=1134;margin_right=1134;margin_top='
+            || cast((n_chars % 10) * 1440 as varchar)
+            || case doc_id % 4
+               when 0 then ';size_code=9;size_height=16838;size_kind=code;size_width=11906'
+               when 1 then ';size_code=1;size_height=15840;size_kind=code;size_width=12240'
+               when 2 then ';size_height=15840;size_kind=explicit;size_width=12240'
+               else ';orientation=landscape;size_code=9;size_height=16838;size_kind=code;size_width=11906'
+               end as page_setup from documents"""
         ),
         "token_fingerprint": (
             "with t as (select doc_id, length(text) as n_chars_measured, "

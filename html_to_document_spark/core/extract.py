@@ -110,6 +110,67 @@ class ExtractOptions:
 DEFAULT_OPTIONS = ExtractOptions()
 
 
+def resolve_plugins(
+    plugins: tuple = (),
+    middleware: tuple = (),
+    clear_middleware: bool = False,
+    enable_default_plugins: bool | None = None,
+    base: ExtractOptions = DEFAULT_OPTIONS,
+) -> ExtractOptions:
+    """Legacy middleware adapter + plugin resolution (SURVEY P5;
+    reference ``converter.ts:207-244`` ``resolvePlugins`` /
+    ``middlewareToPlugin``, manager ``middleware.manager.ts:3-19``).
+
+    ``middleware``: legacy ``html -> html`` callables, run in
+    registration order AFTER every plugin — the reference wraps each
+    one in a ``beforeParse`` plugin appended last, and a before_parse
+    hook here has the identical contract, so the adapter is
+    positional, not structural. ``plugins``: callables (treated as
+    before_parse, the common case) or mappings with any of
+    ``before_parse`` / ``on_document`` / ``after_parse`` keys (the
+    3-phase Plugin surface). ``enable_default_plugins`` defaults to
+    ``not clear_middleware``, exactly the reference's
+    ``enableDefaultPlugins = !clearMiddleware``.
+
+    Ordering parity note: the reference's default minify is itself
+    the FIRST beforeParse plugin, so its plugins and middleware see
+    minified html; this engine fuses minify into tokenization AFTER
+    the string hooks, so when defaults are enabled the string-level
+    ``minify_html`` is prepended here — the later fused pass is a
+    no-op on already-minified text and the hooks observe the same
+    bytes the reference's would."""
+    from dataclasses import replace
+
+    from html_to_document_spark.core.minify import minify_html
+
+    if enable_default_plugins is None:
+        enable_default_plugins = not clear_middleware
+    before: list = [minify_html] if enable_default_plugins else []
+    on_doc: list = []
+    after: list = []
+    for p in plugins:
+        if callable(p):
+            before.append(p)
+            continue
+        got = False
+        for phase, sink in (("before_parse", before),
+                            ("on_document", on_doc),
+                            ("after_parse", after)):
+            fn = p.get(phase) if hasattr(p, "get") else getattr(p, phase, None)
+            if fn is not None:
+                sink.append(fn)
+                got = True
+        if not got:
+            raise TypeError(f"plugin {p!r} has no recognized phase")
+    before.extend(middleware)  # middlewareToPlugin: appended LAST
+    return replace(
+        base,
+        before_parse=base.before_parse + tuple(before),
+        on_document=base.on_document + tuple(on_doc),
+        after_parse=base.after_parse + tuple(after),
+    )
+
+
 def _build_kind_map(opts: ExtractOptions) -> dict:
     """Flatten the tag-dispatch chain into one dict (hot path: one dict
     hit per element instead of up to ten frozenset probes). Precedence
