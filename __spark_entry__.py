@@ -741,43 +741,83 @@ def q_pdf_extract(spark, sf_dir):
     )
 
 
-def q_embedding_near_dup(spark, sf_dir):  # rows-only (driver-seeded planes)
+def _emb_clones(emb, scales=((10_000_000, 1.0), (20_000_000, 1.0),
+                             (30_000_000, 1.0))):
+    """Planted clone corpus: the embeddings table plus one copy per
+    (id offset, scale). Scales are POWERS OF TWO so the float32 cast
+    is exact on both engines (exponent shift, no mantissa change) —
+    cosine(v, s*v) is bit-for-bit 1.0 before rounding."""
+    out = emb
+    for off, s in scales:
+        clone = emb.select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            (F.transform(
+                "embedding",
+                lambda x: (x.cast("double") * F.lit(float(s)))
+                .cast("float"),
+            ) if s != 1.0 else F.col("embedding")).alias("embedding"),
+            "label",
+        )
+        out = out.unionByName(clone)
+    return out
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Provable band (r5): exact mirrors share every hyperplane sign,
+    so all 500 (v, v+10M) pairs surface with certainty; the table's
+    natural cosine ceiling is 0.513 (measured), so NOTHING else can
+    pass the 0.99 verify — the pair set equals DuckDB's brute-force
+    >= 0.99 set."""
     emb = _emb(spark, sf_dir)
-    mirror = emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"),
-                        "embedding", "label")
     return SIM.embedding_near_dup_pairs(
-        emb.unionByName(mirror), threshold=0.99
+        _emb_clones(emb, scales=((10_000_000, 1.0),)), threshold=0.99
     )
 
 
-def q_ann_lsh_topk(spark, sf_dir):  # rows-only (driver-seeded hyperplanes)
+def q_ann_lsh_topk(spark, sf_dir):
+    """Provable band (r5): three clones per vector scaled by 2/0.5/4
+    — sign(dot(s*v, p)) == sign(dot(v, p)) for s > 0, so every clone
+    shares ALL of its original's buckets and is a guaranteed
+    candidate at cosine 1.0; natural candidates top out at 0.513, so
+    the exact re-rank's top-3 is exactly the clone set (ids
+    ascending) = DuckDB's brute-force top-3 over the same union. The
+    random-hyperplane recall band below 1.0 stays pytest-gated."""
     emb = _emb(spark, sf_dir)
+    corpus = _emb_clones(emb, scales=(
+        (10_000_000, 2.0), (20_000_000, 0.5), (30_000_000, 4.0)))
     return SIM.lsh_ann_topk(
-        emb.filter("vec_id < 5"), emb, k=3, dim=64, bits_per_table=4,
+        emb.filter("vec_id < 5"), corpus, k=3, dim=64, bits_per_table=4,
         num_tables=16,
     )
 
 
-def q_ann_ivf_topk(spark, sf_dir):  # rows-only (KMeans coarse quantizer)
-    """IVF ANN scale path: KMeans cells -> n_probe routing -> exact
-    re-rank inside probed cells (recall-vs-exact pytest-gated)."""
+def q_ann_ivf_topk(spark, sf_dir):
+    """Provable band (r5): literal block centroids (no KMeans fit)
+    make cell assignment a deterministic JVM argmin, and an exact
+    copy lands in its original's cell by identity — so with n_probe=1
+    the three mirrors are guaranteed candidates at cosine 1.0 and the
+    top-3 equals DuckDB's brute-force top-3 over the union. The
+    KMeans-fit mode and partial-probe recall stay pytest-gated
+    (tests/test_similarity.py)."""
     emb = _emb(spark, sf_dir)
     return SIM.ivf_ann_topk(
-        emb.filter("vec_id < 5"), emb, k=3, n_cells=8, n_probe=4
+        emb.filter("vec_id < 5"), _emb_clones(emb), k=3, n_cells=8,
+        n_probe=1, centroids=_sem_centroids(),
     )
 
 
-def q_ann_approx_topk(spark, sf_dir):  # rows-only (seeded planes / KMeans)
-    """ann_lsh_topk + ann_ivf_topk merged into one mode-tagged union
-    row (r4 continuation): identical (query_id, rank, candidate_id,
-    cosine) schema, both rows-only (seeded hyperplanes / KMeans cells
-    are not SQL-portable; recall-vs-exact is pytest-gated in
-    tests/test_similarity.py), so the merge frees a slot under the
-    driver's 50-row cap for interleaved_stats while both modes keep
-    running in the gate. r4-cont: embedding_near_dup folded in too
-    (also rows-only — driver-seeded planes; pairs coerced to the
-    shared schema as query_id=id_a, rank=0, candidate_id=id_b), which
-    freed the slot for the oracle-gated semantic_dedup row."""
+def q_ann_approx_topk(spark, sf_dir):
+    """ann_lsh_topk + ann_ivf_topk + embedding_near_dup in one
+    mode-tagged union row (merged r4-cont under the 50-row cap) —
+    VALUE-ORACLED since r5: each arm runs its full approximate path
+    (hyperplane buckets / literal-centroid cells / LSH near-dup
+    verify) on a planted clone corpus inside the sketch's PROVABLE
+    recall band (see each arm's docstring), so the result must equal
+    DuckDB's brute-force computation over the same union. The
+    probabilistic recall bands (random buckets at < 1.0 similarity,
+    KMeans cells, partial probing) stay pytest-gated — what this row
+    pins is each path's end-to-end machinery: bucketing, candidate
+    joins, exact re-rank, rank tie-breaks, threshold verify."""
     lsh = q_ann_lsh_topk(spark, sf_dir).withColumn("mode", F.lit("lsh"))
     ivf = q_ann_ivf_topk(spark, sf_dir).withColumn("mode", F.lit("ivf"))
     nd = q_embedding_near_dup(spark, sf_dir).select(
@@ -2555,6 +2595,82 @@ SELECT -1, 'n_exact', CAST(count(*) AS DOUBLE) FROM survivors
 UNION ALL
 SELECT -2, 'n_final', CAST(count(*) AS DOUBLE) FROM final
 """,
-        # rows-only (non-SQL-portable: driver-seeded hyperplanes /
-        # seeded KMeans): ann_approx_topk
+        # ANN approximate paths (r5): each arm runs inside its
+        # sketch's PROVABLE recall band on a planted clone corpus
+        # (see the q_* docstrings), so the oracle is an honest
+        # brute-force recomputation over the same union — scaled
+        # clones for LSH (powers of two: float32-exact on both
+        # engines), exact mirrors for IVF and the near-dup verify.
+        "ann_approx_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < 5
+), lshc AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 10000000,
+    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2.0 AS REAL))
+  FROM embeddings
+  UNION ALL SELECT vec_id + 20000000,
+    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 0.5 AS REAL))
+  FROM embeddings
+  UNION ALL SELECT vec_id + 30000000,
+    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 4.0 AS REAL))
+  FROM embeddings
+), ivfc AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 10000000, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 20000000, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 30000000, embedding FROM embeddings
+), lsh_ranked AS (
+  SELECT query_id, candidate_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, candidate_id ASC) AS rank
+  FROM (
+    SELECT q.query_id, e.vec_id AS candidate_id,
+      floor((list_sum(list_transform(range(1, len(q.qv) + 1),
+        i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.qv,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(e.embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+      * 10000 + 0.5) / 10000.0 AS cosine
+    FROM q, lshc e WHERE e.vec_id <> q.query_id)
+), ivf_ranked AS (
+  SELECT query_id, candidate_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, candidate_id ASC) AS rank
+  FROM (
+    SELECT q.query_id, e.vec_id AS candidate_id,
+      floor((list_sum(list_transform(range(1, len(q.qv) + 1),
+        i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.qv,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(e.embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+      * 10000 + 0.5) / 10000.0 AS cosine
+    FROM q, ivfc e WHERE e.vec_id <> q.query_id)
+), ndc AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 10000000, embedding FROM embeddings
+), nd AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    floor((list_sum(list_transform(range(1, len(a.embedding) + 1),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b.embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+    * 10000 + 0.5) / 10000.0 AS cosine
+  FROM ndc a JOIN ndc b ON b.vec_id > a.vec_id
+)
+SELECT query_id, rank, candidate_id, cosine, 'lsh' AS mode
+FROM lsh_ranked WHERE rank <= 3
+UNION ALL
+SELECT query_id, rank, candidate_id, cosine, 'ivf' AS mode
+FROM ivf_ranked WHERE rank <= 3
+UNION ALL
+SELECT id_a AS query_id, 0 AS rank, id_b AS candidate_id, cosine,
+  'near_dup' AS mode
+FROM nd WHERE cosine >= 0.99
+""",
     }

@@ -277,10 +277,20 @@ def ivf_ann_topk(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
     fit_fraction: float = 1.0,
+    centroids: list | None = None,
 ) -> "DataFrame":
     """IVF (inverted-file) ANN: coarse-quantize the corpus into
     ``n_cells`` KMeans cells, probe the ``n_probe`` nearest cells per
     query, exact cosine re-rank inside the probed cells only.
+
+    ``centroids``: literal cell centers (list of dim-length lists)
+    that SKIP the KMeans fit; corpus assignment then uses the same
+    inlined squared-euclidean argmin the query probing uses (ties to
+    the lowest cell index), so assignment is a pure JVM expression
+    and — because an exact-copy vector provably lands in its
+    original's argmin cell — the operator has a value-oracle-able
+    recall band (mirrored corpora; see the ann_approx_topk gate row).
+    The KMeans mode's recall stays pytest-gated.
 
     Scale shape (100 TB thinking):
     - the KMeans fit runs on Spark MLlib (distributed); ``fit_fraction``
@@ -294,35 +304,11 @@ def ivf_ann_topk(
       shuffle shape as the LSH path), never an all-pairs scan;
     - recall/latency trade via n_probe (tested against cosine_topk).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     from html_to_document_spark.operators.text_analysis import r4
 
-    # 1. coarse quantizer (seeded => deterministic)
-    train = corpus
-    if fit_fraction < 1.0:
-        train = train.sample(fraction=fit_fraction, seed=seed)
-    train = train.select(array_to_vector(F.col(c_vec)).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-
-    # 2. corpus cell assignment (JVM transform on the fitted model)
-    assigned = (
-        model.transform(
-            corpus.select(
-                F.col(c_id).alias("candidate_id"),
-                F.col(c_vec).alias("_cv"),
-                array_to_vector(F.col(c_vec)).alias("features"),
-            )
-        )
-        .select("candidate_id", "_cv", F.col("prediction").alias("cell"))
-    )
-
-    # 3. query -> n_probe nearest cells via inlined centroid literals
-    #    (squared euclidean to each centroid, rank, keep n_probe)
     def sqdist(vec_col, centroid):
         lit = F.array(*[F.lit(float(x)) for x in centroid])
         return F.aggregate(
@@ -332,6 +318,59 @@ def ivf_ann_topk(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        # 1. coarse quantizer (seeded => deterministic)
+        train = corpus
+        if fit_fraction < 1.0:
+            train = train.sample(fraction=fit_fraction, seed=seed)
+        train = train.select(array_to_vector(F.col(c_vec)).alias("features"))
+        model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+        centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+        # 2. corpus cell assignment (JVM transform on the fitted model)
+        assigned = (
+            model.transform(
+                corpus.select(
+                    F.col(c_id).alias("candidate_id"),
+                    F.col(c_vec).alias("_cv"),
+                    array_to_vector(F.col(c_vec)).alias("features"),
+                )
+            )
+            .select("candidate_id", "_cv", F.col("prediction").alias("cell"))
+        )
+    else:
+        if len(centroids) != n_cells:
+            raise ValueError(
+                f"{len(centroids)} literal centroids but n_cells={n_cells}"
+            )
+        # 2'. literal-centroid assignment: the same inlined sq-euclid
+        # argmin the probing step uses (ties -> lowest cell index) —
+        # pure JVM expressions, no MLlib, no fit pass
+        cbase = corpus.select(
+            F.col(c_id).alias("candidate_id"), F.col(c_vec).alias("_cv")
+        )
+        wcell = Window.partitionBy("candidate_id").orderBy(
+            F.asc("_d2"), F.asc("cell")
+        )
+        assigned = (
+            cbase.select(
+                "candidate_id",
+                "_cv",
+                F.posexplode(
+                    F.array(*[sqdist(F.col("_cv"), c) for c in centroids])
+                ).alias("cell", "_d2"),
+            )
+            .withColumn("_rc", F.row_number().over(wcell))
+            .filter(F.col("_rc") == 1)
+            .select("candidate_id", "_cv", "cell")
+        )
+
+    # 3. query -> n_probe nearest cells via inlined centroid literals
+    #    (squared euclidean to each centroid, rank, keep n_probe)
 
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
     probed = q.select(

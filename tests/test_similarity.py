@@ -104,3 +104,77 @@ def test_hot_bucket_cap_embedding_pairs_linear(spark):
     ).collect()
     assert len(rows) == m - 1
     assert all(r.id_a == 0 and r.cosine == 1.0 for r in rows)
+
+
+def test_ivf_literal_centroids_mirror_recall(spark, emb):
+    """r5 provable band: literal centroids skip the KMeans fit, cell
+    assignment is the same sq-euclid argmin as probing, and an exact
+    mirror lands in its original's cell by identity — so with
+    n_probe=1 the mirrors are guaranteed candidates and the top-k is
+    exactly the mirror set."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.similarity import ivf_ann_topk
+
+    centroids = []
+    for j in range(8):
+        c = [0.0] * 64
+        for d in range(j * 8, (j + 1) * 8):
+            c[d] = 1.0
+        centroids.append(c)
+
+    corpus = emb
+    for off in (10_000_000, 20_000_000, 30_000_000):
+        corpus = corpus.unionByName(emb.select(
+            (F.col("vec_id") + off).alias("vec_id"), "embedding", "label"
+        ))
+    got = ivf_ann_topk(
+        emb.filter("vec_id < 3"), corpus, k=3, n_cells=8, n_probe=1,
+        centroids=centroids,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.candidate_id for r in rows] == [
+            q + 10_000_000, q + 20_000_000, q + 30_000_000]
+        assert all(r.cosine == 1.0 for r in rows)
+
+
+def test_ivf_literal_centroids_count_mismatch(spark, emb):
+    from html_to_document_spark.operators.similarity import ivf_ann_topk
+
+    with pytest.raises(ValueError):
+        ivf_ann_topk(emb, emb, n_cells=4, centroids=[[0.0] * 64] * 8)
+
+
+def test_lsh_scaled_clone_buckets(spark, emb):
+    """r5 provable band: sign(dot(s*v, p)) == sign(dot(v, p)) for
+    s > 0, so power-of-two-scaled clones share every bucket and the
+    top-k is exactly the clone set at cosine 1.0."""
+    from pyspark.sql import functions as F
+
+    corpus = emb
+    for off, s in ((10_000_000, 2.0), (20_000_000, 0.5),
+                   (30_000_000, 4.0)):
+        corpus = corpus.unionByName(emb.select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x.cast("double") * F.lit(s)).cast("float"),
+            ).alias("embedding"),
+            "label",
+        ))
+    got = lsh_ann_topk(
+        emb.filter("vec_id < 3"), corpus, k=3, dim=64,
+        bits_per_table=4, num_tables=16,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.candidate_id for r in rows] == [
+            q + 10_000_000, q + 20_000_000, q + 30_000_000]
+        assert all(r.cosine == 1.0 for r in rows)
