@@ -524,6 +524,32 @@ def q_top_ngram_stats(spark, sf_dir):
     return TA.top_ngram_stats(_docs(spark, sf_dir), n=2)
 
 
+def q_rep_topgram_stats(spark, sf_dir):
+    """repetition_stats + top_ngram_stats merged into one gate row
+    (r5) — both are per-doc projections, so a doc_id join gates the
+    identical values while freeing a slot under the 50-row cap for
+    token_windows (the same merge shape as token_fingerprint)."""
+    return q_repetition_stats(spark, sf_dir).join(
+        q_top_ngram_stats(spark, sf_dir), "doc_id"
+    )
+
+
+def q_token_windows(spark, sf_dir):
+    """Overlapping context-window chunking (the LM-pretraining
+    chunker; operators/packing.py::chunk_token_windows): 40-token
+    windows every 30 tokens over the documents table — one
+    shuffle-free JVM projection+explode; the oracle re-slices the
+    token list with generate_series in SQL."""
+    from html_to_document_spark.operators.packing import (
+        chunk_token_windows,
+    )
+
+    return chunk_token_windows(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        window=40, stride=30,
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -1281,13 +1307,28 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+# utf-8-as-sloppy-cp1252 corruption of " naïve é — €9 ½ “q”" — the
+# demojibake plant (r5): the table text is pure ASCII (identity under
+# the repair chain), so the fixed output is text || the clean suffix
+_MOJI_SUFFIX = " naÃ¯ve Ã© â€” â‚¬9 Â½ â€œqâ€" + "\x9d"  # U+009D: cp1252-hole byte, escaped
+_MOJI_FIXED = " naïve é — €9 ½ “q”"
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction as a codegen'd projection (emails incl. +tag and
     multi-label domains, NANP phones, IPv4, long digit runs); PII
-    injected deterministically since the synthetic corpus has none."""
-    from html_to_document_spark.operators.corpus_hygiene import pii_scrub
+    injected deterministically since the synthetic corpus has none.
+    r5: a demojibaked column joins in the full 165-entry encoding-
+    repair chain (corpus_hygiene.fix_mojibake_col) over a planted
+    sloppy-cp1252 corruption; the oracle appends the expected clean
+    suffix directly."""
+    from html_to_document_spark.operators.corpus_hygiene import (
+        fix_mojibake_col,
+        pii_scrub,
+    )
 
-    docs = _docs(spark, sf_dir).select(
+    base = _docs(spark, sf_dir)
+    docs = base.select(
         "doc_id",
         F.concat(
             F.lit("contact User"), F.col("doc_id").cast("string"),
@@ -1298,7 +1339,13 @@ def q_pii_scrub(spark, sf_dir):
             F.lit(" "), F.col("text"),
         ).alias("text"),
     )
-    return pii_scrub(docs)
+    fixed = base.select(
+        "doc_id",
+        fix_mojibake_col(
+            F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))
+        ).alias("demojibaked"),
+    )
+    return pii_scrub(docs).join(fixed, "doc_id")
 
 
 def q_link_stats(spark, sf_dir):
@@ -1542,9 +1589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "dsir_weight": q_dsir_weight,
         "substring_dedup_ranges": q_substring_dedup_ranges,
-        "repetition_stats": q_repetition_stats,
+        # repetition_stats + top_ngram_stats merged r5 (same-table
+        # per-doc projections, doc_id join gates identical values) to
+        # free a slot for token_windows under the 50-row cap
+        "rep_topgram_stats": q_rep_topgram_stats,
         "corpus_stats": q_corpus_stats,
-        "top_ngram_stats": q_top_ngram_stats,
+        "token_windows": q_token_windows,
         # dedup
         "dedup_exact_groups": q_dedup_exact_groups,
         "bloom_incremental": q_bloom_incremental,
@@ -1899,7 +1949,8 @@ def oracle_sql() -> dict[str, str]:
             ") select n.doc_id, n.text from nw n "
             "where not exists (select 1 from hist h where h.text = n.text)"
         ),
-        "repetition_stats": (
+        "rep_topgram_stats": (
+            "select * from ("
             "with d as (select doc_id, text || chr(10) || source || chr(10) "
             "|| source || chr(10) || 'unique-' || cast(doc_id as varchar) "
             "as text from documents), "
@@ -1916,18 +1967,7 @@ def oracle_sql() -> dict[str, str]:
             "/ sum(n * len) * 10000 + 0.5) / 10000.0 as dup_line_char_frac, "
             "cast(max(len) as bigint) as max_line_len "
             "from p group by doc_id"
-        ),
-        "corpus_stats": (
-            "select lang, count(*) as n_docs, "
-            "cast(sum(length(text)) as bigint) as total_chars, "
-            "floor(quantile_cont(length(text), 0.5) * 10000 + 0.5) / 10000.0 "
-            "as p50_chars, "
-            "floor(quantile_cont(length(text), 0.9) * 10000 + 0.5) / 10000.0 "
-            "as p90_chars, "
-            "cast(max(length(text)) as bigint) as max_chars "
-            "from documents group by lang"
-        ),
-        "top_ngram_stats": (
+            ") rep join ("
             "with w as (select doc_id, length(text) as chars, "
             "string_split_regex(trim(text), '\\s+') as l from documents), "
             "g as (select doc_id, chars, list_transform("
@@ -1943,6 +1983,33 @@ def oracle_sql() -> dict[str, str]:
             "as top_gram_count, "
             "floor(cnt * length(g) * 1.0 / greatest(chars, 1) * 10000 + 0.5) "
             "/ 10000.0 as top_gram_char_frac from r where rn = 1"
+            ") tg using (doc_id)"
+        ),
+        # context-window chunker (r5, packing.chunk_token_windows):
+        # the oracle re-slices the filtered token list at the same
+        # 0, stride, 2*stride... starts
+        "token_windows": (
+            "with d as (select doc_id, list_filter("
+            "string_split_regex(trim(text), '\\s+'), w -> w <> '') as w "
+            "from documents), "
+            "c as (select doc_id, w, len(w) as n from d where len(w) > 0), "
+            "idx as (select doc_id, w, n, unnest(generate_series(0, "
+            "cast(ceil(greatest(n - 40, 0) / 30.0) as bigint))) as k "
+            "from c) "
+            "select doc_id, cast(k as int) as chunk_id, "
+            "cast(least(40, n - k * 30) as int) as n_tokens, "
+            "array_to_string(list_slice(w, k * 30 + 1, "
+            "least(k * 30 + 40, n)), ' ') as chunk from idx"
+        ),
+        "corpus_stats": (
+            "select lang, count(*) as n_docs, "
+            "cast(sum(length(text)) as bigint) as total_chars, "
+            "floor(quantile_cont(length(text), 0.5) * 10000 + 0.5) / 10000.0 "
+            "as p50_chars, "
+            "floor(quantile_cont(length(text), 0.9) * 10000 + 0.5) / 10000.0 "
+            "as p90_chars, "
+            "cast(max(length(text)) as bigint) as max_chars "
+            "from documents group by lang"
         ),
         "dedup_exact_groups": (
             "with u as (select doc_id, text from documents "
@@ -2414,20 +2481,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pii_scrub": (
             "with t as ("
-            "  select doc_id, 'contact User' || cast(doc_id as varchar) || "
+            "  select doc_id, text as orig, "
+            "  'contact User' || cast(doc_id as varchar) || "
             "  '+tag@Ex-ample.co.uk tel 555-123-4567 ip 10.0.' || "
             "  cast(doc_id % 256 as varchar) || '.1 board ' || "
             "  cast(doc_id * 1234567 as varchar) || "
             "  ' ' || text as text from documents"
             "), s as ("
-            "  select doc_id, text, regexp_replace(regexp_replace("
+            "  select doc_id, text, orig, regexp_replace(regexp_replace("
             "  regexp_replace(regexp_replace(text, "
             "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+([.][A-Za-z0-9-]+)+', "
             "  '<EMAIL>', 'g'), "
             "  '[(]?[0-9]{3}[)]?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'), "
             "  '[0-9]{1,3}([.][0-9]{1,3}){3}', '<IP>', 'g'), "
             "  '[0-9]{7,}', '<NUM>', 'g') as scrubbed from t"
-            ") select doc_id, scrubbed, scrubbed <> text as was_redacted "
+            ") select doc_id, scrubbed, scrubbed <> text as was_redacted, "
+            # the demojibake plant: table text is ASCII (identity under
+            # the repair chain), so fixed = orig || the clean suffix
+            "orig || ' naïve é — €9 ½ “q”' as demojibaked "
             "from s"
         ),
         "lineage_counts": (

@@ -227,3 +227,76 @@ def pii_scrub(
         scrubbed.alias("scrubbed"),
         (scrubbed != F.col(text_col)).alias("was_redacted"),
     )
+
+
+def _mojibake_map() -> dict[str, str]:
+    """UTF-8-bytes-misdecoded-as-cp1252/latin-1 digraphs -> the
+    character they encode (the ftfy core table, generated rather than
+    hand-typed): for every Latin-1-supplement char and the common
+    Windows punctuation (curly quotes, dashes, ellipsis, euro, ...),
+    its UTF-8 bytes are decoded the WRONG way (cp1252 first, latin-1
+    where cp1252's undefined holes reject) and the resulting 2-3 char
+    mojibake string maps back. 165 entries; 3-char sequences sort
+    before 2-char so the replace chain is longest-match-first."""
+    def sloppy_cp1252(data: bytes) -> str:
+        # ftfy's "sloppy-windows-1252": per-byte cp1252 where defined,
+        # raw latin-1 for the five undefined holes (81 8D 8F 90 9D) —
+        # the decoder real crawls actually went through
+        out = []
+        for b in data:
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    m: dict[str, str] = {}
+    chars = [chr(c) for c in range(0xA0, 0x100)] + list(
+        "‘’“”‚„–—…•€™‹›ƒˆ˜ŒœŠšŽžŸ†‡‰"
+    )
+    for ch in chars:
+        u = ch.encode("utf-8")
+        for moji in (sloppy_cp1252(u), u.decode("latin-1")):
+            if moji != ch and moji not in m:
+                m[moji] = ch
+    return m
+
+
+MOJIBAKE_MAP = _mojibake_map()
+_MOJIBAKE_ORDER = sorted(
+    MOJIBAKE_MAP, key=lambda k: (-len(k), k)
+)  # longest first, then lexicographic: deterministic chain
+
+
+def fix_mojibake_col(text_col: "Column | str") -> "Column":
+    """Repair the classic web-crawl encoding bug — UTF-8 bytes decoded
+    as cp1252/latin-1 ("Ã©" for "é", "â€”" for "—") — as a single JVM
+    Column expression: an ordered longest-match-first `replace` chain
+    over the generated digraph table. One pass (double-encoded text
+    needs two applications, like ftfy's iterative mode); pure
+    whole-stage-codegen, no Python, no shuffle, and the identical
+    replace chain is expressible in ANSI SQL for oracle checking.
+    Clean text is untouched: every pattern starts with Ã/Â/â/Å/Æ/Ê...
+    followed by a specific continuation char, sequences that real
+    non-mojibake text essentially never contains."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for k in _MOJIBAKE_ORDER:
+        c = F.replace(c, F.lit(k), F.lit(MOJIBAKE_MAP[k]))
+    return c
+
+
+def fix_mojibake(
+    df: "DataFrame", text_col: str = "text"
+) -> "DataFrame":
+    """``text_col`` repaired in place (see :func:`fix_mojibake_col`);
+    adds ``was_mojibake`` marking rows the repair changed."""
+    from pyspark.sql import functions as F
+
+    fixed = fix_mojibake_col(text_col)
+    return df.withColumn("_fixed", fixed).select(
+        *[c for c in df.columns if c != text_col],
+        F.col("_fixed").alias(text_col),
+        (F.col("_fixed") != F.col(text_col)).alias("was_mojibake"),
+    )

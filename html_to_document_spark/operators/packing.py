@@ -137,3 +137,75 @@ def packing_stats(packed: "DataFrame", budget: int) -> "DataFrame":
         F.round(F.avg("fill"), 4).alias("mean_fill"),
         F.round(F.expr("percentile(fill, 0.1)"), 4).alias("p10_fill"),
     )
+
+
+def chunk_token_windows(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 512,
+    stride: int = 384,
+) -> "DataFrame":
+    """Overlapping context-window chunking: split each document's
+    whitespace tokens into windows of ``window`` tokens starting every
+    ``stride`` tokens (stride < window => ``window - stride`` tokens
+    of overlap — the standard LM-pretraining chunker shape). Start
+    positions are 0, stride, 2*stride, ... up to the smallest start
+    that still reaches the end, so every token is covered and only
+    the last chunk may be short. Returns one row per chunk:
+    (id_col, chunk_id, n_tokens, chunk).
+
+    Scale shape: a single shuffle-free projection + explode — the
+    words array is materialized once as a column (the r4 lesson: a
+    lambda referencing an outer split() re-evaluates it per element),
+    chunk math is pure JVM `sequence`/`slice`/`array_join`, and no
+    state crosses rows, so the operator parallelizes embarrassingly
+    at any corpus size. Empty/whitespace-only documents yield zero
+    chunks."""
+    from pyspark.sql import functions as F
+
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
+    if stride > window:
+        raise ValueError(
+            f"stride {stride} > window {window} would skip tokens"
+        )
+
+    words = F.col("_w")
+    n = F.size(words)
+    n_chunks = F.ceil(F.greatest(n - window, F.lit(0)) / stride) + 1
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.least(F.lit(window), n - i * stride).cast("int")
+                .alias("n_tokens"),
+                F.array_join(
+                    F.slice(words, i * stride + 1, window), " "
+                ).alias("chunk"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<chunk_id:int,n_tokens:int,chunk:string>>"
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col).alias(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+        )
+        .select(
+            id_col,
+            F.filter(words, lambda w: w != "").alias("_w"),
+        )
+        .select(id_col, F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.n_tokens").alias("n_tokens"),
+            F.col("_c.chunk").alias("chunk"),
+        )
+    )
