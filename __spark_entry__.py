@@ -669,13 +669,18 @@ def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering, value-oracled (VERDICT r4 #3): LSH
     candidates (recall threshold 0.5) -> exact 3-gram Jaccard >= 0.9
     verification -> large-star/small-star connected components. The
-    verified edge set is exact (the dedup_minhash_pairs row pins the
-    sketch's total recall on this corpus), so the component partition
-    must equal DuckDB's recursive-CTE connected components over the
-    same all-pairs >= 0.9 graph — mirrors cluster onto originals, and
-    the corpus's natural near-dup pairs (e.g. 87~134) merge 4-doc
-    components. Iterative algorithm, but the FIXPOINT is SQL-checkable
-    even though the rounds are not."""
+    component partition must equal DuckDB's recursive-CTE connected
+    components over the all-pairs >= 0.9 graph. Edge-recall status,
+    quantified (review r5): mirror edges have identical signatures
+    (surfaced with certainty); the slice's natural >= 0.9 edges are
+    exactly {87~134 j=.9545, 152~178 j=.9730, 61~185 j=.9825}, and at
+    16 bands x 4 rows the band-miss bound (1-j^4)^16 for the weakest
+    is 4.8e-13 — with FIXED seeds the outcome is deterministic (it
+    either always passes or never, and it passes), and no natural
+    pair lies in [0.85, 0.9), so nothing sits close enough to the
+    verify cut to flicker. Iterative
+    algorithm, but the FIXPOINT is SQL-checkable even though the
+    rounds are not."""
     df = _docs_with_planted_dups(spark, sf_dir)
     # limit corpus for bounded per-round iteration cost in the gate
     df = df.filter((F.col("doc_id") % 10_000_000) < 200)
@@ -1531,6 +1536,13 @@ def q_training_pipeline(spark, sf_dir):
     # driver-side reads
     n_exact = reg[0].count()
     n_final = final.count()
+    # release the build's persisted frames (corpus + LSH signatures)
+    # once counted — a gate session runs ~49 more rows and must not
+    # carry stale cached blocks (review r5); the driver's later
+    # collect replays the (tiny planted) lineage deterministically
+    from html_to_document_spark.plans.pipeline import release_caches
+
+    release_caches(reg)
     counts = spark.createDataFrame(
         [(-1, "n_exact", float(n_exact)), (-2, "n_final", float(n_final))],
         "doc_id long, lang_pred string, quality double",
@@ -1855,11 +1867,20 @@ def oracle_sql() -> dict[str, str]:
             "), tgt as ("
             "  select gram, count(*) as c from grams"
             "  where doc_id % 7 = 0 group by gram"
-            "), vocab as (select gram from tgt where c >= 3"
+            # vocab_cap mirror (review r5): fit_dsir keeps the
+            # top-65536 TARGET grams by (count desc, gram asc) before
+            # the min_count cut; out-of-cap grams vanish from ct but
+            # map to <unk> in cr and scoring. No-op at gate scale.
+            "), tgtr as ("
+            "  select gram, c, row_number() over "
+            "    (order by c desc, gram asc) as rn from tgt"
+            "), vocab as (select gram from tgtr "
+            "  where c >= 3 and rn <= 65536"
             "), ctm as ("
             "  select case when v.gram is not null then t.gram"
             "    else '<unk>' end as m, cast(sum(t.c) as double) as c"
-            "  from tgt t left join vocab v on v.gram = t.gram group by 1"
+            "  from tgtr t left join vocab v on v.gram = t.gram "
+            "  where t.rn <= 65536 group by 1"
             "), crm as ("
             "  select case when v.gram is not null then g.gram"
             "    else '<unk>' end as m, cast(count(*) as double) as c"
@@ -1901,12 +1922,21 @@ def oracle_sql() -> dict[str, str]:
             "  from tw, unnest(generate_series(1, len(w))) as g(i)"
             "), uni as ("
             "  select word, count(*) as c from tok group by word"
+            # vocab_cap mirror (review r5): fit_ngram_lm keeps the
+            # top-65536 words by (count desc, word asc) BEFORE the
+            # min_count cut; out-of-cap words vanish from the unigram
+            # counts but map to <unk> on the bigram side. A no-op on
+            # the gate corpus (vocab << cap), exact at any scale.
+            "), unir as ("
+            "  select word, c, row_number() over "
+            "    (order by c desc, word asc) as rn from uni"
             "), tokm as ("
-            "  select t.doc_id, t.i, case when u.c >= 3 then t.word "
-            "    else '<unk>' end as mw"
-            "  from tok t join uni u on u.word = t.word"
+            "  select t.doc_id, t.i, case when u.c >= 3 "
+            "    and u.rn <= 65536 then t.word "
+            "    else '<unk>' end as mw, u.rn <= 65536 as incap"
+            "  from tok t join unir u on u.word = t.word"
             "), c1m as ("
-            "  select mw, count(*) as c from tokm group by mw"
+            "  select mw, count(*) as c from tokm where incap group by mw"
             "), stats as ("
             "  select cast(sum(c) as double) as n, "
             "    cast(count(*) as double) as v from c1m"

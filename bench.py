@@ -261,12 +261,14 @@ def membw_trials(workers=(2, 4, 8), trials: int = 5,
 
 def probe_window(points=(2, 4, 8)) -> dict:
     """One probe reading + the r5 window-quality verdict (see module
-    docstring). The verdict trial is the best-by-total of 5 per-trial
-    ladders (each trial measures all points back-to-back, so its pair
-    efficiencies are temporally coherent). SANE = that trial's
-    consecutive pair efficiencies all <= SANE_PAIR_MAX; STRONG = its
-    2/8 points >= 85% of the best recorded ladder. The 1-worker point
-    is EXCLUDED everywhere: it under-reads systematically on this box
+    docstring). 5 per-trial ladders run, each measuring all points
+    back-to-back so its pair efficiencies are temporally coherent.
+    SANE = the MEDIAN consecutive pair efficiency ACROSS the 5 trials
+    <= SANE_PAIR_MAX (the median resists a single steal burst);
+    STRONG = the best-by-total trial's 2/8 points >= 85% of the best
+    recorded ladder (steal only depresses, so the max is the
+    least-interference hardware estimate). The 1-worker point is
+    EXCLUDED everywhere: it under-reads systematically on this box
     (~28 GB/s vs ~30/worker at 2+ — the r4 artifact's own ladder has
     an 'impossible' 1->2 pair of 1.12), so a 1-based pair would fail
     sanity in every window; sanity starts at the 2-worker point."""

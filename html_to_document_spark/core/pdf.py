@@ -752,14 +752,22 @@ def _glyph_unicode(name: str) -> str:
         return g
     if name.startswith("uni") and len(name) >= 7:
         try:
-            return chr(int(name[3:7], 16))
+            cp = int(name[3:7], 16)
         except ValueError:
             return "�"
+        # lone UTF-16 surrogates are not encodable text — a hostile
+        # /Differences [.. /uniD800] would otherwise crash the first
+        # Arrow/parquet boundary downstream ("malformed input is
+        # data, not an error")
+        return "�" if 0xD800 <= cp <= 0xDFFF else chr(cp)
     if name.startswith("u") and 5 <= len(name) <= 7:
         try:
-            return chr(int(name[1:], 16))
-        except (ValueError, OverflowError):
+            cp = int(name[1:], 16)
+        except ValueError:
             return "�"
+        if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+            return "�"
+        return chr(cp)
     return "�"
 
 
@@ -798,6 +806,11 @@ def _base_encoding_table(name: str) -> tuple[str, ...]:
             bytes([i]).decode("mac_roman", errors="replace")
             for i in range(256)
         ]
+        # PDF Annex D MacRomanEncoding defines 0xDB as /currency
+        # (U+00A4); Python's mac_roman codec follows Mac OS 8.5+,
+        # which replaced it with the euro. pdf.js sides with Annex D,
+        # so crawled-PDF parity does too.
+        table[0xDB] = "¤"
     elif name == "StandardEncoding":
         table = ["�"] * 256
         for i in range(0x20, 0x7F):

@@ -74,10 +74,14 @@ _WS = re.compile(r"\s+", re.ASCII)
 
 
 def _words(text) -> list[str]:
-    # non-str guards NULL rows reaching mapInPandas as None
-    if not isinstance(text, str) or not text.strip():
+    # non-str guards NULL rows reaching mapInPandas as None. No
+    # .strip(): Python str.strip() is UNICODE-aware and would eat an
+    # edge NBSP/thin-space that the ASCII-\s fit side keeps glued to
+    # its word (review r5) — split raw, drop the '' edge tokens,
+    # exactly what _gram_counts' filter-after-split does JVM-side.
+    if not isinstance(text, str):
         return []
-    return _WS.split(text.strip())
+    return [w for w in _WS.split(text) if w]
 
 
 def _doc_grams(words: list[str]) -> Iterator[str]:

@@ -184,12 +184,17 @@ def _score_text(text: str, m: dict) -> tuple[int, float]:
     """(n_tokens, perplexity) of one document under the model."""
     # non-str guards the NULL row (None via Arrow) and any stray
     # pandas NaN — both mean "no tokens", never a crash
-    if not isinstance(text, str) or not text.strip():
+    if not isinstance(text, str):
         return 0, float("nan")
     # ASCII \s to match the JVM fit side (Java \s) and the DuckDB
     # oracle (RE2 \s): Unicode \s would split interior NBSPs into
-    # tokens the fitted counts never saw (see dsir._WS)
-    words = re.split(r"\s+", text.strip(), flags=re.ASCII)
+    # tokens the fitted counts never saw (see dsir._WS). No .strip()
+    # either — it is Unicode-aware and would eat an edge NBSP the fit
+    # side keeps glued to its word (review r5); drop '' edge tokens
+    # from the raw split instead, as the fit's filter does.
+    words = [w for w in re.split(r"\s+", text, flags=re.ASCII) if w]
+    if not words:
+        return 0, float("nan")
     k, lam, n_tot, v = m["k"], m["lam"], m["N"], m["V"]
     c1, c2, h, vocab = m["c1"], m["c2"], m["h"], m["vocab"]
     uden = n_tot + k * (v + 1)

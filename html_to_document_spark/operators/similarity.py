@@ -349,24 +349,19 @@ def ivf_ann_topk(
             )
         # 2'. literal-centroid assignment: the same inlined sq-euclid
         # argmin the probing step uses (ties -> lowest cell index) —
-        # pure JVM expressions, no MLlib, no fit pass
-        cbase = corpus.select(
+        # pure JVM expressions, no MLlib, no fit pass, and NO shuffle:
+        # array_position(min) is a per-row projection, where a
+        # partitionBy(candidate_id) window would both shuffle the
+        # whole corpus and silently collapse duplicate-id rows the
+        # KMeans branch keeps (review r5)
+        dist_arr = F.array(*[sqdist(F.col("_cv"), c) for c in centroids])
+        assigned = corpus.select(
             F.col(c_id).alias("candidate_id"), F.col(c_vec).alias("_cv")
-        )
-        wcell = Window.partitionBy("candidate_id").orderBy(
-            F.asc("_d2"), F.asc("cell")
-        )
-        assigned = (
-            cbase.select(
-                "candidate_id",
-                "_cv",
-                F.posexplode(
-                    F.array(*[sqdist(F.col("_cv"), c) for c in centroids])
-                ).alias("cell", "_d2"),
-            )
-            .withColumn("_rc", F.row_number().over(wcell))
-            .filter(F.col("_rc") == 1)
-            .select("candidate_id", "_cv", "cell")
+        ).select(
+            "candidate_id",
+            "_cv",
+            (F.array_position(dist_arr, F.array_min(dist_arr)) - 1)
+            .cast("int").alias("cell"),
         )
 
     # 3. query -> n_probe nearest cells via inlined centroid literals

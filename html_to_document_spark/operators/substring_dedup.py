@@ -138,10 +138,14 @@ def exact_substring_dedup(
             id_col,
             n,
         ).persist()
-        # full action (not limit-short-circuited) so nxt's cache is
-        # complete before prev is released
+        # full actions (not limit-short-circuited) so nxt's cache is
+        # complete before prev is released. Convergence needs BOTH
+        # signals: the removed-word sum only covers SURVIVING rows, so
+        # a pass that empties a document entirely (row dropped by the
+        # length filter) would otherwise read as a no-op and the loop
+        # would resurrect the duplicate by returning prev.
         pass_removed = nxt.agg(F.sum("n_words_removed")).first()[0] or 0
-        if pass_removed == 0:
+        if pass_removed == 0 and nxt.count() == prev.count():
             nxt.unpersist()
             prev.unpersist()
             return prev

@@ -197,7 +197,12 @@ def make_pdf(
         charmap = {ch: i + 1 for i, ch in enumerate(alphabet)}
     elif encoding == "macroman":
         def byte_enc(s: str) -> bytes:
-            return s.encode("mac_roman", errors="replace")
+            # Annex D MacRomanEncoding has no euro (0xDB is
+            # /currency); the Python codec would encode one, so the
+            # writer treats it as unrepresentable like the reader does
+            return s.replace("€", "?").encode(
+                "mac_roman", errors="replace"
+            )
     elif encoding == "differences":
         diff_map = _differences_charmap(pages)
 

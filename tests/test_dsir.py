@@ -250,3 +250,27 @@ def test_default_vocab_cap_is_bounded(target_df, raw_df, model):
     assert default == 65536
     m_unc = fit_dsir(target_df, raw_df, min_count=2, vocab_cap=None)
     assert m_unc == model  # the model fixture uses the default cap
+
+
+def test_nbsp_edge_fit_score_consistency(spark):
+    """review r5: Python str.strip() is Unicode-aware — a doc with a
+    leading NBSP must tokenize identically on the JVM fit side (ASCII
+    \\s keeps '\\u00a0abc' as one token) and the Python scorer."""
+    from html_to_document_spark.operators.dsir import (
+        _words,
+        dsir_log_weight,
+        fit_dsir,
+    )
+
+    nb = " abc def"
+    assert _words(nb) == [" abc", "def"]  # NBSP stays glued
+
+    df = spark.createDataFrame([(1, nb), (2, "other words here")],
+                               "doc_id long, text string")
+    model = fit_dsir(df.filter("doc_id = 1"), df, min_count=1)
+    out = {r.doc_id: r for r in dsir_log_weight(df, model).collect()}
+    # the target doc's grams must all be found in the fitted counts:
+    # a strip()-based scorer would query 'abc' (unfitted) and skew
+    # the weight; a consistent one scores every gram as seen
+    assert out[1].n_grams == 3  # 2 unigrams + 1 bigram
+    assert out[1].log_weight > out[2].log_weight

@@ -189,3 +189,28 @@ def test_default_vocab_cap_is_bounded(ref_df):
     m_default = fit_ngram_lm(ref_df, min_count=2)
     m_uncapped = fit_ngram_lm(ref_df, min_count=2, vocab_cap=None)
     assert m_default == m_uncapped
+
+
+def test_nbsp_edge_fit_score_consistency(spark):
+    """review r5: the scorer must not Unicode-strip an edge NBSP the
+    ASCII-\\s fit keeps glued to its word."""
+    from html_to_document_spark.operators.lm_filter import (
+        _score_text,
+        fit_ngram_lm,
+        perplexity,
+    )
+
+    nb = " abc def"
+    df = spark.createDataFrame([(1, nb)], "doc_id long, text string")
+    model = fit_ngram_lm(df, min_count=1)
+    assert " abc" in model["c1"] and "abc" not in model["c1"]
+    n, ppl = _score_text(nb, model)
+    assert n == 2
+    # every scored gram was fitted -> low perplexity; a strip()-based
+    # scorer would hit <unk> on the first token instead
+    import math
+
+    row = perplexity(df, model).collect()[0]
+    assert row.ppl == math.floor(ppl * 10000 + 0.5) / 10000  # r4 rounding
+    ws_only, nan_ppl = _score_text(" ", model)
+    assert ws_only == 1  # one NBSP 'word', same as the fit side

@@ -350,13 +350,14 @@ if _HAS_HYP:
     def test_property_roundtrip(pages, variant):
         got = pdf_text_lines(make_pdf(pages, **variant))
         if variant.get("encoding") == "macroman":
-            # the MacRoman writer is lossy for cp1252 chars outside the
-            # MacRoman repertoire (e.g. 'ý'); expect the writer's '?'
+            # the MacRoman writer is lossy for cp1252 chars outside
+            # the Annex D repertoire (e.g. 'ý', and '€' — 0xDB is
+            # /currency per Annex D); expect the writer's '?'
             pages = [
                 [
-                    ln.encode("mac_roman", errors="replace").decode(
-                        "mac_roman"
-                    )
+                    ln.replace("€", "?")
+                    .encode("mac_roman", errors="replace")
+                    .decode("mac_roman")
                     for ln in p
                 ]
                 for p in pages
@@ -400,6 +401,27 @@ def test_macroman_garbled_without_table():
     literals = _re.findall(rb"\((.*?)(?<!\\)\)", blob, _re.S)
     old_way = b"".join(literals).decode("cp1252", errors="replace")
     assert "déjà" not in old_way
+
+
+def test_macroman_0xdb_is_currency_not_euro():
+    """PDF Annex D parity (review r5): byte 0xDB under
+    /MacRomanEncoding is /currency U+00A4, not the Mac OS 8.5+ euro
+    the Python codec emits. Hand-patched byte fixture, so the writer's
+    own encoder cannot cancel the deviation."""
+    blob = make_pdf([["x"]], filter="none", encoding="macroman")
+    patched = blob.replace(b"(x)", b"(\xdb)")
+    assert pdf_text_lines(patched) == ["\u00a4"]
+
+
+def test_differences_surrogate_glyph_is_replacement():
+    """A hostile /Differences [.. /uniD800] must yield U+FFFD, not a
+    lone surrogate that crashes the first Arrow/parquet boundary."""
+    from html_to_document_spark.core.pdf import _glyph_unicode
+
+    for name in ("uniD800", "uniDFFF", "uD800", "u110000"):
+        assert _glyph_unicode(name) == "\ufffd"
+    assert _glyph_unicode("uni0041") == "A"
+    assert _glyph_unicode("u1F600") == "\U0001F600"
 
 
 def test_tounicode_non_latin_text():

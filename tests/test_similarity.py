@@ -178,3 +178,37 @@ def test_lsh_scaled_clone_buckets(spark, emb):
         assert [r.candidate_id for r in rows] == [
             q + 10_000_000, q + 20_000_000, q + 30_000_000]
         assert all(r.cosine == 1.0 for r in rows)
+
+
+def test_ivf_literal_assignment_keeps_duplicate_ids_and_is_shuffle_free(spark):
+    """review r5: the literal-centroid assignment must be a per-row
+    projection — a partitionBy(id) window both shuffled the corpus
+    and collapsed duplicate-id rows the KMeans branch keeps."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.similarity import ivf_ann_topk
+
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    # two DIFFERENT vectors share vec_id=7, one per cell
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.05]), (7, [0.05, 1.0]), (8, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    got = ivf_ann_topk(
+        queries, corpus, k=2, n_cells=2, n_probe=1, centroids=centroids
+    ).collect()
+    # cell 1 is probed; the [0.05, 1.0] copy of id 7 must still exist
+    assert [(r.candidate_id, r.rank) for r in got] == [(7, 1)]
+    assert got[0].cosine > 0.99
+
+    plan = ivf_ann_topk(
+        queries, corpus, k=2, n_cells=2, n_probe=1, centroids=centroids
+    )._jdf.queryExecution().executedPlan().toString()
+    # the corpus-assignment side must not shuffle: the only exchanges
+    # allowed are the broadcast of the probed queries and the top-k
+    # window over the (tiny) candidate set
+    import re
+    assert not re.search(r"Exchange hashpartitioning\(candidate_id", plan)

@@ -151,3 +151,22 @@ def test_fixpoint_invalid_passes(spark):
     df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
     with _pytest.raises(ValueError):
         exact_substring_dedup(df, max_passes=0)
+
+
+def test_fixpoint_detects_pass_that_only_empties_docs(spark):
+    # review r5: a pass whose removals EMPTY documents has a zero
+    # removed-word sum over survivors; convergence must also compare
+    # row counts or the emptied duplicate gets resurrected
+    rows = [
+        ("a", "D E F"),
+        ("b", "A B C"),
+        ("z", "D E A B C F"),  # pass 1 strips "A B C" -> "D E F";
+                               # pass 2 empties it as a's duplicate
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r.text
+           for r in exact_substring_dedup(df, n=3, max_passes=5).collect()}
+    assert out == {"a": "D E F", "b": "A B C"}
+    one = {r.doc_id: r.text
+           for r in exact_substring_dedup(df, n=3).collect()}
+    assert one["z"] == "D E F"  # the single-pass residue, documented
