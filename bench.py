@@ -9,7 +9,7 @@
 Two-cluster-size scaling evidence (BASELINE.json north_rule, sandbox
 proxy per driver instruction): the SAME extraction job over the SAME
 deterministic synthetic corpus at two parallelism pairs —
-local[8]/local[32] (full corpus) and local[2]/local[8] (60k prefix,
+local[8]/local[32] (full corpus) and local[2]/local[8] (120k prefix,
 BELOW the single-box DRAM ceiling that caps data-intensive work above
 ~8 threads here); efficiency = (rate_4N / rate_N) / 4. Results are
 also written to BENCH/BASELINE.md with the saturation analysis.
@@ -32,9 +32,10 @@ a no-clean-window session is evidenced, not asserted.
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      H2D_BENCH_DOCS (default 200000), H2D_BENCH_ROUNDS (default 1),
-     H2D_BENCH_WINDOW_TRIES (default 4) probe-gated low-pair window
+     H2D_BENCH_WINDOW_TRIES (default 5) probe-gated low-pair window
      attempts, H2D_BENCH_WINDOW_SLEEP (default 60) seconds between
-     attempts when the probe reads dirty.
+     attempts when the probe reads dirty, H2D_BENCH_LOW_DOCS
+     (default 120000) low-pair prefix size.
 """
 
 from __future__ import annotations
@@ -68,8 +69,17 @@ CLEAN_FRAC = 0.85  # window is STRONG when bw >= 85% of REF_MEMBW
 # (8->16 = 1.13 in the saturated region, where true eff is ~0.66)
 # stays far outside it.
 SANE_PAIR_MAX = 1.10
-WINDOW_TRIES = int(os.environ.get("H2D_BENCH_WINDOW_TRIES", "4"))
+WINDOW_TRIES = int(os.environ.get("H2D_BENCH_WINDOW_TRIES", "5"))
 WINDOW_SLEEP = int(os.environ.get("H2D_BENCH_WINDOW_SLEEP", "60"))
+# Low-pair prefix size: 120k (was 60k in r4). The window probe gates
+# minute-scale degradation, but steal BURSTS are shorter than a
+# paired round — and at 60k the local[8] leg's ~10 s wall lets one
+# burst own a whole run (measured: rounds spanning 0.57..0.93 inside
+# probe-clean windows). Doubling the prefix (~56 s / ~19 s walls)
+# averages bursts into both legs instead of letting them pick one.
+# Same input for both legs (the north-rule proxy requires it); fixed
+# per-job overhead stays < 4% of the local[8] wall.
+LOW_PAIR_DOCS = int(os.environ.get("H2D_BENCH_LOW_DOCS", "120000"))
 
 
 def ensure_corpus() -> None:
@@ -457,7 +467,7 @@ def write_baseline_md(r8: dict, r32: dict, eff: float, queries: dict,
     if r2l is not None:
         lines += [
             "## N -> 4N pair BELOW the DRAM ceiling (local[2] vs "
-            "local[8], 60k-doc prefix)",
+            f"local[8], {LOW_PAIR_DOCS // 1000}k-doc prefix)",
             "",
             "Per-core code improvements LOWER the 8->32 proxy because 32",
             "threads saturate this box's memory bandwidth (see the",
@@ -627,7 +637,7 @@ def main() -> None:
     eff_16_32 = (r32["docs_per_sec"] / r16["docs_per_sec"]) / (32 / 16)
 
     # second N->4N pair BELOW the single-box DRAM ceiling (2 -> 8
-    # cores over a 60k-doc prefix — sized so fixed per-job overhead
+    # cores over a 120k-doc prefix (H2D_BENCH_LOW_DOCS) — sized so fixed per-job overhead
     # (session, scan, planning: ~1-2s) stays <10% of the local[8]
     # wall; at 30k it was 15-25% and biased the ratio down): per-core
     # code improvements LOWER
@@ -645,8 +655,8 @@ def main() -> None:
     # number is the best clean median, stopping early at the >= 0.8
     # target; every attempt's probe context ships in the artifact.
     def low_pair_round() -> tuple:
-        low2 = worker(2, limit=min(60_000, N_DOCS), n_runs=3)
-        low8 = worker(8, limit=min(60_000, N_DOCS), n_runs=3)
+        low2 = worker(2, limit=min(LOW_PAIR_DOCS, N_DOCS), n_runs=3)
+        low8 = worker(8, limit=min(LOW_PAIR_DOCS, N_DOCS), n_runs=3)
         return (low2, low8,
                 (low8["docs_per_sec"] / low2["docs_per_sec"]) / (8 / 2))
 
