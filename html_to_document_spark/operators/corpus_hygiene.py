@@ -278,7 +278,17 @@ def fix_mojibake_col(text_col: "Column | str") -> "Column":
     replace chain is expressible in ANSI SQL for oracle checking.
     Clean text is untouched: every pattern starts with Ã/Â/â/Å/Æ/Ê...
     followed by a specific continuation char, sequences that real
-    non-mojibake text essentially never contains."""
+    non-mojibake text essentially never contains.
+
+    Known limit: characters whose UTF-8 continuation byte is 0xA0
+    (U+00A0 itself, and the à/á/... row's à = C3 A0) produce mojibake
+    containing a literal NBSP; if whitespace normalization runs FIRST
+    (e.g. the extraction pipeline's minify), that NBSP becomes a
+    plain space and the digraph is no longer recognizable — a
+    space-variant pattern ("Ã ") was deliberately NOT added because
+    it can eat a real word separator. Repair before normalization
+    when those characters matter (ftfy has the same ordering
+    requirement)."""
     from pyspark.sql import functions as F
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col

@@ -108,6 +108,7 @@ def build_training_pipeline(
     text_join: str = "space",
     lm_model: dict | None = None,
     lm_max_ppl: float | None = None,
+    fix_encoding: bool = False,
 ) -> "DataFrame":
     """(doc_id, spans[interleaved]) -> filtered, deduplicated corpus.
     ``html_col`` routes a raw-HTML source (e.g. a WARC scan) into the
@@ -154,7 +155,17 @@ def build_training_pipeline(
     the model once on a trusted reference slice with
     ``operators.lm_filter.fit_ngram_lm`` and docs scoring above
     ``lm_max_ppl`` are dropped (broadcast model, shuffle-free
-    scoring)."""
+    scoring).
+
+    ``fix_encoding``: repair sloppy-cp1252/latin-1 mojibake in the
+    assembled text BEFORE any scoring/filtering/dedup
+    (``operators.corpus_hygiene.fix_mojibake_col`` — a pure Column
+    replace chain: zero scans, zero shuffles added). Ordering
+    matters: lang-ID stopword hits, Gopher non-alpha ratios, LM
+    perplexity and n-gram dedup all see the REPAIRED text, so a
+    mojibaked crawl segment is scored like its clean twin instead of
+    being dropped (or worse, kept as a near-dup-invisible variant).
+    Span payloads are left untouched, like ``pii_scrub``."""
     from pyspark.sql import functions as F
 
     spans = extract_spans_balanced(
@@ -177,6 +188,12 @@ def build_training_pipeline(
     # 19.6s->12.4s, dedup phase 14.2s->5.3s); a JSON string column is
     # flat for the cache and the shuffles, restored once at the end
     spans_type = spans.schema["spans"].dataType
+    if fix_encoding:
+        from html_to_document_spark.operators.corpus_hygiene import (
+            fix_mojibake_col,
+        )
+
+        text = fix_mojibake_col(text)
     if pii_scrub:
         from html_to_document_spark.operators.corpus_hygiene import (
             pii_scrub_col,

@@ -115,6 +115,7 @@ def run_stream_pipeline(
     gopher_filter: bool = False,
     lm_model: dict | None = None,
     lm_max_ppl: float | None = None,
+    fix_encoding: bool = False,
 ):
     """Streaming counterpart of plans.build_training_pipeline: continuous
     ingest -> span extraction -> (optional PII scrub, same projection as
@@ -147,6 +148,13 @@ def run_stream_pipeline(
             lambda x: x.isNotNull() & (x != ""),
         ),
     )
+    if fix_encoding:
+        # batch parity: plans.build_training_pipeline(fix_encoding=True)
+        from html_to_document_spark.operators.corpus_hygiene import (
+            fix_mojibake_col,
+        )
+
+        text = fix_mojibake_col(text)
     if pii_scrub:
         from html_to_document_spark.operators.corpus_hygiene import (
             pii_scrub_col,

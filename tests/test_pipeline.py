@@ -217,3 +217,35 @@ def test_pipeline_lm_filter_stage(spark):
     assert len(ids) > 0
     # and ppl is not leaked into the output schema
     assert "ppl" not in out.columns
+
+
+def test_pipeline_fix_encoding_repairs_before_scoring(spark):
+    """fix_encoding=True: a mojibaked doc is repaired BEFORE lang/
+    quality scoring and before dedup, so it scores (and dedups) like
+    its clean twin; the stage is a pure projection — no extra scans."""
+    base = generate_corpus(spark, 20, seed=31, giant_frac=0.0)
+    # corrupt one doc's text spans the classic way (utf-8 bytes read
+    # back as cp1252) by appending a mojibaked marker
+    moji = "café crust".encode("utf-8").decode("cp1252")
+    corrupted = base.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(
+                    s["kind"] == "text",
+                    F.concat(s["text"], F.lit(" " + moji)),
+                ).otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    out = build_training_pipeline(
+        corrupted, num_partitions=4, min_quality=0.0, fix_encoding=True
+    ).collect()
+    assert out, "pipeline dropped everything"
+    joined = " ".join(r.text for r in out)
+    assert "café crust" in joined
+    assert "Ã©" not in joined

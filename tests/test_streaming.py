@@ -274,3 +274,38 @@ def test_stream_pipeline_lm_filter(spark, tmp_path):
     ids = {r.doc_id for r in spark.read.parquet(out_path).collect()}
     assert "zzz-gibberish" not in ids
     assert len(ids) > 0
+
+
+def test_stream_pipeline_fix_encoding(spark, tmp_path):
+    """Streaming hygiene parity: mojibake in a span is repaired in the
+    sink output (the same projection as the batch fix_encoding)."""
+    from html_to_document_spark.streaming.stateful import run_stream_pipeline
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    moji = "café résumé".encode("utf-8").decode("cp1252")
+    corpus = generate_corpus(spark, 10, seed=37, giant_frac=0.0)
+    corpus = corpus.withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(
+                    s["kind"] == "text",
+                    F.concat(s["text"], F.lit(" " + moji)),
+                ).otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    )
+    corpus.write.parquet(in_path)
+    run_stream_pipeline(spark, in_path, out_path, ckpt,
+                        min_quality=0.0, fix_encoding=True)
+    texts = [r.text for r in spark.read.parquet(out_path).collect()]
+    assert texts
+    assert any("café résumé" in t for t in texts)
+    assert all("Ã©" not in t for t in texts)
