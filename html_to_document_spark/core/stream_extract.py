@@ -48,6 +48,8 @@ one-slot pending action per open frame suffices.
 
 from __future__ import annotations
 
+from html import unescape as _unescape
+
 from html_to_document_spark.core import css as _css
 from html_to_document_spark.core.dom import (
     RAWTEXT_ELEMENTS,
@@ -428,6 +430,7 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
 
     # ------------------------------------------------------------------
     def wtext(token: str) -> None:
+        nonlocal link_chars
         if rt_tag is not None:
             rt_parts.append(token)
             return
@@ -437,23 +440,43 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
             if top[3]:  # deferred pagebreak from a page sibling
                 top[3] = False
                 emit(PAGEBREAK, None, None)
-            add_text(_decode(token))
+            # add_text(_decode(token)) inlined (hot path): minify
+            # delivery guarantees token is non-empty here, but the
+            # unescape can't produce '' from non-empty input either,
+            # so the emptiness guard reduces to truthiness of token
+            text = _unescape(token) if "&" in token else token
+            if text:
+                chunk.append(text)
+                if a_depth > 0:
+                    link_chars += len(text)
         elif mode == M_PARA or mode == M_INLINE:
-            add_text(_decode(token))
+            text = _unescape(token) if "&" in token else token
+            if text:
+                chunk.append(text)
+                if a_depth > 0:
+                    link_chars += len(text)
         elif mode == M_LI:
             if top[9]:  # pending trailing '\n' of an inlined <p>
                 top[9] = False
                 add_text("\n")
             top[7] += 1
             top[8] = False
-            add_text(_decode(token))
+            text = _unescape(token) if "&" in token else token
+            if text:
+                chunk.append(text)
+                if a_depth > 0:
+                    link_chars += len(text)
         elif mode == M_INLINED_P:
             if top[2]:  # break-before fires on first child of any kind
                 top[2] = False
                 add_text("\n")
-            add_text(_decode(token))
+            text = _unescape(token) if "&" in token else token
+            if text:
+                chunk.append(text)
+                if a_depth > 0:
+                    link_chars += len(text)
         elif mode == M_CELL or mode == M_FLAT or mode == M_CAPTION:
-            top[2].append(_decode(token))
+            top[2].append(_unescape(token) if "&" in token else token)
         # M_LIST / M_TABLE / M_TSECTION / M_TR / M_SUPPRESS: ignored
 
     def wclose(tag: str) -> None:
@@ -467,6 +490,14 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
                     rt_parts.append(f"</{tag}>")
             else:
                 rt_parts.append(f"</{tag}>")
+            return
+        if open_tags[-1] == tag:
+            # well-formed fast path: the close matches the top of the
+            # stack (the overwhelmingly common case) — equivalent to
+            # the general loop below running exactly one iteration,
+            # without the bottom-up `in` scan that traverses the whole
+            # stack precisely when the match is innermost
+            pop_close()
             return
         if tag in open_tags:
             while True:
@@ -850,15 +881,24 @@ def stream_document(
 
     wtext, wopen, wclose, wfinish = _make_walker(opts, sheet)
 
-    pre_mode = _PRE_SCAN_RE.search(html) is not None
-    if not pre_mode:
-        out_text, out_open, out_close = wtext, wopen, wclose
+    pm = _PRE_SCAN_RE.search(html) is not None
+    if not pm:
+        out_text = out_ptext = wtext
         finish_filter = None
+        buf = state = _flush_buf = None
     else:
         # streaming replica of minify_tokens' pre post-pass: buffer
-        # consecutive text tokens; on the next tag (or EOF) drop the
-        # buffered run iff it is all-whitespace AND tag-flanked on both
-        # sides; apply the leading/trailing edge trim at the ends.
+        # PRE-INTERIOR raw text tokens; on the next tag (or EOF) drop
+        # the buffered run iff it is all-whitespace AND tag-flanked on
+        # both sides; apply the leading/trailing edge trim at the ends.
+        # Scoped to pre interiors (r5-cont): only raw pre deliveries
+        # can be whitespace-only — every machine-processed delivery
+        # below is guarded by `t and not t.isspace()` — so buffering
+        # processed text was pure overhead (the post-pass is a no-op
+        # on it, same argument as minify_tokens' pre gate). Processed
+        # text goes direct via out_ptext, which still maintains the
+        # flank state and flushes any straddling buffered run (a run
+        # with text on its right flank is never dropped).
         # state: [last_was_tag, delivered_anything, buf_all_ws]
         buf: list[str] = []
         state = [False, False, True]
@@ -886,21 +926,49 @@ def stream_document(
                 state[2] = False
             buf.append(t)
 
-        def out_open(tag, raw, attrs, sc_dom, rawtext) -> None:
-            if buf:
-                _flush_buf(True)
-            state[0] = True
-            state[1] = True
-            wopen(tag, raw, attrs, sc_dom, rawtext)
+        # one-slot deferral for processed text: the overall trailing
+        # edge trim (minify_tokens' rstrip) must reach the LAST text
+        # token of the document even when it was machine-processed
+        # (fuzz-caught: a mid-doc pending resolved by a text sibling
+        # keeps its trailing space, and root-ignored closes after it
+        # deliver nothing), so a processed delivery is held until the
+        # next delivery of any kind. pend and buf are mutually
+        # exclusive: buf fills only inside pre frames (entering one
+        # flushes pend at the <pre> open) and out_ptext flushes buf.
+        pend: list = [None]
 
-        def out_close(tag: str) -> None:
-            if buf:
-                _flush_buf(True)
-            state[0] = True
+        def _deliver_pend() -> None:
+            t = pend[0]
+            pend[0] = None
+            if not state[1]:
+                # document-leading edge trim (minify_tokens' overall
+                # lstrip): fires when NOTHING was delivered yet — the
+                # machine's root first-child lstrip misses text whose
+                # first-child flag was consumed by a dropped unmatched
+                # close (fuzz-caught), exactly like the buffered run's
+                # leading trim in _flush_buf
+                t = t.lstrip()
+                if not t:
+                    return
+            state[0] = False
             state[1] = True
-            wclose(tag)
+            wtext(t)
+
+        def out_ptext(t: str) -> None:
+            if pend[0] is not None:
+                _deliver_pend()
+            if buf:
+                _flush_buf(False)
+            pend[0] = t
 
         def finish_filter() -> None:
+            if pend[0] is not None:
+                # overall trailing trim on a deferred processed token;
+                # processed text is never whitespace-only (guarded at
+                # every call site), so the rstrip always leaves residue
+                # and no cascade into earlier tokens is possible
+                pend[0] = pend[0].rstrip()
+                _deliver_pend()
             # trailing edge trim: rstrip, drop now-empty from the end
             while buf:
                 buf[-1] = buf[-1].rstrip()
@@ -928,7 +996,7 @@ def stream_document(
                 # between them): emit the earlier one as-is
                 f[5] = None
                 if tp and not tp.isspace():
-                    out_text(tp)
+                    out_ptext(tp)
             t = _collapse(token)
             if f[4]:  # previous sibling was a block tag
                 t = t.lstrip()
@@ -950,8 +1018,15 @@ def stream_document(
                     if f[2]:
                         t = t.rstrip()
                     if t and not t.isspace():
-                        out_text(t)
-                out_close(f[0])
+                        out_ptext(t)
+                if pm:
+                    if pend[0] is not None:
+                        _deliver_pend()
+                    if buf:
+                        _flush_buf(True)
+                    state[0] = True
+                    state[1] = True
+                wclose(f[0])
                 frames.pop()
                 f = frames[-1]
             continue
@@ -963,8 +1038,15 @@ def stream_document(
             if tag in _BLOCK_TAGS and t and t[-1].isspace():
                 t = t.rstrip() + " "
             if t and not t.isspace():
-                out_text(t)
-        out_open(tag, token, attrs, sc_dom, rawtext)
+                out_ptext(t)
+        if pm:
+            if pend[0] is not None:
+                _deliver_pend()
+            if buf:
+                _flush_buf(True)
+            state[0] = True
+            state[1] = True
+        wopen(tag, token, attrs, sc_dom, rawtext)
         f[3] = False
         f[4] = tag in _BLOCK_TAGS
         if not sc_min:
@@ -980,8 +1062,15 @@ def stream_document(
             if f[2]:
                 t = t.rstrip()
             if t and not t.isspace():
-                out_text(t)
-        out_close(f[0])
+                out_ptext(t)
+        if pm:
+            if pend[0] is not None:
+                _deliver_pend()
+            if buf:
+                _flush_buf(True)
+            state[0] = True
+            state[1] = True
+        wclose(f[0])
         frames.pop()
     root = frames[0]
     t = root[5]
@@ -990,7 +1079,7 @@ def stream_document(
         if root[2]:
             t = t.rstrip()
         if t and not t.isspace():
-            out_text(t)
+            out_ptext(t)
 
     if finish_filter is not None:
         finish_filter()

@@ -116,6 +116,18 @@ CASES = [
     "<section class='page'>a</section><script>x</script>",
     "<ul><li><section class='page'>pg</section></li></ul>",
     "<section id=plain>not a page</section>",
+    # scoped pre-buffer edge trims (r5-cont fuzz): the overall leading
+    # lstrip must reach processed text whose first-child flag was
+    # consumed by a dropped unmatched close, and the overall trailing
+    # rstrip must reach a processed token resolved mid-doc by a text
+    # sibling when only root-ignored closes follow it
+    "\t</custom-tag>\nz\n<pre> \nz\n<tr><b>\t",
+    "</li>\t</nav></tbody></tr> y <colgroup>"
+    "<section class='page'></table><pre>",
+    "<pre> </em></div></tr></thead>a b</thead> y \t</div>  </script>",
+    "<pre></pre>a ",
+    "a </div>  ",
+    "<pre>a ",
     # drops, hidden, rawtext
     "<p>keep</p><script>var x = '<div>not a div</div>';</script><p>more</p>",
     "<nav><a href=/>home</a></nav>content",
