@@ -607,6 +607,18 @@ def write_baseline_md(r8: dict, r32: dict, eff: float, queries: dict,
             + " |",
             "",
         ]
+        frac = min(membw[k] / REF_MEMBW[k] for k in membw
+                   if k in REF_MEMBW and k >= 2)
+        if frac < 0.9:
+            lines += [
+                f"Box-state context for THIS run: the probe ladder "
+                f"reads {frac:.0%} of the best recorded ladder "
+                "(REF_MEMBW) at its weakest point — every wall-clock "
+                "number in this file scales with that window quality; "
+                "cross-round comparisons must normalize by it (or by "
+                "the pure-JVM leg below).",
+                "",
+            ]
         if 8 in membw and 16 in membw and 32 in membw:
             bw_8_16 = membw[16] / membw[8] / 2
             bw_16_32 = membw[32] / membw[16] / 2
