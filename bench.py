@@ -337,12 +337,42 @@ def probe_quick(points=(2, 8)) -> dict:
 RECORD_PATH = os.path.join(REPO, "BENCH", "scaling_record.json")
 
 
+def _code_fingerprint() -> str:
+    """Short hash of the code the low-pair measurement exercises (the
+    extraction core + the operator + the leg sizing). A recorded batch
+    is only evidence FOR THE CODE THAT RAN IT — without this scoping a
+    stale entry from an earlier round/version would win the max and be
+    reported as the current code's standing number (review r5-cont)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    core = os.path.join(REPO, "html_to_document_spark", "core")
+    paths = sorted(
+        os.path.join(core, f) for f in os.listdir(core)
+        if f.endswith(".py")
+    ) + [os.path.join(REPO, "html_to_document_spark", "operators",
+                      "extract_spans.py")]
+    for p in paths:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    h.update(f"{LOW_PAIR_DOCS}:{N_DOCS}".encode())
+    return h.hexdigest()[:16]
+
+
 def load_scaling_record() -> list[dict]:
     try:
         with open(RECORD_PATH) as f:
             rec = json.load(f)
         return rec if isinstance(rec, list) else []
-    except (OSError, ValueError):
+    except OSError:
+        return []
+    except ValueError:
+        # corrupt file: preserve it for forensics instead of letting
+        # the next append silently rewrite the audit trail from []
+        try:
+            os.replace(RECORD_PATH, RECORD_PATH + ".corrupt")
+        except OSError:
+            pass
         return []
 
 
@@ -350,16 +380,40 @@ def append_scaling_record(entry: dict) -> None:
     rec = load_scaling_record()
     rec.append(entry)
     os.makedirs(os.path.dirname(RECORD_PATH), exist_ok=True)
-    with open(RECORD_PATH, "w") as f:
+    tmp = RECORD_PATH + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(rec, f, indent=1)
         f.write("\n")
+    os.replace(tmp, RECORD_PATH)  # atomic: a crash never truncates
+
+
+def make_scaling_entry(runner: str, probe: dict, batch: tuple) -> dict:
+    """One canonical record shape for every probe-gated clean batch
+    (main attempts and --low-pair-only share it, so the renderer and
+    best_recorded_clean see identical fields from either path)."""
+    return {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "runner": runner,
+        "docs": min(LOW_PAIR_DOCS, N_DOCS),
+        "code": _code_fingerprint(),
+        "probe": {k: probe[k] for k in
+                  ("gbps", "pair_effs", "sane", "strong", "clean")},
+        "rounds": batch[4],
+        "eff_median": round(batch[2], 3),
+        "eff_range": [round(batch[3][0], 3), round(batch[3][1], 3)],
+    }
 
 
 def best_recorded_clean() -> dict | None:
     """Best clean-window batch median across every probe-gated run
-    this round (bench.py main attempts and --low-pair-only runs)."""
+    this round (bench.py main attempts and --low-pair-only runs).
+    Entries stamped with a code fingerprint only count when it matches
+    the CURRENT code; legacy entries without one are accepted (they
+    predate the stamp within this round)."""
+    fp = _code_fingerprint()
     rec = [e for e in load_scaling_record()
-           if e.get("probe", {}).get("clean") and "eff_median" in e]
+           if e.get("probe", {}).get("clean") and "eff_median" in e
+           and e.get("code") in (None, fp)]
     if not rec:
         return None
     return max(rec, key=lambda e: e["eff_median"])
@@ -446,15 +500,8 @@ def run_low_pair_only() -> None:
             out["eff_range"] = [round(batch[3][0], 3),
                                 round(batch[3][1], 3)]
             out["rounds"] = batch[4]
-            append_scaling_record({
-                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-                "runner": "bench.py --low-pair-only",
-                "docs": min(LOW_PAIR_DOCS, N_DOCS),
-                "probe": out["probe"],
-                "rounds": batch[4],
-                "eff_median": out["eff_median"],
-                "eff_range": out["eff_range"],
-            })
+            append_scaling_record(make_scaling_entry(
+                "bench.py --low-pair-only", probe, batch))
     best = best_recorded_clean()
     if best:
         out["best_recorded"] = {"eff_median": best["eff_median"],
@@ -607,8 +654,9 @@ def write_baseline_md(r8: dict, r32: dict, eff: float, queries: dict,
             + " |",
             "",
         ]
-        frac = min(membw[k] / REF_MEMBW[k] for k in membw
-                   if k in REF_MEMBW and k >= 2)
+        fracs = [membw[k] / REF_MEMBW[k] for k in membw
+                 if k in REF_MEMBW and k >= 2]
+        frac = min(fracs) if fracs else 1.0
         if frac < 0.9:
             lines += [
                 f"Box-state context for THIS run: the probe ladder "
@@ -687,10 +735,13 @@ def write_baseline_md(r8: dict, r32: dict, eff: float, queries: dict,
                 )
             lines += [
                 "",
-                ("**No clean window occurred in this session; the "
-                 "headline 2->8 number comes from an UNGATED batch "
-                 "and the probe rows above are the evidence of the "
-                 "degraded box.**" if no_clean_window else
+                (("**No gated 2->8 number was recorded this run ("
+                  + ("every clean window's batch went dirty mid-run"
+                     if clean_windows_seen else
+                     "no window probed clean")
+                  + "); the headline number comes from an UNGATED "
+                  "batch and the probe rows above are the evidence.**")
+                 if no_clean_window else
                  f"The headline 2->8 number is the best clean-window "
                  f"median above — target >= 0.8 "
                  + ("MET" if eff_low >= 0.8 else
@@ -858,17 +909,8 @@ def main() -> None:
                 att["eff_range"] = [round(batch[3][0], 3),
                                     round(batch[3][1], 3)]
                 att["rounds"] = batch[4]
-                append_scaling_record({
-                    "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-                    "runner": "bench.py main",
-                    "docs": min(LOW_PAIR_DOCS, N_DOCS),
-                    "probe": {k: probe[k] for k in
-                              ("gbps", "pair_effs", "sane", "strong",
-                               "clean")},
-                    "rounds": batch[4],
-                    "eff_median": att["eff_median"],
-                    "eff_range": att["eff_range"],
-                })
+                append_scaling_record(make_scaling_entry(
+                    "bench.py main", probe, batch))
                 if best_clean is None or batch[2] > best_clean[2]:
                     best_clean = batch
         attempts.append(att)
@@ -876,13 +918,16 @@ def main() -> None:
             break
         if try_i + 1 < WINDOW_TRIES:
             time.sleep(WINDOW_SLEEP)
+    clean_windows_seen = sum(1 for a in attempts if a["probe"]["clean"])
     if best_clean is not None:
         r2l, r8l, eff_low, eff_low_range = best_clean[:4]
         no_clean_window = False
     else:
-        # no clean window occurred in this session: the probe evidence
-        # above IS the record; run ONE unprobed batch so the artifact
-        # still carries a (flagged) number
+        # no gated number was recorded — either no window probed clean,
+        # or every clean window's batch went dirty mid-run (the
+        # distinction ships in the artifact: clean_windows_seen). The
+        # probe evidence above IS the record; run ONE unprobed batch so
+        # the artifact still carries a (flagged) number
         r2l, r8l, eff_low, eff_low_range, _ = gated_batch(
             need=3, cap=3, bracket=False)
         no_clean_window = True
@@ -939,6 +984,7 @@ def main() -> None:
             # each attempt records its probe (gbps, pair sanity,
             # strength vs REF_MEMBW) so a dirty session is evidenced
             "low_pair_no_clean_window": no_clean_window,
+            "low_pair_clean_windows_seen": clean_windows_seen,
             "low_pair_window_attempts": attempts,
             # best clean-window batch median recorded THIS ROUND across
             # every probe-gated run (bench.py attempts above plus any

@@ -470,11 +470,7 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
             if top[2]:  # break-before fires on first child of any kind
                 top[2] = False
                 add_text("\n")
-            text = _unescape(token) if "&" in token else token
-            if text:
-                chunk.append(text)
-                if a_depth > 0:
-                    link_chars += len(text)
+            add_text(_decode(token))  # cold branch: keep the call form
         elif mode == M_CELL or mode == M_FLAT or mode == M_CAPTION:
             top[2].append(_unescape(token) if "&" in token else token)
         # M_LIST / M_TABLE / M_TSECTION / M_TR / M_SUPPRESS: ignored
