@@ -680,16 +680,24 @@ def q_dedup_clusters(spark, sf_dir):
     pair lies in [0.85, 0.9), so nothing sits close enough to the
     verify cut to flicker. Iterative
     algorithm, but the FIXPOINT is SQL-checkable even though the
-    rounds are not."""
+    rounds are not.
+
+    r5 continuation: the row also exercises quality-priority keeper
+    selection (quality = doc_id % 7, deterministic and SQL-
+    recomputable) — the representative is the component member with
+    the highest quality, ties to the smallest id, checked by the
+    oracle's window recomputation over the same component partition."""
     df = _docs_with_planted_dups(spark, sf_dir)
     # limit corpus for bounded per-round iteration cost in the gate
     df = df.filter((F.col("doc_id") % 10_000_000) < 200)
+    df = df.withColumn("q", (F.col("doc_id") % 7).cast("double"))
     return D.dedup_clusters(
         df,
         threshold=0.5,
         cc_algorithm="star",
         exact_verify_threshold=0.9,
         verify_shingle_n=3,
+        quality_col="q",
     )
 
 
@@ -2350,9 +2358,15 @@ def oracle_sql() -> dict[str, str]:
             "  select doc_id, doc_id from uc"
             "  union"
             "  select e.dst, reach.r from reach join e on e.src = reach.id"
-            ") select id as doc_id, min(r) as component, "
-            "(id = min(r)) as is_representative "
-            "from reach group by id"
+            "), lab as ("
+            "  select id as doc_id, min(r) as component from reach"
+            "  group by id"
+            ") select doc_id, component, keeper_id, "
+            "(doc_id = keeper_id) as is_representative from ("
+            "  select doc_id, component, "
+            "  first_value(doc_id) over (partition by component "
+            "  order by (doc_id % 7) desc, doc_id asc) as keeper_id "
+            "  from lab)"
         ),
         "dedup_exact_normalized": (
             "with unioned as ("

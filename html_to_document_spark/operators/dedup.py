@@ -787,6 +787,7 @@ def dedup_clusters(
     cc_algorithm: str = "label",
     exact_verify_threshold: float | None = None,
     verify_shingle_n: int | None = None,
+    quality_col: str | None = None,
     **lsh_kwargs,
 ) -> "DataFrame":
     """End-to-end near-dup clustering: MinHash-LSH pairs -> connected
@@ -803,6 +804,17 @@ def dedup_clusters(
     the edge set becomes exact, so the component partition is ground
     truth, not estimate. The verify joins texts onto the surfaced
     pair set only (never corpus x corpus), so the 100 TB shape is
+    unchanged.
+
+    ``quality_col`` switches keeper selection from min-id to
+    quality-priority (the FineWeb/Dolma pattern: keep the BEST member
+    of a near-dup cluster, not the lowest id): the representative is
+    the component member maximizing the (numeric) quality value,
+    ties broken by smallest id so selection stays deterministic, and
+    the output gains a ``keeper_id`` column. NULL quality sorts below
+    every real score. Cost is one extra aggregation + join on the
+    component key — the same key space the partition already shuffles
+    on, and one row per component thereafter, so the 100 TB shape is
     unchanged."""
     from pyspark.sql import functions as F
 
@@ -827,6 +839,40 @@ def dedup_clusters(
             F.coalesce("component", F.col("id")).alias("component"),
         )
     )
-    return out.withColumn(
-        "is_representative", (F.col(id_col) == F.col("component"))
+    if quality_col is None:
+        return out.withColumn(
+            "is_representative", (F.col(id_col) == F.col("component"))
+        )
+
+    # quality-priority keeper: min over (-quality, id) = max quality,
+    # ties to the smallest id — one struct-min per component (map-side
+    # combinable), then a one-row-per-component join back. NULL
+    # quality coalesces to -inf so a scored member always wins.
+    scored = out.join(
+        df.select(
+            F.col(id_col).alias("_qid"),
+            F.coalesce(
+                F.col(quality_col).cast("double"),
+                F.lit(float("-inf")),
+            ).alias("_q"),
+        ),
+        out[id_col] == F.col("_qid"),
+    ).drop("_qid")
+    keepers = scored.groupBy("component").agg(
+        F.min(
+            F.struct(
+                (-F.col("_q")).alias("nq"), F.col(id_col).alias("kid")
+            )
+        )["kid"].alias("keeper_id")
+    )
+    return (
+        scored.join(keepers, "component")
+        .select(
+            id_col,
+            "component",
+            "keeper_id",
+            (F.col(id_col) == F.col("keeper_id")).alias(
+                "is_representative"
+            ),
+        )
     )

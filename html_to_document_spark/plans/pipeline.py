@@ -96,6 +96,7 @@ def build_training_pipeline(
     min_quality: float = 0.3,
     near_dup_threshold: float = 0.85,
     near_dup_mode: str = "pairs",
+    near_dup_keep: str = "min_id",
     materialize: Union[str, Callable] = "persist",
     cache_registry: list | None = None,
     pii_scrub: bool = False,
@@ -165,7 +166,20 @@ def build_training_pipeline(
     perplexity and n-gram dedup all see the REPAIRED text, so a
     mojibaked crawl segment is scored like its clean twin instead of
     being dropped (or worse, kept as a near-dup-invisible variant).
-    Span payloads are left untouched, like ``pii_scrub``."""
+    Span payloads are left untouched, like ``pii_scrub``.
+
+    ``near_dup_keep``: "min_id" (default, historical) or "quality" —
+    which member of a near-dup pair/cluster survives. "quality" keeps
+    the highest-quality member (the already-computed ``quality``
+    score; ties to the smallest id), the FineWeb/Dolma pattern: when
+    a crawl carries both a clean page and its ad-injected mirror, the
+    clean one should be the survivor, not whichever id sorts lower.
+    In pairs/simhash mode each pair drops its strictly-lower
+    (quality, id) endpoint — that ordering is total, so a component's
+    maximum member never loses and at least one member always
+    survives, the same guarantee min_id gives. Costs one extra join
+    against the (already-shuffled) pair/component frame; the corpus
+    itself is still touched only by the final anti-join."""
     from pyspark.sql import functions as F
 
     spans = extract_spans_balanced(
@@ -280,6 +294,35 @@ def build_training_pipeline(
             contaminated.select("doc_id"), "doc_id", "left_anti"
         )
 
+    if near_dup_keep not in ("min_id", "quality"):
+        raise ValueError(f"unknown near_dup_keep: {near_dup_keep!r}")
+
+    def pair_losers(near):
+        """One loser per surfaced pair: the higher id (min_id) or the
+        strictly-lower (quality, id) endpoint (quality — the pair
+        frame is joined against the tiny (doc_id, quality) projection,
+        never re-shuffling the corpus)."""
+        if near_dup_keep == "min_id":
+            return near.select(F.col("id_b").alias("doc_id")).distinct()
+        qual = corpus.select(
+            F.col("doc_id").alias("_qd"),
+            F.coalesce(F.col("quality"), F.lit(float("-inf"))).alias("_q"),
+        )
+        scored = (
+            near.select("id_a", "id_b")
+            .join(qual, F.col("id_a") == F.col("_qd"))
+            .withColumnRenamed("_q", "_qa").drop("_qd")
+            .join(qual, F.col("id_b") == F.col("_qd"))
+            .withColumnRenamed("_q", "_qb").drop("_qd")
+        )
+        keep_a = (F.col("_qa") > F.col("_qb")) | (
+            (F.col("_qa") == F.col("_qb")) & (F.col("id_a") < F.col("id_b"))
+        )
+        return scored.select(
+            F.when(keep_a, F.col("id_b")).otherwise(F.col("id_a"))
+            .alias("doc_id")
+        ).distinct()
+
     if near_dup_mode == "simhash":
         # cheapest candidate generator: 64-bit sketch + 16-bit chunk
         # pigeonhole join (Hamming <= 3); coarser than MinHash-LSH but
@@ -287,8 +330,7 @@ def build_training_pipeline(
         # duplicates (boilerplate variants, tracking-param mirrors)
         from html_to_document_spark.operators.dedup import simhash_near_pairs
 
-        near = simhash_near_pairs(corpus)
-        losers = near.select(F.col("id_b").alias("doc_id")).distinct()
+        losers = pair_losers(simhash_near_pairs(corpus))
         corpus = corpus.join(losers, "doc_id", "left_anti")
         return corpus.select(
             "doc_id", "text", "lang_pred", "quality",
@@ -299,19 +341,43 @@ def build_training_pipeline(
         corpus, threshold=near_dup_threshold, sig_cache=cache_registry
     )
     if near_dup_mode == "clusters":
-        # transitively-closed removal: keep only each connected
-        # component's min-id representative (a~b, b~c also drops c even
-        # when (a,c) never surfaced as a pair); costs O(diameter)
-        # iterative rounds over the (small) pair graph
+        # transitively-closed removal: keep only one representative per
+        # connected component (a~b, b~c also drops c even when (a,c)
+        # never surfaced as a pair); costs O(diameter) iterative rounds
+        # over the (small) pair graph. min_id keeps the label node;
+        # quality keeps the max-quality member (ties to smallest id)
+        # via one struct-min per component on the component frame.
         comp = connected_components(near)
-        losers = comp.filter(F.col("id") != F.col("component")).select(
-            F.col("id").alias("doc_id")
-        )
+        if near_dup_keep == "quality":
+            scored = comp.join(
+                corpus.select(
+                    F.col("doc_id").alias("id"),
+                    F.coalesce(F.col("quality"), F.lit(float("-inf")))
+                    .alias("_q"),
+                ),
+                "id",
+            )
+            keepers = scored.groupBy("component").agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_q")).alias("nq"), F.col("id").alias("kid")
+                    )
+                )["kid"].alias("_keeper")
+            )
+            losers = (
+                scored.join(keepers, "component")
+                .filter(F.col("id") != F.col("_keeper"))
+                .select(F.col("id").alias("doc_id"))
+            )
+        else:
+            losers = comp.filter(F.col("id") != F.col("component")).select(
+                F.col("id").alias("doc_id")
+            )
     elif near_dup_mode == "pairs":
-        # drop the higher id of every surfaced pair (single anti-join,
+        # drop one endpoint of every surfaced pair (single anti-join,
         # no iteration; may keep both endpoints of an unsurfaced
         # transitive pair)
-        losers = near.select(F.col("id_b").alias("doc_id")).distinct()
+        losers = pair_losers(near)
     else:
         raise ValueError(f"unknown near_dup_mode: {near_dup_mode!r}")
     corpus = corpus.join(losers, "doc_id", "left_anti")

@@ -381,3 +381,43 @@ def test_dedup_clusters_exact_verify_fixes_precision(spark):
     loose = {r.doc_id: r.component for r in dedup_clusters(
         df, threshold=0.3, cc_algorithm="star").collect()}
     assert loose[3] == 1
+
+
+def test_dedup_clusters_quality_keeper(spark):
+    """r5: quality_col switches keeper selection from min-id to
+    max-quality (FineWeb-style "keep the best member"): ties break to
+    the smallest id, NULL quality loses to any scored member, the
+    component labels themselves are unchanged, and a singleton keeps
+    itself even with NULL quality."""
+    from html_to_document_spark.operators.dedup import dedup_clusters
+
+    def text(i):
+        return f"totally unique document number {i} " * 5 + f"tail {i}"
+
+    rows = []
+    for i, qs in [(0, {0: 1.0, 100: 9.0, 200: 3.0}),   # max wins
+                  (1, {1: 5.0, 101: 5.0, 201: 5.0}),   # tie -> min id
+                  (2, {2: None, 102: 2.0, 202: 2.0})]:  # NULL loses
+        for did, q in qs.items():
+            rows.append((did, text(i), q))
+    rows += [(3, text(3), 0.0), (4, text(4), None)]     # singletons
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, text string, quality double"
+    )
+
+    out = {r.doc_id: r for r in dedup_clusters(
+        corpus, threshold=0.9, quality_col="quality"
+    ).collect()}
+    assert len(out) == len(rows)
+    # component labels stay min-id; keepers follow quality
+    for did in (0, 100, 200):
+        assert out[did].component == 0 and out[did].keeper_id == 100
+    for did in (1, 101, 201):
+        assert out[did].component == 1 and out[did].keeper_id == 1
+    for did in (2, 102, 202):
+        assert out[did].component == 2 and out[did].keeper_id == 102
+    for did in (3, 4):
+        assert out[did].component == did and out[did].keeper_id == did
+        assert out[did].is_representative
+    reps = {d for d, r in out.items() if r.is_representative}
+    assert reps == {100, 1, 102, 3, 4}

@@ -249,3 +249,37 @@ def test_pipeline_fix_encoding_repairs_before_scoring(spark):
     joined = " ".join(r.text for r in out)
     assert "café crust" in joined
     assert "Ã©" not in joined
+
+
+def test_pipeline_quality_keeper(spark):
+    """near_dup_keep='quality': the survivor of a near-dup pair is the
+    higher-QUALITY member, not the lower id. Planted pair: the junky
+    variant (pure-punctuation tokens appended -> lower punct-ratio
+    term, same shingle core -> jaccard ~0.93) gets the SMALLER id, so
+    min_id and quality modes provably disagree. Covers the pairs and
+    clusters paths (simhash shares the pairs helper)."""
+    stop = ("the and for that with this from they have was were been "
+            "will would there what when your which their").split()
+    words = []
+    for i, s in enumerate(stop * 2):
+        words += [s, f"w{i}"]
+    base = " ".join(words)                     # 80 words, half stopwords
+    junk = " !!! ??? ;;; %%% $$$ ###"          # punct-only tokens
+    docs = spark.createDataFrame(
+        [("a-junky", [("text", f"<p>{base}{junk}</p>", None, 0)]),
+         ("b-clean", [("text", f"<p>{base}</p>", None, 0)])],
+        "doc_id string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+    def run(**kw):
+        return {r.doc_id for r in build_training_pipeline(
+            docs, num_partitions=2, min_quality=0.0,
+            near_dup_threshold=0.85, **kw,
+        ).collect()}
+
+    assert run(near_dup_mode="pairs") == {"a-junky"}
+    assert run(near_dup_mode="pairs",
+               near_dup_keep="quality") == {"b-clean"}
+    assert run(near_dup_mode="clusters",
+               near_dup_keep="quality") == {"b-clean"}
