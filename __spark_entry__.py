@@ -578,6 +578,7 @@ def q_url_filter_blocked(spark, sf_dir):
     50-row gate (r4): its kept set is exactly the keeper_id column of
     dedup_exact_groups, so it gated nothing new."""
     from html_to_document_spark.operators.url_filter import (
+        domain_share_flags,
         flag_blocked_domains,
     )
 
@@ -599,7 +600,20 @@ def q_url_filter_blocked(spark, sf_dir):
     )
     docs = d.select("doc_id", url.alias("url"))
     bl = spark.createDataFrame([("BlockedSite.com",)], "domain string")
-    return flag_blocked_domains(docs, bl).select("doc_id", "blocked")
+    flagged = flag_blocked_domains(docs, bl)
+    # r5 continuation: the row also gates per-domain share capping
+    # (domain_share_flags, min_id selector — the SQL-exact arm): at
+    # max_docs=60 the four k<4 host families (~100 docs each at
+    # sf0.01) are over cap and keep their 60 smallest ids, the k=4
+    # ok-hosts (~50 each) stay under. Oracle = row_number over the
+    # construction's known host per row (rn <= cap is also vacuously
+    # true for every row of an under-cap host, so one window covers
+    # both arms).
+    capped = domain_share_flags(flagged, max_docs=60, selector="min_id")
+    return capped.select(
+        "doc_id", "blocked",
+        F.col("keep_domain_capped").alias("keep_capped"),
+    )
 
 
 def q_gopher_repetition(spark, sf_dir):
@@ -1203,16 +1217,38 @@ def q_paragraph_dedup(spark, sf_dir):
     """Corpus-wide exact PARAGRAPH dedup accounting (web corpora repeat
     boilerplate paragraphs across distinct pages; doc-level dedup
     misses them). Paragraph structure fabricated deterministically
-    (word boundaries -> '. ') since the synthetic text is one line."""
+    (word boundaries -> '. ') since the synthetic text is one line.
+
+    r5 continuation: the row also gates the REWRITE companion
+    (remove_repeated_paragraphs) in both modes — keep_first (CCNet/C4
+    rewrite: clean_text + n_removed_first) and drop_hot (boilerplate
+    stop-list at max_occurrences=3: stoplist_text + n_removed_hot) —
+    the oracle recomputes both from the same window/count CTE via
+    ordered string_agg."""
     from html_to_document_spark.operators.corpus_hygiene import (
         paragraph_dedup_stats,
+        remove_repeated_paragraphs,
     )
 
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.regexp_replace(F.col("text"), " ", ". ").alias("text"),
     )
-    return paragraph_dedup_stats(docs)
+    first = remove_repeated_paragraphs(docs).select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        F.col("n_paras_removed").cast("long").alias("n_removed_first"),
+    )
+    hot = remove_repeated_paragraphs(
+        docs, mode="drop_hot", max_occurrences=3
+    ).select(
+        "doc_id",
+        F.col("text").alias("stoplist_text"),
+        F.col("n_paras_removed").cast("long").alias("n_removed_hot"),
+    )
+    return (
+        paragraph_dedup_stats(docs).join(first, "doc_id").join(hot, "doc_id")
+    )
 
 
 def q_decontaminate(spark, sf_dir):
@@ -2059,8 +2095,19 @@ def oracle_sql() -> dict[str, str]:
             # ground truth of the URL construction: k in (0,1) hits
             # blockedsite.com exactly or as a subdomain; k=2 is a
             # lookalike suffix host, k=3 a lookalike prefix, k=4 clean
-            "select doc_id, doc_id % 5 in (0, 1) as blocked "
-            "from documents"
+            "with h as ("
+            "  select doc_id, doc_id % 5 in (0, 1) as blocked, "
+            "    case doc_id % 5 "
+            "      when 0 then 'www.blockedsite.com' "
+            "      when 1 then 'blockedsite.com' "
+            "      when 2 then 'blockedsite.com.evil.net' "
+            "      when 3 then 'notblockedsite.com' "
+            "      else 'ok' || cast(doc_id % 10 as varchar) "
+            "        || '.example.org' end as host "
+            "  from documents"
+            ") select doc_id, blocked, "
+            "row_number() over (partition by host order by doc_id) <= 60 "
+            "  as keep_capped from h"
         ),
         "gopher_repetition": (
             "with v as ("
@@ -2390,14 +2437,23 @@ def oracle_sql() -> dict[str, str]:
             "      unnest(range(1, len(l) + 1)) as ord from s"
             "  ) where para <> ''"
             "), r as ("
-            "  select doc_id, "
+            "  select doc_id, para, ord, "
             "    row_number() over (partition by para order by doc_id, ord)"
-            "      as rn from p"
+            "      as rn, "
+            "    count(*) over (partition by para) as cnt from p"
             ") select doc_id, count(*) as n_paras, "
             "cast(sum(case when rn = 1 then 1 else 0 end) as bigint) "
             "  as n_unique_first, "
             "cast(sum(case when rn > 1 then 1 else 0 end) as bigint) "
-            "  as n_dupes "
+            "  as n_dupes, "
+            "coalesce(string_agg(case when rn = 1 then para end, '. ' "
+            "  order by ord), '') as clean_text, "
+            "cast(sum(case when rn > 1 then 1 else 0 end) as bigint) "
+            "  as n_removed_first, "
+            "coalesce(string_agg(case when cnt <= 3 then para end, '. ' "
+            "  order by ord), '') as stoplist_text, "
+            "cast(sum(case when cnt > 3 then 1 else 0 end) as bigint) "
+            "  as n_removed_hot "
             "from r group by doc_id"
         ),
         "decontaminate_modes": (

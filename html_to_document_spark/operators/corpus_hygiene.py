@@ -310,3 +310,99 @@ def fix_mojibake(
         F.col("_fixed").alias(text_col),
         (F.col("_fixed") != F.col(text_col)).alias("was_mojibake"),
     )
+
+
+def remove_repeated_paragraphs(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "keep_first",
+    max_occurrences: int = 3,
+    sep: str = PARA_SEP,
+) -> "DataFrame":
+    """Corpus-level repeated-paragraph REMOVAL — the rewrite companion
+    to :func:`paragraph_dedup_stats` (which only counts). Two policies
+    from the published curation canon:
+
+    - ``mode="keep_first"`` (CCNet paragraph dedup; C4's span dedup at
+      paragraph granularity, Raffel et al. 2020 §2.2): every paragraph
+      keeps its FIRST corpus occurrence (earliest (doc_id, position))
+      and later occurrences are deleted from their documents.
+    - ``mode="drop_hot"`` (RefinedWeb-style boilerplate stop-list):
+      paragraphs occurring more than ``max_occurrences`` times
+      corpus-wide are deleted from EVERY document — cookie banners and
+      nav boilerplate disappear entirely instead of surviving once.
+
+    Returns ``df`` with ``text_col`` rewritten (documents with no
+    removals keep their original text byte-for-byte; rewritten ones
+    rejoin surviving paragraphs with ``sep``) plus
+    ``n_paras_removed``. ``sep`` is a LITERAL paragraph boundary
+    (default :data:`PARA_SEP`; pass ``"\\n"`` for newline-joined
+    pipeline text), regex-escaped before the split.
+
+    100 TB shape: explode projects (id, pos, xxhash64(para)) — the
+    8-byte digest shuffles, the paragraph text never does. keep_first
+    is the stats operator's row_number window (same ultra-hot-
+    paragraph caveat: a window cannot be AQE-skew-split; profile and
+    stop-list such paragraphs first). drop_hot replaces the window
+    with a map-side-combinable count + an inner join back on the
+    digest — no window, so it IS skew-safe under AQE. The dropped
+    (id, pos) pairs aggregate to one short row per AFFECTED document
+    and join back id-keyed; untouched documents pay only that join's
+    probe, and the rebuild is a pure codegen array filter + join (no
+    Python)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if mode not in ("keep_first", "drop_hot"):
+        raise ValueError(f"unknown mode: {mode!r}")
+
+    import re as _re
+
+    def split_paras(col):
+        if sep == PARA_SEP:
+            return _paragraphs(col)
+        return F.filter(
+            F.split(F.col(col), _re.escape(sep)), lambda p: p != ""
+        )
+
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(split_paras(text_col)).alias("_pos", "para"),
+    ).select("_id", "_pos", F.xxhash64("para").alias("_ph"))
+
+    if mode == "keep_first":
+        w = Window.partitionBy("_ph").orderBy("_id", "_pos")
+        dropped = (
+            paras.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("_id", "_pos")
+        )
+    else:
+        hot = (
+            paras.groupBy("_ph")
+            .count()
+            .filter(F.col("count") > max_occurrences)
+            .select("_ph")
+        )
+        dropped = paras.join(hot, "_ph").select("_id", "_pos")
+
+    per_doc = dropped.groupBy("_id").agg(
+        F.collect_list("_pos").alias("_dropped")
+    )
+    kept = F.filter(
+        split_paras(text_col),
+        lambda p, i: ~F.array_contains(F.col("_dropped"), i),
+    )
+    out = df.join(per_doc, df[id_col] == per_doc["_id"], "left")
+    return out.select(
+        *[c for c in df.columns if c != text_col],
+        F.when(F.col("_dropped").isNull(), F.col(text_col))
+        .otherwise(F.array_join(kept, sep))
+        .alias(text_col),
+        # explicit when(): size(NULL) is -1 under the legacy default,
+        # so coalesce alone would never see a NULL to replace
+        F.when(F.col("_dropped").isNull(), F.lit(0))
+        .otherwise(F.size("_dropped"))
+        .alias("n_paras_removed"),
+    )

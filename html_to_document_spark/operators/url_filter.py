@@ -124,3 +124,123 @@ def flag_blocked_domains(
     return out.select(
         *df.columns, F.coalesce("_hit", F.lit(False)).alias("blocked")
     )
+
+
+MAX_HOT_DOMAINS = 1_000_000  # refuse a hot set too big to broadcast
+
+
+def domain_share_flags(
+    df: "DataFrame",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_docs: int = 10_000,
+    selector: str = "hash",
+    seed: int = 0,
+) -> "DataFrame":
+    """Per-domain share capping (the Dolma/RefinedWeb corpus-balance
+    rule: no single host may dominate the corpus): adds a boolean
+    ``keep_domain_capped`` — true for every document of a host with at
+    most ``max_docs`` documents, and for a selected subset of the rest.
+    Rows with a NULL/unparsable host are never capped (they are not a
+    domain). Filter on the flag to apply the cap.
+
+    ``selector`` picks the survivors of an over-cap host:
+
+    - ``"hash"`` (default, the 100 TB path): keep a document iff
+      ``pmod(xxhash64(id, seed), 2^20) < 2^20 * max_docs/host_count``
+      — a stateless seeded projection, unbiased and deterministic
+      under any partitioning. Survivor count is Binomial(n, cap/n),
+      i.e. ≈``max_docs`` not exactly; ZERO corpus shuffle: the only
+      exchange is the host-count partial agg (map-side combinable,
+      one short row per distinct host), and the over-cap hosts come
+      back as a broadcast (host, count) map bounded by
+      ``MAX_HOT_DOMAINS``.
+    - ``"min_id"`` (exact/audit mode): keep exactly the ``max_docs``
+      smallest ids of each over-cap host — SQL-recomputable, used by
+      the oracle gate. Costs more: the over-cap hosts' (id, host)
+      pairs (two short columns — never the payload) shuffle through a
+      per-host row_number window, and the surviving flag joins back
+      id-keyed. The window funnels each hot host into one task — the
+      same ultra-hot caveat as paragraph dedup; at corpus scale prefer
+      ``"hash"``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if selector not in ("hash", "min_id"):
+        raise ValueError(f"unknown selector: {selector!r}")
+
+    host = host_col(url_col)
+    counts = (
+        df.select(host.alias("host"))
+        .filter(F.col("host").isNotNull() & (F.col("host") != ""))
+        .groupBy("host")
+        .count()
+    )
+    hot = counts.filter(F.col("count") > max_docs)
+    n_hot = hot.limit(MAX_HOT_DOMAINS + 1).count()
+    if n_hot > MAX_HOT_DOMAINS:
+        raise ValueError(
+            f"over-cap host set exceeds MAX_HOT_DOMAINS "
+            f"({MAX_HOT_DOMAINS}); raise max_docs or pre-split the "
+            f"corpus — a hot set this size cannot broadcast"
+        )
+
+    if selector == "hash":
+        m = 1 << 20
+        hot_rates = F.broadcast(
+            hot.select(
+                "host",
+                F.floor(F.lit(m) * F.lit(max_docs) / F.col("count"))
+                .alias("_rate"),
+            )
+        )
+        joined = df.join(
+            hot_rates, host == hot_rates["host"], "left"
+        ).drop(hot_rates["host"])
+        return joined.withColumn(
+            "keep_domain_capped",
+            F.col("_rate").isNull()
+            | (
+                F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m))
+                < F.col("_rate")
+            ),
+        ).drop("_rate")
+
+    # min_id: window only the over-cap hosts' (id, host) projection
+    hot_hosts = F.broadcast(hot.select("host"))
+    hot_rows = (
+        df.select(F.col(id_col).alias("_cid"), host.alias("_chost"))
+        .join(hot_hosts, F.col("_chost") == hot_hosts["host"], "left_semi")
+    )
+    w = Window.partitionBy("_chost").orderBy("_cid")
+    dropped = (
+        hot_rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > max_docs)
+        .select("_cid")
+    )
+    out = df.join(dropped, df[id_col] == dropped["_cid"], "left")
+    return out.select(
+        *df.columns, F.col("_cid").isNull().alias("keep_domain_capped")
+    )
+
+
+def cap_domain_share(
+    df: "DataFrame",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_docs: int = 10_000,
+    selector: str = "hash",
+    seed: int = 0,
+) -> "DataFrame":
+    """Dropping variant of :func:`domain_share_flags`: returns the
+    corpus with every over-cap host reduced to (≈ or exactly, per
+    ``selector``) ``max_docs`` documents, input schema preserved."""
+    from pyspark.sql import functions as F
+
+    flagged = domain_share_flags(
+        df, url_col, id_col, max_docs, selector, seed
+    )
+    return flagged.filter(F.col("keep_domain_capped")).drop(
+        "keep_domain_capped"
+    )

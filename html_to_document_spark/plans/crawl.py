@@ -33,6 +33,7 @@ def build_crawl_pipeline(
     warc_path: str,
     *,
     blocklist: "DataFrame | None" = None,
+    max_docs_per_domain: int | None = None,
     options: ExtractOptions = DEFAULT_OPTIONS,
     num_partitions: int = 64,
     keep_langs: tuple = ("en", "es", "fr", "de"),
@@ -75,6 +76,16 @@ def build_crawl_pipeline(
     docs = read_warc(spark, warc_path, binary_types=pdf_types)
     if blocklist is not None:
         docs = filter_blocked_domains(docs, blocklist)
+    if max_docs_per_domain is not None:
+        # RefinedWeb/Dolma corpus-balance rule, applied BEFORE parsing
+        # so an over-represented host's excess pages never pay for
+        # extraction. hash selector: zero corpus shuffle (the host
+        # counts are the only exchange; over-cap rates broadcast back).
+        from html_to_document_spark.operators.url_filter import (
+            cap_domain_share,
+        )
+
+        docs = cap_domain_share(docs, max_docs=max_docs_per_domain)
     if pdf_types:
         from html_to_document_spark.operators.pdf_extract import (
             pdfs_to_html,

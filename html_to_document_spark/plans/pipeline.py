@@ -97,6 +97,7 @@ def build_training_pipeline(
     near_dup_threshold: float = 0.85,
     near_dup_mode: str = "pairs",
     near_dup_keep: str = "min_id",
+    paragraph_dedup: str | None = None,
     materialize: Union[str, Callable] = "persist",
     cache_registry: list | None = None,
     pii_scrub: bool = False,
@@ -179,7 +180,14 @@ def build_training_pipeline(
     maximum member never loses and at least one member always
     survives, the same guarantee min_id gives. Costs one extra join
     against the (already-shuffled) pair/component frame; the corpus
-    itself is still touched only by the final anti-join."""
+    itself is still touched only by the final anti-join.
+
+    ``paragraph_dedup``: None (default) or "keep_first"/"drop_hot" —
+    corpus-level repeated-paragraph removal (corpus_hygiene.
+    remove_repeated_paragraphs) applied to the assembled text before
+    any scoring, so every downstream filter judges the deduped
+    content. Requires ``text_join="newline"`` (paragraph boundaries);
+    documents whose text empties out are dropped."""
     from pyspark.sql import functions as F
 
     spans = extract_spans_balanced(
@@ -223,6 +231,28 @@ def build_training_pipeline(
         )
 
         corpus = c4_line_filter(corpus).drop("n_lines_in", "n_lines_kept")
+    if paragraph_dedup is not None:
+        # CCNet-style corpus-level paragraph rewrite BEFORE scoring so
+        # lang-ID/quality/Gopher/LM/near-dup all see the deduped text
+        # (a page that is 90% repeated boilerplate should be judged on
+        # its 10% of original content). Needs paragraph boundaries, so
+        # it is only meaningful on newline-joined text.
+        if text_join != "newline":
+            raise ValueError(
+                "paragraph_dedup requires text_join='newline' "
+                "(space-joined text has no paragraph boundaries)"
+            )
+        from html_to_document_spark.operators.corpus_hygiene import (
+            remove_repeated_paragraphs,
+        )
+
+        corpus = (
+            remove_repeated_paragraphs(
+                corpus, mode=paragraph_dedup, sep="\n"
+            )
+            .drop("n_paras_removed")
+            .filter(F.length("text") > 0)
+        )
 
     # per-row score projections — no join, no second extraction pass
     corpus = corpus.select(

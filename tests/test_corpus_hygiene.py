@@ -240,3 +240,57 @@ def test_pii_scrub_widened_patterns(spark):
     assert out[5] == "host <IP> up"
     assert out[6] == "dotted <PHONE> is a phone not an ip"
     assert out[7] == "version v1.2.3 stays, pin 123 stays"
+
+
+def test_remove_repeated_paragraphs_keep_first(spark):
+    """r5: CCNet/C4-style rewrite — each paragraph keeps its first
+    corpus occurrence (earliest (doc_id, position)); later occurrences
+    are deleted from their documents; untouched docs keep their text
+    byte-for-byte; a doc whose every paragraph repeats goes empty."""
+    from html_to_document_spark.operators.corpus_hygiene import (
+        remove_repeated_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one. shared boiler. beta two"),
+            (2, "shared boiler. gamma three"),
+            (3, "shared boiler"),
+            (4, "delta four. epsilon five"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_repeated_paragraphs(docs).collect()}
+    assert out[1].text == "alpha one. shared boiler. beta two"
+    assert out[1].n_paras_removed == 0
+    assert out[2].text == "gamma three" and out[2].n_paras_removed == 1
+    assert out[3].text == "" and out[3].n_paras_removed == 1
+    assert out[4].text == "delta four. epsilon five"
+    assert out[4].n_paras_removed == 0
+
+
+def test_remove_repeated_paragraphs_drop_hot(spark):
+    """drop_hot deletes EVERY occurrence of a paragraph whose corpus
+    count exceeds max_occurrences (boilerplate stop-list semantics),
+    including the first one keep_first would preserve."""
+    from html_to_document_spark.operators.corpus_hygiene import (
+        remove_repeated_paragraphs,
+    )
+
+    rows = [(i, f"unique {i}. cookie banner") for i in range(4)]
+    rows.append((99, "twice seen. lone paragraph"))
+    rows.append((100, "twice seen"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_paragraphs(
+            docs, mode="drop_hot", max_occurrences=3
+        ).collect()
+    }
+    for i in range(4):  # "cookie banner" count=4 > 3 -> gone everywhere
+        assert out[i].text == f"unique {i}"
+        assert out[i].n_paras_removed == 1
+    # "twice seen" count=2 <= 3 -> survives in BOTH docs
+    assert out[99].text == "twice seen. lone paragraph"
+    assert out[100].text == "twice seen"
+    assert out[99].n_paras_removed == 0

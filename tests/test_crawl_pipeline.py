@@ -146,3 +146,25 @@ def test_crawl_pipeline_pdf_disabled(spark, tmp_path):
         spark, path, num_partitions=4, min_quality=0.0, pdf_types=(),
     )
     assert out.count() > 0
+
+
+def test_crawl_pipeline_domain_cap(spark, tmp_path):
+    """max_docs_per_domain caps over-represented hosts BEFORE parsing
+    (hash selector: deterministic per seed, ~max_docs survivors per
+    over-cap host, under-cap hosts untouched)."""
+    path = _archive(tmp_path)
+
+    def run(**kw):
+        out = build_crawl_pipeline(
+            spark, path, num_partitions=4, min_quality=0.0,
+            pii_scrub=False, **kw,
+        )
+        return sorted(r.doc_id for r in out.select("doc_id").collect())
+
+    full = run()
+    capped = run(max_docs_per_domain=4)
+    # NOT a subset of the uncapped run: capping away a doc's near-dup
+    # partner can promote the doc to dedup keeper (r006 does exactly
+    # this) — the guarantees are shrinkage and per-seed determinism
+    assert len(capped) < len(full)          # the 9-10-doc hosts shrank
+    assert capped == run(max_docs_per_domain=4)  # deterministic

@@ -283,3 +283,33 @@ def test_pipeline_quality_keeper(spark):
                near_dup_keep="quality") == {"b-clean"}
     assert run(near_dup_mode="clusters",
                near_dup_keep="quality") == {"b-clean"}
+
+
+def test_pipeline_paragraph_dedup(spark):
+    """paragraph_dedup='keep_first' rewrites the assembled text before
+    scoring: a shared boilerplate paragraph survives only in its first
+    (doc_id, position) occurrence; requires newline join."""
+    import pytest
+
+    boiler = "subscribe to our newsletter for the weekly updates and offers"
+    a_para = "the alpha words are about unique things from here"
+    b_para = "the beta words are about other things over there too"
+    docs = spark.createDataFrame(
+        [
+            ("a", [("text", f"<p>{a_para}</p><p>{boiler}</p>", None, 0)]),
+            ("b", [("text", f"<p>{boiler}</p><p>{b_para}</p>", None, 0)]),
+        ],
+        "doc_id string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = {r.doc_id: r.text for r in build_training_pipeline(
+        docs, num_partitions=2, min_quality=0.0,
+        text_join="newline", paragraph_dedup="keep_first",
+    ).collect()}
+    assert boiler in out["a"]
+    assert boiler not in out["b"] and b_para in out["b"]
+
+    with pytest.raises(ValueError, match="newline"):
+        build_training_pipeline(
+            docs, num_partitions=2, paragraph_dedup="keep_first"
+        )

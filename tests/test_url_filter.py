@@ -88,3 +88,66 @@ def test_warc_to_url_filter_to_extraction(spark, tmp_path):
         kept.filter(F.col("doc_id") == "urn:uuid:r1")))
     assert [r.text for r in spans.orderBy("offset").collect()] == [
         "Title", "body one"]
+
+
+def _url_corpus(spark, per_host):
+    """doc_ids 0..n assigned round-robin-ish: hosts with the given
+    sizes, plus one malformed-URL row (NULL host, never capped)."""
+    rows, did = [], 0
+    for host, n in per_host.items():
+        for _ in range(n):
+            rows.append((did, f"http://{host}/p/{did}"))
+            did += 1
+    rows.append((did, "not a url at all"))
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_domain_share_min_id_exact(spark):
+    """min_id selector keeps exactly max_docs smallest ids per
+    over-cap host; under-cap hosts and NULL-host rows are untouched."""
+    from html_to_document_spark.operators.url_filter import (
+        cap_domain_share,
+        domain_share_flags,
+    )
+
+    df = _url_corpus(spark, {"big.example.com": 10, "small.org": 3})
+    out = {
+        r.doc_id: r.keep_domain_capped
+        for r in domain_share_flags(
+            df, max_docs=4, selector="min_id"
+        ).collect()
+    }
+    assert len(out) == 14
+    assert [out[i] for i in range(10)] == [True] * 4 + [False] * 6
+    assert all(out[i] for i in range(10, 14))  # small.org + NULL host
+    kept = cap_domain_share(df, max_docs=4, selector="min_id")
+    assert kept.columns == ["doc_id", "url"]
+    assert kept.count() == 8
+
+
+def test_domain_share_hash_rate(spark):
+    """hash selector: under-cap hosts keep everything; an over-cap
+    host keeps ~max_docs (Binomial) — deterministic per seed, and the
+    kept set is a subset of the host's docs. rate = cap/n = 0.5 over
+    n=400 -> P(outside [120, 280]) < 1e-15."""
+    from html_to_document_spark.operators.url_filter import (
+        domain_share_flags,
+    )
+
+    df = _url_corpus(spark, {"hot.net": 400, "cold.net": 5})
+    out = domain_share_flags(df, max_docs=200, selector="hash", seed=7)
+    kept_hot = out.filter(
+        "keep_domain_capped and url like '%hot.net%'"
+    ).count()
+    assert 120 <= kept_hot <= 280
+    assert out.filter(
+        "not keep_domain_capped and url not like '%hot.net%'"
+    ).count() == 0
+    again = domain_share_flags(
+        df.repartition(7), max_docs=200, selector="hash", seed=7
+    )
+    assert sorted(
+        r.doc_id for r in again.filter("keep_domain_capped").collect()
+    ) == sorted(
+        r.doc_id for r in out.filter("keep_domain_capped").collect()
+    )
