@@ -245,3 +245,97 @@ def run_stream_pipeline(
         )
     q.awaitTermination()
     return q
+
+
+CAP_OUT_SCHEMA = "doc_id string, url string"
+CAP_STATE_SCHEMA = "n_emitted long"
+
+
+def streaming_domain_cap(
+    stream_df: "DataFrame",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_docs: int = 10_000,
+) -> "DataFrame":
+    """Per-domain share capping over an unbounded crawl stream — the
+    streaming counterpart of ``url_filter.cap_domain_share``: each
+    host emits its first ``max_docs`` documents and suppresses the
+    rest forever. Semantics are ARRIVAL-ORDER (the batch operator's
+    min_id selector has no meaning over an unbounded stream; within
+    one micro-batch ties break by smallest doc_id for determinism),
+    matching ``streaming_exact_dedup``'s contract.
+
+    Scale shape: groups key on the HOST (state = one long per
+    distinct host — the state store never carries URLs or payloads);
+    rows with a NULL/unparsable host are never capped and bypass the
+    stateful operator entirely via a union (they would otherwise pool
+    into one spurious state group). A single ultra-hot host's
+    micro-batch slice concentrates in one state task — cap the
+    micro-batch size (maxFilesPerTrigger / maxOffsetsPerTrigger) to
+    bound that task, the standard knob for hot-key streaming state."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from html_to_document_spark.operators.url_filter import host_col
+
+    base = stream_df.select(
+        host_col(url_col).alias("host"),
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(url_col).alias("url"),
+    )
+    no_host = (F.col("host").isNull()) | (F.col("host") == "")
+    passthrough = base.filter(no_host).select("doc_id", "url")
+    keyed = base.filter(~no_host)
+
+    def cap_fn(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        budget = max_docs - n
+        if budget <= 0:
+            for _ in pdf_iter:  # drain: host already at cap
+                pass
+            return
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks).sort_values("doc_id", kind="mergesort")
+        take = batch.head(budget)
+        state.update((n + len(take),))
+        yield take[["doc_id", "url"]]
+
+    return keyed.groupBy("host").applyInPandasWithState(
+        cap_fn,
+        outputStructType=CAP_OUT_SCHEMA,
+        stateStructType=CAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ).unionByName(passthrough)
+
+
+def run_streaming_domain_cap(
+    spark,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_docs: int = 10_000,
+    max_files_per_trigger: int | None = None,
+):
+    """File-source wiring for :func:`streaming_domain_cap` (append
+    parquet sink; host counters live in the checkpoint's state store)."""
+    reader = spark.readStream.schema("doc_id string, url string")
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    stream = reader.parquet(in_path)
+    out = streaming_domain_cap(stream, max_docs=max_docs)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

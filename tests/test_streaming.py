@@ -309,3 +309,48 @@ def test_stream_pipeline_fix_encoding(spark, tmp_path):
     assert texts
     assert any("café résumé" in t for t in texts)
     assert all("Ã©" not in t for t in texts)
+
+
+def test_streaming_domain_cap(spark, tmp_path):
+    """r5: stateful per-domain cap — each host emits its first max_docs
+    docs across micro-batches (arrival order; in-batch ties to the
+    smallest doc_id); NULL-host rows bypass the cap entirely."""
+    from html_to_document_spark.streaming.stateful import (
+        run_streaming_domain_cap,
+    )
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = spark.createDataFrame(
+        [(f"a{i}", f"http://hot.example.com/{i}") for i in range(3)]
+        + [("b1", "http://cold.org/x"), ("n1", "not a url")],
+        "doc_id string, url string",
+    )
+    batch1.write.parquet(in_path)
+    run_streaming_domain_cap(spark, in_path, out_path, ckpt, max_docs=4)
+    got = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert got == {"a0", "a1", "a2", "b1", "n1"}  # all under budget
+
+    # second batch: hot host has budget 1 left -> smallest id only;
+    # cold host and NULL-host rows unaffected
+    batch2 = spark.createDataFrame(
+        [("a9", "http://hot.example.com/9"),
+         ("a5", "http://hot.example.com/5"),
+         ("a7", "http://hot.example.com/7"),
+         ("b2", "http://cold.org/y"), ("n2", "still not a url")],
+        "doc_id string, url string",
+    )
+    batch2.write.mode("append").parquet(in_path)
+    run_streaming_domain_cap(spark, in_path, out_path, ckpt, max_docs=4)
+    got = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert got == {"a0", "a1", "a2", "b1", "n1", "a5", "b2", "n2"}
+
+    # third batch: hot host at cap -> everything suppressed
+    batch3 = spark.createDataFrame(
+        [("a99", "http://hot.example.com/99")], "doc_id string, url string"
+    )
+    batch3.write.mode("append").parquet(in_path)
+    run_streaming_domain_cap(spark, in_path, out_path, ckpt, max_docs=4)
+    assert spark.read.parquet(out_path).count() == 8
