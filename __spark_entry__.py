@@ -380,9 +380,24 @@ def q_lang_quality(spark, sf_dir):
     """lang_id + quality_score merged into one gate row (r4-cont) —
     both are per-doc projections of the same table, so a doc_id join
     gates the identical values while freeing a slot under the 50-row
-    cap for dsir_weight (the same merge shape as token_fingerprint)."""
-    return q_lang_id(spark, sf_dir).join(
+    cap for dsir_weight (the same merge shape as token_fingerprint).
+
+    r5 continuation: the row also gates token-budget selection
+    (mixture.select_token_budget): keep_budget marks the greedy
+    (quality desc, doc_id asc) prefix whose running n_chars total
+    stays within 40% of the corpus's chars — quality is already
+    4-decimal-quantized on both engines, so the histogram + boundary-
+    window algorithm must equal the oracle's one cumulative window."""
+    from html_to_document_spark.operators.mixture import (
+        select_token_budget,
+    )
+
+    out = q_lang_id(spark, sf_dir).join(
         q_quality_score(spark, sf_dir), "doc_id"
+    )
+    total = out.agg(F.sum("n_chars_measured")).first()[0]
+    return select_token_budget(
+        out, budget=int(0.4 * total), tokens_col="n_chars_measured"
     )
 
 
@@ -1855,6 +1870,10 @@ def oracle_sql() -> dict[str, str]:
             "and o.pos = k.keep.pos)"
         ),
         "lang_quality": (
+            "select lqq.*, "
+            "sum(n_chars_measured) over (order by quality desc, doc_id) "
+            "<= (select cast(floor(0.4 * sum(length(text))) as bigint) "
+            "from documents) as keep_budget from ("
             "select * from ("
             "with s as (select doc_id, "
             "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) as score_en, "
@@ -1885,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
             "+ 0.2 * (1 - least(punct_ratio * 10, 1.0))) * 10000 + 0.5) "
             "/ 10000.0 as quality from r"
             ") qs using (doc_id)"
+            ") lqq"
         ),
         # DSIR raw-gram mode (operators/dsir.py): identical planted
         # corpus, target-slice gram counts, <unk> mapping, add-alpha

@@ -68,3 +68,90 @@ def resample_mixture(
     }
     fractions = mixture_fractions(counts, targets)
     return df.sampleBy(source_col, fractions, seed=seed)
+
+
+MAX_QUALITY_BUCKETS = 100_000  # refuse an unbounded histogram collect
+
+
+def select_token_budget(
+    df: "DataFrame",
+    budget: int,
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Token-budget corpus selection (the curation "data budget" rule:
+    keep the best documents until the training run's token budget is
+    spent): adds ``keep_budget`` — true exactly for the greedy prefix
+    of the (``quality_col`` desc, ``id_col`` asc) order whose running
+    ``tokens_col`` total stays within ``budget``. Equivalent to SQL's
+    ``sum(tokens) over (order by quality desc, id) <= budget``, i.e. a
+    strict prefix: once the running total crosses the budget nothing
+    later is kept (a smaller later doc does NOT slip in — the rule is
+    rank-ordered, not bin-packing; see ``packing.pack_sequences`` for
+    the FFD shape). NULL quality never selects; NULL token counts
+    count as 0.
+
+    100 TB shape: NO global sort. Quality scores are quantized by
+    construction (``text_analysis.quality_score`` rounds to 4
+    decimals), so the per-value histogram — one map-side-combinable
+    aggregation, one short row per distinct value, guarded by
+    ``MAX_QUALITY_BUCKETS`` — is a bounded driver collect. The driver
+    walks the histogram to classify every value as keep-all /
+    drop-all and finds the single BOUNDARY value where the budget
+    crosses; only that one value's rows (typically a sliver of the
+    corpus) pay a cumulative window ordered by id, and their keep
+    flags join back id-keyed. An adversarially fat boundary bucket
+    funnels into one window task — quantize finer upstream if a
+    corpus profile shows one."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    q = F.col(quality_col)
+    toks = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    hist = (
+        df.filter(q.isNotNull())
+        .groupBy(q.alias("_q"))
+        .agg(F.sum(toks).alias("_t"))
+    )
+    if hist.limit(MAX_QUALITY_BUCKETS + 1).count() > MAX_QUALITY_BUCKETS:
+        raise ValueError(
+            f"quality histogram exceeds MAX_QUALITY_BUCKETS "
+            f"({MAX_QUALITY_BUCKETS}); quantize {quality_col!r} before "
+            f"selection — an unbounded value set cannot drive the "
+            f"driver-side budget walk"
+        )
+    buckets = sorted(
+        ((r["_q"], r["_t"]) for r in hist.collect()), key=lambda x: -x[0]
+    )
+    cum = 0
+    boundary = None
+    boundary_prefix = 0
+    for val, tsum in buckets:
+        if cum + tsum <= budget:
+            cum += tsum
+        else:
+            boundary, boundary_prefix = val, cum
+            break
+
+    if boundary is None:  # every scored doc fits
+        return df.withColumn("keep_budget", q.isNotNull())
+
+    remaining = budget - boundary_prefix
+    w = Window.orderBy("_bid")  # boundary rows only — see docstring
+    bkeep = (
+        df.filter(q == F.lit(boundary))
+        .select(F.col(id_col).alias("_bid"), toks.alias("_bt"))
+        .withColumn("_cum", F.sum("_bt").over(w))
+        .filter(F.col("_cum") <= remaining)
+        .select("_bid", F.lit(True).alias("_bkeep"))
+    )
+    out = df.join(bkeep, df[id_col] == bkeep["_bid"], "left")
+    return out.select(
+        *df.columns,
+        F.when(q.isNull(), F.lit(False))
+        .when(q > F.lit(boundary), F.lit(True))
+        .when(q == F.lit(boundary), F.coalesce("_bkeep", F.lit(False)))
+        .otherwise(F.lit(False))
+        .alias("keep_budget"),
+    )

@@ -47,3 +47,45 @@ def test_resample_mixture_composition(spark):
              .groupBy("source").count().withColumnRenamed("count", "n")
              .collect()}
     assert got == again
+
+
+def test_select_token_budget_exact_prefix(spark):
+    """r5: keep_budget marks exactly the greedy (quality desc, id asc)
+    prefix whose running token total fits the budget — strict prefix
+    (nothing later slips in), boundary bucket split by id order, NULL
+    quality never kept, NULL tokens count 0."""
+    from html_to_document_spark.operators.mixture import (
+        select_token_budget,
+    )
+
+    rows = [
+        (1, 0.9, 100), (2, 0.9, 100),            # q=0.9: 200 total
+        (3, 0.5, 100), (4, 0.5, 100), (5, 0.5, 100),  # boundary bucket
+        (6, 0.1, 10),                             # after boundary: out
+        (7, None, 10),                            # NULL quality: out
+        (8, 0.5, None),                           # NULL tokens: 0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, quality double, n_tokens long"
+    )
+    # budget 450: q=0.9 bucket (200) fully kept; boundary q=0.5 has
+    # remaining 250 -> ids 3,4 (cum 100,200) kept, 5 (cum 300) out —
+    # and id 8 (0 tokens) is ALSO out: its running total (500)
+    # includes id 5's overflow, the strict-prefix rule
+    out = {r.doc_id: r.keep_budget for r in select_token_budget(
+        df, budget=450
+    ).collect()}
+    assert out == {1: True, 2: True, 3: True, 4: True, 5: False,
+                   6: False, 7: False, 8: False}
+
+    # budget covers everything scored -> all non-NULL-quality kept
+    out = {r.doc_id: r.keep_budget for r in select_token_budget(
+        df, budget=10_000
+    ).collect()}
+    assert out == {i: (i != 7) for i in range(1, 9)}
+
+    # budget smaller than the best bucket's first doc: nothing kept
+    out = {r.doc_id: r.keep_budget for r in select_token_budget(
+        df, budget=50
+    ).collect()}
+    assert not any(out.values())
