@@ -595,14 +595,21 @@ def q_url_filter_blocked(spark, sf_dir):
     from html_to_document_spark.operators.url_filter import (
         domain_share_flags,
         flag_blocked_domains,
+        normalize_url_col,
     )
 
     d = _docs(spark, sf_dir)
     sid = F.col("doc_id").cast("string")
     k = F.col("doc_id") % 5
+    # r5 continuation: scheme/host case junk, a tracking param, an
+    # unsorted query and a fragment ride on every URL so the row also
+    # gates normalize_url_col (the oracle knows the construction, so
+    # it emits the expected canonical string directly); host parsing
+    # for blocked/keep_capped lowercases, so those arms are unchanged
     url = F.concat(
-        F.lit("http://"),
-        F.when(k == 0, F.concat(F.lit("www.blockedsite.com/a/"), sid))
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://"))
+        .otherwise(F.lit("http://")),
+        F.when(k == 0, F.concat(F.lit("WWW.BlockedSite.com/a/"), sid))
         .when(k == 1, F.concat(F.lit("blockedsite.com/"), sid))
         .when(k == 2, F.concat(F.lit("blockedsite.com.evil.net/"), sid))
         .when(k == 3, F.concat(F.lit("notblockedsite.com/"), sid))
@@ -612,6 +619,9 @@ def q_url_filter_blocked(spark, sf_dir):
                 F.lit(".example.org/"), sid,
             )
         ),
+        F.lit("?z="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&utm_campaign=c&a="), (F.col("doc_id") % 2).cast("string"),
+        F.lit("#sec"),
     )
     docs = d.select("doc_id", url.alias("url"))
     bl = spark.createDataFrame([("BlockedSite.com",)], "domain string")
@@ -628,6 +638,7 @@ def q_url_filter_blocked(spark, sf_dir):
     return capped.select(
         "doc_id", "blocked",
         F.col("keep_domain_capped").alias("keep_capped"),
+        normalize_url_col("url").alias("norm_url"),
     )
 
 
@@ -2127,7 +2138,16 @@ def oracle_sql() -> dict[str, str]:
             "  from documents"
             ") select doc_id, blocked, "
             "row_number() over (partition by host order by doc_id) <= 60 "
-            "  as keep_capped from h"
+            "  as keep_capped, "
+            # canonical URL from the construction's ground truth:
+            # scheme/host lowered, fragment + utm param gone, kept
+            # params sorted ('a=' < 'z='), path preserved (no
+            # trailing slash in the construction)
+            "'http://' || host || case when doc_id % 5 = 0 "
+            "  then '/a/' else '/' end || cast(doc_id as varchar) "
+            "|| '?a=' || cast(doc_id % 2 as varchar) "
+            "|| '&z=' || cast(doc_id % 3 as varchar) as norm_url "
+            "from h"
         ),
         "gopher_repetition": (
             "with v as ("

@@ -244,3 +244,61 @@ def cap_domain_share(
     return flagged.filter(F.col("keep_domain_capped")).drop(
         "keep_domain_capped"
     )
+
+
+# tracking parameters every crawl normalizer strips (the public canon:
+# UTM campaign tags plus the big ad-click ids); utm_* matches by prefix
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_eid", "ref")
+
+
+def normalize_url_col(url_col: "Column | str") -> "Column":
+    """Canonical form of a URL for URL-level dedup (crawls re-fetch the
+    same page under case-varied hosts, tracking-tagged queries and
+    fragment anchors; URL dedup BEFORE fetch/processing is the
+    cheapest dedup a pipeline runs):
+
+    - scheme and host lowercased;
+    - fragment dropped;
+    - tracking params dropped (``utm_*`` by prefix plus the click-id
+      set), surviving params SORTED so param order is canonical;
+    - trailing ``/`` stripped from non-root paths, empty path becomes
+      ``/``.
+
+    Pure JVM Column expression (try_parse_url + array HOFs — zero
+    Python, zero shuffle); NULL/unparsable URLs yield NULL. Pair with
+    ``dedup.exact_dedup(df, text_col="norm_url")`` for URL-level
+    dedup at corpus scale (the normalized string, not the raw URL, is
+    what hashes)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    raw_path = F.try_parse_url(c, F.lit("PATH"))
+    stripped = F.regexp_replace(raw_path, "/$", "")
+    path = F.when(
+        raw_path.isNull() | (stripped == ""), F.lit("/")
+    ).otherwise(stripped)
+    query = F.try_parse_url(c, F.lit("QUERY"))
+
+    def is_tracking(p):
+        name = F.split(p, "=", 2)[0]
+        cond = F.lit(False)
+        for pre in TRACKING_PARAM_PREFIXES:
+            cond = cond | name.startswith(pre)
+        return cond | name.isin(*TRACKING_PARAMS)
+
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~is_tracking(p),
+        )
+    )
+    qpart = F.when(
+        query.isNull() | (F.size(params) == 0), F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(params, "&")))
+    return F.when(
+        scheme.isNull() | host.isNull() | (host == ""),
+        F.lit(None).cast("string"),
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qpart))

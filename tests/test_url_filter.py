@@ -151,3 +151,51 @@ def test_domain_share_hash_rate(spark):
     ) == sorted(
         r.doc_id for r in out.filter("keep_domain_capped").collect()
     )
+
+
+def test_normalize_url(spark):
+    """r5: URL canonicalization for URL-level dedup — host/scheme case,
+    fragments, tracking params, param order, trailing slash; NULL for
+    unparsable input; tracking-free query preserved sorted."""
+    from html_to_document_spark.operators.url_filter import (
+        normalize_url_col,
+    )
+
+    cases = [
+        ("HTTP://WWW.Example.COM/Page/",
+         "http://www.example.com/Page"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/#section-2", "http://example.com/"),
+        ("http://example.com/a?utm_source=x&id=3&utm_campaign=y",
+         "http://example.com/a?id=3"),
+        ("http://example.com/a?b=2&a=1&fbclid=XYZ",
+         "http://example.com/a?a=1&b=2"),
+        ("http://example.com/a?utm_source=x&gclid=1",
+         "http://example.com/a"),
+        ("https://Host.org/x/y?z=1#frag", "https://host.org/x/y?z=1"),
+        ("not a url at all", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {r.i: r.n for r in df.select(
+        "i", normalize_url_col("url").alias("n")
+    ).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+    # the normalized column IS the URL-dedup key: the first five rows
+    # above collapse to 4 distinct pages via exact_dedup
+    from html_to_document_spark.operators.dedup import exact_dedup
+
+    pages = spark.createDataFrame(
+        [(1, "http://example.com/a?utm_source=x&id=3"),
+         (2, "http://example.com/a?id=3&gclid=z"),
+         (3, "http://example.com/b")],
+        "doc_id long, url string",
+    )
+    kept = exact_dedup(
+        pages.withColumn("norm_url", normalize_url_col("url")),
+        text_col="norm_url",
+    )
+    assert {r.doc_id for r in kept.collect()} == {1, 3}
