@@ -387,8 +387,13 @@ def q_lang_quality(spark, sf_dir):
     (quality desc, doc_id asc) prefix whose running n_chars total
     stays within 40% of the corpus's chars — quality is already
     4-decimal-quantized on both engines, so the histogram + boundary-
-    window algorithm must equal the oracle's one cumulative window."""
+    window algorithm must equal the oracle's one cumulative window.
+
+    Also gates hash_split_col (mixture.py): the 80/10/10 md5-prefix
+    train/val/test assignment — a pure JVM projection whose DuckDB
+    mirror is generated from the same boundary literals."""
     from html_to_document_spark.operators.mixture import (
+        hash_split_col,
         select_token_budget,
     )
 
@@ -398,6 +403,11 @@ def q_lang_quality(spark, sf_dir):
     total = out.agg(F.sum("n_chars_measured")).first()[0]
     return select_token_budget(
         out, budget=int(0.4 * total), tokens_col="n_chars_measured"
+    ).withColumn(
+        "split_assign",
+        hash_split_col(
+            "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)], "s5"
+        ),
     )
 
 
@@ -435,10 +445,18 @@ def q_lm_perplexity(spark, sf_dir):
     sf0.01 words 'tail0'..'tail210' appear 2-3 times, straddling
     min_count=3) and score every document's perplexity. The DuckDB
     oracle recomputes the identical counts and probabilities in pure
-    SQL; ppl is rounded HALF_UP at 4 decimals on both engines."""
+    SQL; ppl is rounded HALF_UP at 4 decimals on both engines.
+
+    r5 continuation: the row also gates CCNet head/middle/tail
+    bucketing (Wenzek et al. 2020 §4.4) — thresholds fit as DISCRETE
+    rank statistics on the doc_id%5==0 slice (ceil(i*n/3) under
+    (ppl, doc_id) order), then applied as a constant projection; the
+    oracle recomputes the identical ranks with row_number."""
     from html_to_document_spark.operators.lm_filter import (
         fit_ngram_lm,
+        fit_ppl_thresholds,
         perplexity,
+        ppl_bucket_col,
     )
 
     planted = _docs(spark, sf_dir).select(
@@ -449,7 +467,9 @@ def q_lm_perplexity(spark, sf_dir):
         ).alias("text"),
     )
     model = fit_ngram_lm(planted, min_count=3, k=0.5, lam=0.9)
-    return perplexity(planted, model)
+    scored = perplexity(planted, model)
+    thr = fit_ppl_thresholds(scored.filter(F.col("doc_id") % 5 == 0))
+    return scored.withColumn("ppl_bucket", ppl_bucket_col("ppl", thr))
 
 
 def q_bloom_incremental(spark, sf_dir):
@@ -488,9 +508,32 @@ def q_token_fingerprint(spark, sf_dir):
     """token_stats + fingerprint merged into one gate row (r4) —
     both are pure projections of the same table, so a doc_id join
     gates the identical values while freeing a slot under the 50-row
-    cap for substring_dedup_ranges."""
-    return q_token_stats(spark, sf_dir).join(
-        q_fingerprint(spark, sf_dir), "doc_id"
+    cap for substring_dedup_ranges.
+
+    r5 continuation: link_stats (the former standalone row) joins in
+    the same way, freeing its slot for bm25_topk — all three are
+    per-doc projections over the same documents slice."""
+    return (
+        q_token_stats(spark, sf_dir)
+        .join(q_fingerprint(spark, sf_dir), "doc_id")
+        .join(q_link_stats(spark, sf_dir), "doc_id")
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (operators/retrieval.py, Robertson &
+    Zaragoza 2009 / the Lucene idf form) for the literal query
+    ['hash','join','vector'] over the documents table. Every
+    arithmetic step is a FIXED-ORDER double expression over exact
+    integer (tf, dl, df, N) inputs, so the DuckDB oracle recomputes
+    the identical scores bit-for-bit; the cut orders by (r4-rounded
+    score desc, doc_id asc) — deterministic on both engines."""
+    from html_to_document_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        ["hash", "join", "vector"],
+        k=25,
     )
 
 
@@ -1709,7 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_counts": q_lineage_counts,
         "windowed_counts": q_windowed_counts,
         "media_catalog": q_media_catalog,
-        "link_stats": q_link_stats,
+        "bm25_topk": q_bm25_topk,
         # corpus hygiene
         "jaccard_verify": q_jaccard_verify,
         "dedup_exact_normalized": q_dedup_exact_normalized,
@@ -1724,6 +1767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from html_to_document_spark.operators.mixture import hash_split_sql
+
     span = (
         "select doc_id, {off} as offset, {kind} as kind, {text} as text, "
         "{ref} as media_ref from documents"
@@ -1858,7 +1903,13 @@ def oracle_sql() -> dict[str, str]:
             "cast(list_sum(list_transform(range(1, len(l) + 1), "
             "i -> i * (ascii(l[i][1]) * 31 + length(l[i])))) "
             f"% {FINGERPRINT_MOD} as bigint) as fp from fw"
-            ") select t.*, f.fp from t join f using (doc_id)"
+            # link_stats merged in (r5-cont): doc text contains no
+            # href= patterns, so the constructed page has exactly 3
+            # links: 2 duplicate relative + 1 absolute
+            ") select t.*, f.fp, cast(3 as bigint) as n_links, "
+            "cast(2 as bigint) as n_unique_links, "
+            "cast(1 as bigint) as n_absolute_links "
+            "from t join f using (doc_id)"
         ),
         "substring_dedup_ranges": (
             "with v as (select doc_id, case when doc_id % 4 = 1 or "
@@ -1881,7 +1932,17 @@ def oracle_sql() -> dict[str, str]:
             "and o.pos = k.keep.pos)"
         ),
         "lang_quality": (
+            # split_assign (r5-cont): deterministic md5-prefix
+            # train/val/test split — the SQL expression is generated
+            # from the SAME split_boundaries literals the Spark
+            # Column compiles in (operators/mixture.py)
             "select lqq.*, "
+            + hash_split_sql(
+                "doc_id",
+                [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+                "s5",
+            )
+            + " as split_assign, "
             "sum(n_chars_measured) over (order by quality desc, doc_id) "
             "<= (select cast(floor(0.4 * sum(length(text))) as bigint) "
             "from documents) as keep_budget from ("
@@ -2036,9 +2097,31 @@ def oracle_sql() -> dict[str, str]:
             "  left join tokm p on p.doc_id = t.doc_id and p.i = t.i - 1"
             "  left join big bg on bg.w1 = p.mw and bg.w2 = t.mw"
             "  left join hist ht on ht.w1 = p.mw"
-            ") select doc_id, count(*) as n_tokens, "
-            "floor(exp(-sum(lp) / count(*)) * 10000 + 0.5) / 10000 as ppl "
-            "from terms group by doc_id"
+            "), scored as ("
+            "  select doc_id, count(*) as n_tokens, "
+            "  floor(exp(-sum(lp) / count(*)) * 10000 + 0.5) / 10000 as ppl "
+            "  from terms group by doc_id"
+            # CCNet bucketing mirror (r5-cont): thresholds = ppl at
+            # ranks ceil(n/3), ceil(2n/3) of the doc_id%5==0 slice
+            # under (ppl, doc_id) order — the same integer-rank
+            # statistic fit_ppl_thresholds collects, no quantile
+            # interpolation in the contract
+            "), slice as ("
+            "  select ppl, row_number() over "
+            "    (order by ppl asc, doc_id asc) as rn "
+            "  from scored where doc_id % 5 = 0 and ppl is not null"
+            "), thr as ("
+            "  select "
+            "  max(case when rn = (select (1 * count(*) + 2) // 3 "
+            "    from slice) then ppl end) as t1, "
+            "  max(case when rn = (select (2 * count(*) + 2) // 3 "
+            "    from slice) then ppl end) as t2 from slice"
+            ") select scored.*, "
+            "case when ppl is null then null "
+            "when ppl <= t1 then 'head' "
+            "when ppl <= t2 then 'middle' "
+            "else 'tail' end as ppl_bucket "
+            "from scored, thr"
         ),
         # bloom output == exact anti-join at this sizing (FP ~1e-21
         # per probe; deterministic — see q_bloom_incremental)
@@ -2339,13 +2422,46 @@ def oracle_sql() -> dict[str, str]:
             "else 'media://' || cast(doc_id as varchar) end as media_ref "
             "from documents)"
         ),
-        "link_stats": (
-            # doc text contains no href= patterns (plain words), so the
-            # constructed page has exactly 3 links: 2 duplicate relative
-            # + 1 absolute
-            "select doc_id, cast(3 as bigint) as n_links, "
-            "cast(2 as bigint) as n_unique_links, "
-            "cast(1 as bigint) as n_absolute_links from documents"
+        "bm25_topk": (
+            # BM25 recomputed with the SAME fixed-order double
+            # arithmetic as operators/retrieval.py: tf/dl/df/N are
+            # exact integers, every float op is left-associated
+            # identically, float literals come from the same decimal
+            # strings (1.2 + 1.0, 1.0 - 0.75 evaluated at runtime on
+            # both engines), ln is the natural log, r4 rounding =
+            # floor(x*1e4+0.5)/1e4.
+            "with toks as (select doc_id, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') as l from documents), "
+            "t as (select doc_id, len(l) as dl, "
+            "len(list_filter(l, x -> x = 'hash')) as tf0, "
+            "len(list_filter(l, x -> x = 'join')) as tf1, "
+            "len(list_filter(l, x -> x = 'vector')) as tf2 from toks), "
+            "c as (select cast(count(*) as double) as n_docs, "
+            "cast(sum(dl) as double) / cast(count(*) as double) as avgdl "
+            "from t), "
+            "d as (select "
+            "cast(sum(case when tf0 > 0 then 1 else 0 end) as double) as df0, "
+            "cast(sum(case when tf1 > 0 then 1 else 0 end) as double) as df1, "
+            "cast(sum(case when tf2 > 0 then 1 else 0 end) as double) as df2 "
+            "from t where tf0 > 0 or tf1 > 0 or tf2 > 0) "
+            "select doc_id, "
+            "cast((case when tf0 > 0 then 1 else 0 end) "
+            "+ (case when tf1 > 0 then 1 else 0 end) "
+            "+ (case when tf2 > 0 then 1 else 0 end) as bigint) as n_matched, "
+            "floor(("
+            "ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) "
+            "* tf0 * (1.2 + 1.0) "
+            "/ (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) "
+            "+ ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) "
+            "* tf1 * (1.2 + 1.0) "
+            "/ (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) "
+            "+ ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) "
+            "* tf2 * (1.2 + 1.0) "
+            "/ (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))"
+            ") * 10000 + 0.5) / 10000.0 as score "
+            "from t, c, d where tf0 > 0 or tf1 > 0 or tf2 > 0 "
+            "order by score desc, doc_id asc limit 25"
         ),
         "jaccard_verify": (
             "with w as ("

@@ -48,7 +48,13 @@ if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
     from pyspark.sql import Column, DataFrame
 
-__all__ = ["fit_ngram_lm", "perplexity", "lm_filter"]
+__all__ = [
+    "fit_ngram_lm",
+    "perplexity",
+    "lm_filter",
+    "fit_ppl_thresholds",
+    "ppl_bucket_col",
+]
 
 UNK = "<unk>"
 
@@ -279,3 +285,69 @@ def lm_filter(
             yield out
 
     return df.mapInPandas(fn, schema).filter(F.col("ppl") <= max_ppl)
+
+
+def fit_ppl_thresholds(
+    scored: "DataFrame",
+    n_buckets: int = 3,
+    ppl_col: str = "ppl",
+    id_col: str = "doc_id",
+) -> list[float]:
+    """CCNet bucket thresholds (Wenzek et al. 2020 §4.4: the corpus is
+    cut into head/middle/tail by LM perplexity): the i-th threshold is
+    the ppl value at rank ceil(i*n/n_buckets) under (ppl asc, id asc)
+    ordering — a DISCRETE rank statistic, not an interpolated
+    percentile, so DuckDB reproduces it exactly via row_number and no
+    engine's quantile interpolation arithmetic is in the contract.
+
+    ``scored`` is the bounded FIT SLICE (CCNet fits thresholds on a
+    sample, then ships them as constants): the rank select runs a
+    single-partition window over the slice, so pass a sample — at
+    100 TB the slice is the thing that is small, the scoring
+    projection is the thing that is big. NULL ppl rows (token-less
+    docs) are excluded from the fit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    s = scored.select(ppl_col, id_col).filter(F.col(ppl_col).isNotNull())
+    n = s.count()
+    if n < n_buckets:
+        raise ValueError(f"fit slice has {n} rows < {n_buckets} buckets")
+    # integer ceil(i*n/k) — exact on both engines, no float ranks
+    ranks = [
+        -(-(i * n) // n_buckets) for i in range(1, n_buckets)
+    ]
+    w = Window.orderBy(F.col(ppl_col).asc(), F.col(id_col).asc())
+    rows = (
+        s.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn").isin(ranks))
+        .select("_rn", ppl_col)
+        .collect()
+    )
+    by_rank = {r["_rn"]: r[ppl_col] for r in rows}
+    return [by_rank[r] for r in ranks]
+
+
+def ppl_bucket_col(
+    ppl_col,
+    thresholds: list[float],
+    labels: tuple = ("head", "middle", "tail"),
+):
+    """Bucket label Column: ppl <= thresholds[i] -> labels[i], else the
+    last label; NULL ppl -> NULL. Pure projection — the thresholds are
+    driver constants, the corpus never shuffles. ppl values from
+    ``perplexity`` are 4-decimal-rounded, so the <= comparisons are
+    engine-portable."""
+    from pyspark.sql import functions as F
+
+    if len(labels) != len(thresholds) + 1:
+        raise ValueError("need len(labels) == len(thresholds) + 1")
+    c = F.col(ppl_col) if isinstance(ppl_col, str) else ppl_col
+    expr = F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.lit(labels[-1])
+    )
+    for label, t in reversed(list(zip(labels[:-1], thresholds))):
+        expr = F.when(c <= F.lit(t), F.lit(label)).otherwise(expr)
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(expr)

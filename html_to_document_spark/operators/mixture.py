@@ -155,3 +155,68 @@ def select_token_budget(
         .otherwise(F.lit(False))
         .alias("keep_budget"),
     )
+
+
+def split_boundaries(fractions: "list[tuple[str, float]]") -> list[str]:
+    """Cumulative md5-prefix boundaries (8 lowercase hex digits) for
+    ``hash_split_col``. Pure function so the DuckDB oracle can be
+    generated from the SAME literals the Spark plan compiles in —
+    lexical comparison of fixed-width lowercase hex equals numeric
+    comparison, no engine-specific hex-to-int conversion needed."""
+    if not fractions or any(f < 0 for _, f in fractions):
+        raise ValueError("fractions must be non-negative and non-empty")
+    total = sum(f for _, f in fractions)
+    if total <= 0:
+        raise ValueError("fractions must have positive total")
+    bounds, cum = [], 0.0
+    for _, f in fractions[:-1]:
+        cum += f / total
+        bounds.append(format(min(1 << 32, int(cum * (1 << 32))), "08x"))
+    return bounds
+
+
+def hash_split_col(
+    id_col,
+    fractions: "list[tuple[str, float]]",
+    salt: str = "",
+):
+    """Deterministic train/val/test assignment: the first 8 hex chars
+    of ``md5(salt || id)`` thresholded at the cumulative fractions.
+
+    The split is a pure JVM Column projection — zero shuffle, zero
+    Python, stable across runs/partitionings/engines (md5 of the same
+    UTF-8 bytes is identical everywhere, unlike xxhash64 which DuckDB
+    cannot reproduce), so a doc keeps its split when the corpus is
+    re-partitioned, appended to, or re-read — the property that makes
+    held-out sets trustworthy across pipeline re-runs at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    labels = [k for k, _ in fractions]
+    bounds = split_boundaries(fractions)
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    expr = F.lit(labels[-1])
+    for label, bound in reversed(list(zip(labels[:-1], bounds))):
+        expr = F.when(prefix < F.lit(bound), F.lit(label)).otherwise(expr)
+    return expr
+
+
+def hash_split_sql(
+    id_expr: str, fractions: "list[tuple[str, float]]", salt: str = ""
+) -> str:
+    """The DuckDB expression computing exactly ``hash_split_col`` —
+    generated from the same ``split_boundaries`` literals."""
+    labels = [k for k, _ in fractions]
+    bounds = split_boundaries(fractions)
+    prefix = (
+        f"substr(md5('{salt}' || cast({id_expr} as varchar)), 1, 8)"
+    )
+    expr = f"'{labels[-1]}'"
+    for label, bound in reversed(list(zip(labels[:-1], bounds))):
+        expr = (
+            f"case when {prefix} < '{bound}' then '{label}' "
+            f"else {expr} end"
+        )
+    return expr

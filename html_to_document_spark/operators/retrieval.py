@@ -1,0 +1,161 @@
+"""BM25 retrieval over a document corpus.
+
+Sparse lexical retrieval (Robertson & Zaragoza 2009, the Okapi BM25
+form used by Lucene/Elasticsearch) as a pure DataFrame plan — the
+curation uses are retrieval-based decontamination (find training docs
+that retrieve an eval query too well) and targeted corpus sampling
+("give me the docs most about X").
+
+100 TB shape:
+- The corpus frame is scanned ONCE; tokens are filtered to the
+  query's literal term set *before* the explode's groupBy, so the
+  only corpus-sized shuffle carries (doc_id, term) hits for query
+  terms — a tiny fraction of the token stream. Doc length is a
+  projection on the same scan (no second pass).
+- Corpus aggregates (N, avgdl) are a single-row agg joined back via
+  broadcast; per-term document frequencies aggregate the already-tiny
+  hits frame and broadcast back as the idf map. The corpus never
+  shuffles on anything but the one (doc_id)-keyed hit aggregation.
+- Scoring is a FIXED-ORDER arithmetic expression over per-term tf
+  columns (a literal-values pivot), not a float sum over a
+  nondeterministically-ordered row stream — so the double result is
+  bit-identical run to run and engine to engine, which is what lets
+  a DuckDB oracle hash-match the scores (same determinism contract
+  as text_analysis.r4 rounding).
+- Top-k is orderBy+limit — Spark's TakeOrdered, a per-partition
+  heap + driver merge of k rows, no global sort.
+
+The reference repo has no retrieval surface; this is part of the
+LLM-training-data layer (like dedup/DSIR/quality), built on the same
+tokenization contract as text_analysis (lower, ``\\s+`` split, empty
+tokens dropped).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Sequence
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import Column, DataFrame
+
+__all__ = ["bm25_score", "bm25_topk"]
+
+
+def _tokens(col: "Column") -> "Column":
+    from pyspark.sql import functions as F
+
+    # Materialize the words array once per row (never re-evaluate a
+    # split inside a lambda — the r4 gopher_repetition lesson).
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != F.lit(""))
+
+
+def bm25_score(
+    df: "DataFrame",
+    query_terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "DataFrame":
+    """Per-document BM25 score for a literal query.
+
+    Returns (id_col, n_matched, score) for every document containing
+    at least one query term; ``score`` is HALF_UP-rounded at 4
+    decimals (text_analysis.r4), ``n_matched`` counts distinct query
+    terms present. idf uses the Lucene non-negative form
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+    """
+    from pyspark.sql import functions as F
+
+    from .text_analysis import r4
+
+    terms = sorted(set(t.lower() for t in query_terms if t.strip()))
+    if not terms:
+        raise ValueError("query_terms must contain at least one term")
+
+    toks = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    ).select(id_col, "_toks", F.size("_toks").alias("_dl"))
+
+    # Corpus constants as a broadcastable single-row frame (kept in
+    # the plan — no driver collect).
+    consts = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        (F.sum("_dl") / F.count(F.lit(1))).cast("double").alias("_avgdl"),
+    )
+
+    # Hits: only query-term tokens survive to the shuffle.
+    hits = (
+        toks.select(id_col, "_dl", F.explode("_toks").alias("_t"))
+        .filter(F.col("_t").isin(list(terms)))
+        .groupBy(id_col)
+        .agg(
+            F.max("_dl").alias("_dl"),
+            *[
+                F.sum((F.col("_t") == F.lit(t)).cast("long")).alias(f"_tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+    )
+
+    # Per-term document frequencies over the tiny hits frame.
+    dfreq = hits.agg(
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("double")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ]
+    )
+
+    j = hits.crossJoin(F.broadcast(consts)).crossJoin(F.broadcast(dfreq))
+
+    def term_score(i: int) -> "Column":
+        tf = F.col(f"_tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - F.col(f"_df_{i}") + F.lit(0.5))
+            / (F.col(f"_df_{i}") + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+        )
+        return idf * tf * F.lit(k1 + 1.0) / denom
+
+    # Fixed-order sum: score_0 + score_1 + ... (left to right), so
+    # the double is deterministic and oracle-reproducible.
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+    matched = (F.col("_tf_0") > 0).cast("long")
+    for i in range(1, len(terms)):
+        matched = matched + (F.col(f"_tf_{i}") > 0).cast("long")
+
+    return j.select(
+        F.col(id_col),
+        matched.alias("n_matched"),
+        r4(score).alias("score"),
+    )
+
+
+def bm25_topk(
+    df: "DataFrame",
+    query_terms: Sequence[str],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "DataFrame":
+    """Top-k documents by BM25 for a literal query.
+
+    Deterministic cut: orders by (rounded score desc, id asc) — ties
+    at the boundary resolve identically on every engine. TakeOrdered
+    under the hood (heap per partition, k-row driver merge).
+    """
+    from pyspark.sql import functions as F
+
+    scored = bm25_score(
+        df, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -214,3 +214,56 @@ def test_nbsp_edge_fit_score_consistency(spark):
     assert row.ppl == math.floor(ppl * 10000 + 0.5) / 10000  # r4 rounding
     ws_only, nan_ppl = _score_text(" ", model)
     assert ws_only == 1  # one NBSP 'word', same as the fit side
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing (fit_ppl_thresholds + ppl_bucket_col)
+# ---------------------------------------------------------------------------
+
+def test_ppl_thresholds_are_rank_statistics(spark):
+    from html_to_document_spark.operators.lm_filter import (
+        fit_ppl_thresholds,
+    )
+
+    # 9 rows, ppl 1..9 -> ceil(9/3)=3rd and ceil(18/3)=6th smallest
+    rows = [(i, float(i)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, ["doc_id", "ppl"])
+    assert fit_ppl_thresholds(df) == [3.0, 6.0]
+    # ties resolve by doc_id order, NULLs excluded from the fit
+    rows = [(1, 5.0), (2, 5.0), (3, 5.0), (4, None), (5, 7.0), (6, 9.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "ppl"])
+    # n=5 -> ranks ceil(5/3)=2, ceil(10/3)=4 -> values 5.0, 7.0
+    assert fit_ppl_thresholds(df) == [5.0, 7.0]
+
+
+def test_ppl_bucket_labels(spark):
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.lm_filter import ppl_bucket_col
+
+    rows = [(1, 2.0), (2, 3.0), (3, 5.5), (4, 9.0), (5, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "ppl"])
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", ppl_bucket_col("ppl", [3.0, 6.0]).alias("b")
+        ).collect()
+    }
+    # boundary value belongs to the lower bucket (<=), NULL stays NULL
+    assert got == {1: "head", 2: "head", 3: "middle", 4: "tail", 5: None}
+
+
+def test_ppl_fit_validation(spark):
+    import pytest
+
+    from html_to_document_spark.operators.lm_filter import (
+        fit_ppl_thresholds, ppl_bucket_col,
+    )
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["doc_id", "ppl"])
+    with pytest.raises(ValueError):
+        fit_ppl_thresholds(df)  # n=2 < 3 buckets
+    with pytest.raises(ValueError):
+        fit_ppl_thresholds(df, n_buckets=1)
+    with pytest.raises(ValueError):
+        ppl_bucket_col("ppl", [1.0], labels=("a", "b", "c"))

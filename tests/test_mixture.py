@@ -89,3 +89,70 @@ def test_select_token_budget_exact_prefix(spark):
         df, budget=50
     ).collect()}
     assert not any(out.values())
+
+
+# ---------------------------------------------------------------------------
+# hash_split_col: deterministic md5-prefix train/val/test assignment
+# ---------------------------------------------------------------------------
+
+def test_hash_split_matches_python_md5(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.mixture import (
+        hash_split_col, split_boundaries,
+    )
+
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    bounds = split_boundaries(fr)
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", hash_split_col("doc_id", fr, "z").alias("s")
+        ).collect()
+    }
+
+    def expect(i):
+        p = hashlib.md5(f"z{i}".encode()).hexdigest()[:8]
+        for (label, _), b in zip(fr, bounds):
+            if p < b:
+                return label
+        return fr[-1][0]
+
+    assert got == {i: expect(i) for i in range(500)}
+    # all three labels actually occur at this n
+    assert set(got.values()) == {"train", "val", "test"}
+
+
+def test_hash_split_stable_under_repartition(spark):
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.mixture import hash_split_col
+
+    fr = [("a", 0.5), ("b", 0.5)]
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    one = df.select("doc_id", hash_split_col("doc_id", fr).alias("s"))
+    other = (
+        df.repartition(7, "doc_id")
+        .select("doc_id", hash_split_col("doc_id", fr).alias("s"))
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, other.collect())
+    )
+
+
+def test_split_boundaries_validation():
+    import pytest
+
+    from html_to_document_spark.operators.mixture import split_boundaries
+
+    with pytest.raises(ValueError):
+        split_boundaries([])
+    with pytest.raises(ValueError):
+        split_boundaries([("a", -0.1), ("b", 1.1)])
+    with pytest.raises(ValueError):
+        split_boundaries([("a", 0.0)])
+    # unnormalized weights normalize
+    assert split_boundaries([("a", 2), ("b", 2)]) == ["80000000"]

@@ -1,0 +1,95 @@
+"""BM25 retrieval (operators/retrieval.py): value parity against a
+pure-Python recomputation with the same fixed-order arithmetic, cut
+determinism, and plan shape (no Python eval, no cartesian corpus
+join)."""
+
+import math
+
+import pytest
+
+from html_to_document_spark.operators.retrieval import bm25_score, bm25_topk
+
+K1, B = 1.2, 0.75
+
+
+def _py_bm25(corpus, terms):
+    """Reference scores with the operator's exact evaluation order."""
+    toks = {i: [w for w in t.lower().split() if w] for i, t in corpus}
+    dl = {i: len(ws) for i, ws in toks.items()}
+    n = float(len(corpus))
+    avgdl = float(sum(dl.values())) / n
+    dfq = {
+        t: float(sum(1 for ws in toks.values() if t in ws)) for t in terms
+    }
+    out = {}
+    for i, ws in toks.items():
+        score = None
+        matched = 0
+        for t in sorted(set(terms)):
+            tf = float(ws.count(t))
+            if tf > 0:
+                matched += 1
+            idf = math.log(1.0 + (n - dfq[t] + 0.5) / (dfq[t] + 0.5))
+            denom = tf + K1 * ((1.0 - B) + B * dl[i] / avgdl)
+            s = idf * tf * (K1 + 1.0) / denom
+            score = s if score is None else score + s
+        if matched:
+            out[i] = (matched, math.floor(score * 10000 + 0.5) / 10000)
+    return out
+
+
+CORPUS = [
+    (1, "spark shuffle join hash join hash table"),
+    (2, "broadcast join small table"),
+    (3, "sort merge join large shuffle"),
+    (4, "hash aggregate partial combine"),
+    (5, "nothing relevant here at all"),
+    (6, "  hash   join \t hash join  "),  # messy whitespace
+]
+
+
+def test_scores_match_reference(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in bm25_score(df, ["join", "hash"]).collect()
+    }
+    assert got == _py_bm25(CORPUS, ["join", "hash"])
+
+
+def test_no_match_docs_excluded(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    ids = {r["doc_id"] for r in bm25_score(df, ["join"]).collect()}
+    assert 5 not in ids and 4 not in ids
+    assert ids == {1, 2, 3, 6}
+
+
+def test_topk_cut_deterministic(spark):
+    # docs 10/11/12 are identical -> identical scores; the cut inside
+    # the tie must take the smallest ids
+    corpus = [(i, "alpha beta") for i in (10, 11, 12)] + [
+        (1, "alpha alpha alpha beta")
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    rows = bm25_topk(df, ["alpha"], k=3).collect()
+    assert [r["doc_id"] for r in rows] == [1, 10, 11]
+
+
+def test_empty_query_raises(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bm25_score(df, ["  ", ""])
+
+
+def test_plan_shape(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    plan = (
+        bm25_score(df, ["join", "hash"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # stays JVM-side and the single-row aggregates broadcast (BNLJ),
+    # never a cartesian of the corpus against itself
+    assert "BatchEvalPython" not in plan and "mapInPandas" not in plan
+    assert "CartesianProduct" not in plan
