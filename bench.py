@@ -543,6 +543,9 @@ def run_headline_queries() -> dict[str, float]:
         "pdf_extract",
         # r4 ExactSubstr marking (gram-hash groupBy + reused-exchange join)
         "substring_dedup_ranges",
+        # r5-cont: BM25 retrieval (query-term hit shuffle + broadcast
+        # constants — the cheap-at-scale shape is worth a per-round record)
+        "bm25_topk",
     ]
     missing = [n for n in names if n not in qs]
     assert not missing, f"bench names not in queries(): {missing}"
