@@ -480,9 +480,21 @@ def q_bloom_incremental(spark, sf_dir):
     probability per probe is ~1e-21, so the Bloom output EQUALS the
     exact anti-join the oracle computes — deterministic: fixed texts,
     fixed xxhash64 seeds. FP behaviour at hostile sizings is pinned in
-    tests/test_incremental.py."""
+    tests/test_incremental.py.
+
+    r5 continuation: a second 'near' arm gates incremental NEAR-dup
+    dedup (incremental_near_dedup — new batch vs history MinHash-LSH,
+    asymmetric band join). The plant reuses the training_pipeline
+    provable-band argument: history carries a 10-word salted phrase
+    repeated 4x, planted new docs the SAME phrase repeated 6x — a
+    different string with the IDENTICAL 3-gram shingle set, so the
+    signatures agree on every band (est=1.0) and exact_verify's true
+    Jaccard is 1.0; every other new doc shares zero shingles with the
+    salted history, so the survivor set equals the construction's
+    ground truth."""
     from html_to_document_spark.operators.incremental import (
         incremental_dedup,
+        incremental_near_dedup,
     )
 
     docs = _docs(spark, sf_dir)
@@ -495,9 +507,38 @@ def q_bloom_incremental(spark, sf_dir):
         F.when(F.col("doc_id") % 5 == 0, tpl)
         .otherwise(F.col("text")).alias("text"),
     )
-    return incremental_dedup(
+    bloom_arm = incremental_dedup(
         new, hist, num_buckets=8, bits_per_bucket=1 << 17, num_hashes=5
+    ).select(F.lit("bloom").alias("arm"), "doc_id", "text")
+
+    phrase = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit(f"p{i}k"), (F.col("doc_id") % 11).cast("string")
+            )
+            for i in range(10)
+        ],
     )
+    hist2 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat_ws(" ", phrase, phrase, phrase, phrase).alias("text"),
+    )
+    new2 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat_ws(" ", phrase, phrase, phrase,
+                        phrase, phrase, phrase),
+        ).otherwise(
+            F.concat(F.col("text"), F.lit(" uniq"),
+                     F.col("doc_id").cast("string"))
+        ).alias("text"),
+    )
+    near_arm = incremental_near_dedup(
+        new2, hist2, threshold=0.85, exact_verify=True
+    ).select(F.lit("near").alias("arm"), "doc_id", "text")
+    return bloom_arm.unionByName(near_arm)
 
 
 def q_fingerprint(spark, sf_dir):
@@ -2134,8 +2175,18 @@ def oracle_sql() -> dict[str, str]:
             "    then 'tpl-' || cast(doc_id % 13 as varchar) "
             "    else text end as text "
             "  from documents where doc_id % 7 <> 0"
-            ") select n.doc_id, n.text from nw n "
-            "where not exists (select 1 from hist h where h.text = n.text)"
+            ") select 'bloom' as arm, n.doc_id, n.text from nw n "
+            "where not exists (select 1 from hist h where h.text = n.text) "
+            # near arm (r5-cont): ground truth straight from the
+            # construction — planted 6x-phrase rows (doc_id%4==0) are
+            # provable matches of their 4x history twin (identical
+            # shingle set -> est=1.0, exact-verified jaccard=1.0);
+            # every other new doc shares zero shingles with the
+            # salted history phrases
+            "union all "
+            "select 'near' as arm, doc_id, "
+            "text || ' uniq' || cast(doc_id as varchar) as text "
+            "from documents where doc_id % 7 <> 0 and doc_id % 4 <> 0"
         ),
         "rep_topgram_stats": (
             "select * from ("

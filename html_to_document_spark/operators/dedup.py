@@ -230,6 +230,35 @@ def minhash_signature(
     )
 
 
+def banded_frame(sigs: "DataFrame", bands: int, rows_per_band: int):
+    """(_id, band_id, band_hash) rows from an (_id, minhash) frame —
+    the LSH band projection shared by the batch self-join
+    (minhash_lsh_pairs) and the incremental new-vs-history join
+    (incremental.incremental_near_pairs). Carries only the 8-byte
+    band hash, never the signature array."""
+    from pyspark.sql import functions as F
+
+    return sigs.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("minhash")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: "DataFrame",
     text_col: str = "text",
@@ -287,25 +316,7 @@ def minhash_lsh_pairs(
     # band join carries ONLY (id, band) — dragging the 64-long signature
     # arrays through the self-join shuffle doubled its bytes; signatures
     # are re-joined onto the (small) surviving pair set afterwards
-    banded = sigs.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("minhash")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    banded = banded_frame(sigs, bands, rows_per_band)
 
     if bucket_cap is not None:
         # hot-bucket routing WITHOUT a window: a window sorts the whole

@@ -57,6 +57,8 @@ __all__ = [
     "merge_bloom_indexes",
     "bloom_probe",
     "incremental_dedup",
+    "incremental_near_pairs",
+    "incremental_near_dedup",
 ]
 
 
@@ -305,3 +307,167 @@ def incremental_dedup(
         .drop("_hd")
     )
     return keep.unionByName(rescued)
+
+
+def incremental_near_pairs(
+    new_df: "DataFrame",
+    history_df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.85,
+    max_words: int | None = 20_000,
+    bucket_cap: int = 128,
+    exact_verify: bool = False,
+    history_sigs: "DataFrame | None" = None,
+    sig_cache: list | None = None,
+) -> "DataFrame":
+    """(new_id, hist_id, est_jaccard[, jaccard]) matches of a NEW crawl
+    batch against an already-curated HISTORY via MinHash-LSH — the
+    near-dup counterpart of the Bloom exact path above (FineWeb/Dolma
+    dedup each snapshot against all prior snapshots this way).
+
+    ASYMMETRIC by construction: new-batch band rows equi-join history
+    band rows, so the history NEVER self-joins — the m^2 hot-bucket
+    risk of a 10^12-doc history simply cannot occur here. What can
+    occur is a hot HISTORY bucket (a boilerplate template with many
+    historical copies) multiplying every colliding new doc by m; those
+    buckets collapse to their min-id representative via the same
+    count-partial-agg + broadcast routing as ``minhash_lsh_pairs`` —
+    matching the representative carries the same near-dup information
+    (signatures inside a template bucket agree on that band by
+    definition), and ``exact_verify`` re-checks true shingle Jaccard
+    on the surfaced pairs only.
+
+    Pass ``history_sigs`` (an (id, minhash) frame, e.g. persisted
+    parquet from a prior run) to skip re-reading history TEXT
+    entirely — at scale the signature table (~520 B/doc) is the
+    artifact that rolls forward, exactly like the Bloom bitmaps.
+    With ``exact_verify`` the history text is joined only onto the
+    surfaced candidate pairs.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import banded_frame, minhash_signature, shingle_jaccard_col
+
+    rows_per_band = num_hashes // bands
+    sigs_new = minhash_signature(
+        new_df, text_col, id_col, num_hashes, shingle_n, max_words=max_words
+    ).select(F.col(id_col).alias("_id"), "minhash")
+    if history_sigs is not None:
+        sigs_hist = history_sigs.select(
+            F.col(id_col).alias("_id"), "minhash"
+        )
+    else:
+        sigs_hist = minhash_signature(
+            history_df, text_col, id_col, num_hashes, shingle_n,
+            max_words=max_words,
+        ).select(F.col(id_col).alias("_id"), "minhash")
+    from pyspark.storagelevel import StorageLevel
+
+    sigs_new = sigs_new.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs_hist = sigs_hist.persist(StorageLevel.MEMORY_AND_DISK)
+    if sig_cache is not None:
+        sig_cache.extend([sigs_new, sigs_hist])
+
+    banded_new = banded_frame(sigs_new, bands, rows_per_band)
+    banded_hist = banded_frame(sigs_hist, bands, rows_per_band)
+
+    # hot-HISTORY-bucket routing: count partial-agg -> tiny broadcast
+    # hot set -> cold rows pass through, hot buckets contribute only
+    # their min-id representative row
+    bucket_counts = banded_hist.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("_bn"), F.min("_id").alias("_bmin")
+    )
+    hot = F.broadcast(
+        bucket_counts.filter(F.col("_bn") > bucket_cap)
+        .select("band_id", "band_hash", "_bmin")
+    )
+    hist_routed = banded_hist.join(
+        hot, ["band_id", "band_hash"], "left_anti"
+    ).unionByName(
+        hot.select("band_id", "band_hash", F.col("_bmin").alias("_id"))
+    )
+
+    pairs = (
+        banded_new.alias("n")
+        .join(
+            hist_routed.alias("h"),
+            (F.col("n.band_id") == F.col("h.band_id"))
+            & (F.col("n.band_hash") == F.col("h.band_hash")),
+        )
+        .select(
+            F.col("n._id").alias("new_id"), F.col("h._id").alias("hist_id")
+        )
+        .dropDuplicates(["new_id", "hist_id"])
+    )
+
+    scored = (
+        pairs.join(
+            sigs_new.select(
+                F.col("_id").alias("new_id"), F.col("minhash").alias("sig_n")
+            ),
+            "new_id",
+        )
+        .join(
+            sigs_hist.select(
+                F.col("_id").alias("hist_id"), F.col("minhash").alias("sig_h")
+            ),
+            "hist_id",
+        )
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_n", "sig_h", lambda a, b: a == b),
+                 lambda x: x)
+    )
+    out = (
+        scored.withColumn("est_jaccard", F.round(agree / num_hashes, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "hist_id", "est_jaccard")
+    )
+    if not exact_verify:
+        return out
+    # true shingle Jaccard on the surfaced pairs only — texts join the
+    # pair frame, never each other
+    nt = new_df.select(
+        F.col(id_col).alias("new_id"), F.col(text_col).alias("_tn")
+    )
+    ht = history_df.select(
+        F.col(id_col).alias("hist_id"), F.col(text_col).alias("_th")
+    )
+    return (
+        out.join(nt, "new_id")
+        .join(ht, "hist_id")
+        .withColumn(
+            "jaccard",
+            shingle_jaccard_col(F.col("_tn"), F.col("_th"), n=shingle_n),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "hist_id", "est_jaccard", "jaccard")
+    )
+
+
+def incremental_near_dedup(
+    new_df: "DataFrame",
+    history_df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> "DataFrame":
+    """New-batch rows with no near-duplicate in history: anti-join of
+    ``new_df`` against the ``incremental_near_pairs`` match set. The
+    corpus is touched only by the signature scan and this final
+    id-keyed anti-join; intra-batch near-dups are ``minhash_lsh_pairs``
+    / ``dedup_clusters``' business (run them on the survivors)."""
+    from pyspark.sql import functions as F
+
+    matches = incremental_near_pairs(
+        new_df, history_df, text_col, id_col, **kwargs
+    )
+    flagged = matches.select(
+        F.col("new_id").alias(id_col)
+    ).distinct()
+    return new_df.join(flagged, id_col, "left_anti")
