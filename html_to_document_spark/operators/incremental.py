@@ -311,7 +311,7 @@ def incremental_dedup(
 
 def incremental_near_pairs(
     new_df: "DataFrame",
-    history_df: "DataFrame",
+    history_df: "DataFrame | None",
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
@@ -353,6 +353,11 @@ def incremental_near_pairs(
 
     from .dedup import banded_frame, minhash_signature, shingle_jaccard_col
 
+    if history_df is None and (history_sigs is None or exact_verify):
+        raise ValueError(
+            "history_df may be None only with history_sigs given and "
+            "exact_verify=False (signature-only matching)"
+        )
     rows_per_band = num_hashes // bands
     sigs_new = minhash_signature(
         new_df, text_col, id_col, num_hashes, shingle_n, max_words=max_words

@@ -339,3 +339,89 @@ def run_streaming_domain_cap(
     )
     q.awaitTermination()
     return q
+
+
+def run_streaming_near_dedup(
+    spark,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    sig_path: str,
+    *,
+    schema: str = "doc_id long, text string",
+    threshold: float = 0.85,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_words: "int | None" = 20_000,
+    bucket_cap: int = 128,
+    roll_forward: bool = True,
+    max_files_per_trigger: "int | None" = None,
+):
+    """Streaming counterpart of ``incremental.incremental_near_dedup``
+    — possible precisely BECAUSE that operator is asymmetric: each
+    micro-batch band-joins the STANDING signature table at
+    ``sig_path`` (bootstrap it with
+    ``minhash_signature(history).write.parquet(sig_path)``), never
+    itself, so the self-join that keeps batch LSH out of streams
+    (run_stream_pipeline's docstring) never appears. Survivors append
+    to ``out_path``; with ``roll_forward`` their signatures append to
+    ``sig_path`` so later micro-batches near-dedup against earlier
+    ones — the rolling-snapshot pattern with the (id, minhash) table
+    (~520 B/doc) as the standing artifact, history text never read.
+
+    Contracts inherited from the batch operator: within ONE
+    micro-batch, near-dups with no history match ALL survive (run
+    batch LSH periodically over the accumulated output for those);
+    matching is signature-estimate only (no exact_verify — history
+    text is deliberately not available). foreachBatch parquet appends
+    are at-least-once on trigger retries: a re-appended signature row
+    is harmless (matching a duplicated history row is still one
+    match), and the out_path duplicate is the same idempotent-
+    downstream-dedup contract as run_stream_pipeline's sink."""
+    from html_to_document_spark.operators.dedup import minhash_signature
+    from html_to_document_spark.operators.incremental import (
+        incremental_near_dedup,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    stream = reader.parquet(in_path)
+
+    def _sink(batch_df, _batch_id):
+        s = batch_df.sparkSession
+        hist_sigs = s.read.parquet(sig_path)
+        cache: list = []
+        survivors = incremental_near_dedup(
+            batch_df,
+            None,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            max_words=max_words,
+            bucket_cap=bucket_cap,
+            history_sigs=hist_sigs,
+            sig_cache=cache,
+        )
+        survivors.write.mode("append").parquet(out_path)
+        if roll_forward:
+            minhash_signature(
+                survivors, num_hashes=num_hashes, shingle_n=shingle_n,
+                max_words=max_words,
+            ).write.mode("append").parquet(sig_path)
+        for frame in cache:
+            frame.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -120,3 +120,68 @@ def test_asymmetry_new_new_dups_survive(spark):
         for r in incremental_near_dedup(new, hist, threshold=0.85).collect()
     }
     assert survivors == {1, 2}
+
+
+def test_streaming_near_dedup_rolls_forward(spark, tmp_path):
+    """Streaming wiring: micro-batches near-dedup against the standing
+    signature table, and survivors' signatures roll forward so later
+    batches match earlier survivors."""
+    from html_to_document_spark.operators.dedup import minhash_signature
+    from html_to_document_spark.streaming.stateful import (
+        run_streaming_near_dedup,
+    )
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sig_path = str(tmp_path / "sigs")
+
+    hist = spark.createDataFrame(
+        [(100, _phrase(0, 4))], ["doc_id", "text"]
+    )
+    minhash_signature(hist).write.parquet(sig_path)
+
+    # batch 1: near-copy of history (dropped) + a fresh salted phrase
+    spark.createDataFrame(
+        [(1, _phrase(0, 6)), (2, _phrase(7, 4))], ["doc_id", "text"]
+    ).write.parquet(in_path)
+    run_streaming_near_dedup(spark, in_path, out_path, ckpt, sig_path)
+    assert {r.doc_id for r in spark.read.parquet(out_path).collect()} == {2}
+
+    # batch 2: near-copy of batch-1 SURVIVOR (dropped via roll-forward)
+    # + fresh doc
+    spark.createDataFrame(
+        [(3, _phrase(7, 6)), (4, _phrase(8, 4))], ["doc_id", "text"]
+    ).write.mode("append").parquet(in_path)
+    run_streaming_near_dedup(spark, in_path, out_path, ckpt, sig_path)
+    assert {r.doc_id for r in spark.read.parquet(out_path).collect()} == {
+        2, 4,
+    }
+
+    # batch 3: another near-copy of the ORIGINAL history (still dropped)
+    spark.createDataFrame(
+        [(5, _phrase(0, 6))], ["doc_id", "text"]
+    ).write.mode("append").parquet(in_path)
+    run_streaming_near_dedup(spark, in_path, out_path, ckpt, sig_path)
+    assert {r.doc_id for r in spark.read.parquet(out_path).collect()} == {
+        2, 4,
+    }
+
+
+def test_history_df_none_requires_sigs(spark, frames):
+    import pytest as _pytest
+
+    from html_to_document_spark.operators.incremental import (
+        incremental_near_pairs,
+    )
+
+    hist, new = frames
+    with _pytest.raises(ValueError):
+        incremental_near_pairs(new, None, threshold=0.85)
+    from html_to_document_spark.operators.dedup import minhash_signature
+
+    with _pytest.raises(ValueError):
+        incremental_near_pairs(
+            new, None, threshold=0.85,
+            history_sigs=minhash_signature(hist), exact_verify=True,
+        )
