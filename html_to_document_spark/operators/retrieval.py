@@ -38,7 +38,12 @@ from typing import TYPE_CHECKING, Sequence
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import Column, DataFrame
 
-__all__ = ["bm25_score", "bm25_topk"]
+__all__ = [
+    "bm25_score",
+    "bm25_topk",
+    "bm25_score_multi",
+    "bm25_topk_multi",
+]
 
 
 def _tokens(col: "Column") -> "Column":
@@ -159,3 +164,133 @@ def bm25_topk(
         df, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_score_multi(
+    df: "DataFrame",
+    queries: "dict[str, Sequence[str]]",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "DataFrame":
+    """Per-(query, document) BM25 for a BATCH of literal queries — the
+    retrieval-based-decontamination shape (score every training doc
+    against thousands of eval queries in ONE corpus pass).
+
+    Returns (query_id, id_col, n_matched, score); documents matching
+    no term of a query are absent for that query. Bit-identical to
+    ``bm25_score`` run per query: contributions are folded in sorted-
+    term order via ``aggregate(array_sort(...))`` — a float sum over
+    an unordered row stream would drift in the last ulp between runs
+    and engines, so the fold replays exactly the fixed-order addition
+    the single-query pivot compiles (absent terms contribute an exact
+    +0.0 there, which is the identity, so skipping them is lossless).
+
+    100 TB shape: identical to ``bm25_score`` — the corpus's only
+    wide shuffle carries (doc, term) hits for the UNION of all query
+    terms; the (query_id, term) map, per-term dfs and corpus
+    constants are all broadcast; per-(query, doc) grouping keys the
+    tiny hit-join result, never the corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from .text_analysis import r4
+
+    qmap_rows = []
+    for qid, terms in queries.items():
+        ts = sorted(set(t.lower() for t in terms if t.strip()))
+        if not ts:
+            raise ValueError(f"query {qid!r} has no terms")
+        qmap_rows.extend((qid, t) for t in ts)
+    union_terms = sorted({t for _, t in qmap_rows})
+
+    toks = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    ).select(id_col, "_toks", F.size("_toks").alias("_dl"))
+    consts = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        (F.sum("_dl") / F.count(F.lit(1))).cast("double").alias("_avgdl"),
+    )
+    hits = (
+        toks.select(id_col, "_dl", F.explode("_toks").alias("_t"))
+        .filter(F.col("_t").isin(union_terms))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"),
+             F.max("_dl").alias("_dl"))
+    )
+    dfreq = hits.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    qmap = df.sparkSession.createDataFrame(
+        qmap_rows, ["query_id", "_t"]
+    )
+
+    j = (
+        hits.join(F.broadcast(qmap), "_t")
+        .join(F.broadcast(dfreq), "_t")
+        .crossJoin(F.broadcast(consts))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    denom = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    contrib = idf * F.col("_tf") * F.lit(k1 + 1.0) / denom
+
+    per_term = j.select(
+        "query_id", F.col(id_col),
+        F.struct(F.col("_t").alias("t"), contrib.alias("c")).alias("_tc"),
+    )
+    return (
+        per_term.groupBy("query_id", id_col)
+        .agg(F.collect_list("_tc").alias("_tcs"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.size("_tcs").cast("long").alias("n_matched"),
+            r4(
+                F.aggregate(
+                    F.array_sort("_tcs"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                )
+            ).alias("score"),
+        )
+    )
+
+
+def bm25_topk_multi(
+    df: "DataFrame",
+    queries: "dict[str, Sequence[str]]",
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "DataFrame":
+    """Top-k per query over a query batch. The rank window partitions
+    by query_id over each query's CANDIDATE set (docs containing at
+    least one query term) — bounded by term selectivity, not corpus
+    size; for stop-word-grade terms pre-prune the query or raise the
+    per-term df cutoff upstream (WAND-style pruning is the classical
+    refinement). Deterministic cut: (rounded score desc, id asc)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    scored = bm25_score_multi(
+        df, queries, id_col=id_col, text_col=text_col, k1=k1, b=b
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

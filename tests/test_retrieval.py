@@ -93,3 +93,56 @@ def test_plan_shape(spark):
     # never a cartesian of the corpus against itself
     assert "BatchEvalPython" not in plan and "mapInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# multi-query batch (bm25_score_multi / bm25_topk_multi)
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q_join": ["join", "hash"],
+    "q_shuffle": ["shuffle"],
+    "q_table": ["table", "small", "join"],
+}
+
+
+def test_multi_bit_identical_to_single(spark):
+    from html_to_document_spark.operators.retrieval import bm25_score_multi
+
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    multi = bm25_score_multi(df, QUERIES).collect()
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_matched"], r["score"])
+        for r in multi
+    }
+    expect = {}
+    for qid, terms in QUERIES.items():
+        for r in bm25_score(df, terms).collect():
+            expect[(qid, r["doc_id"])] = (r["n_matched"], r["score"])
+    # exact equality INCLUDING the float scores: the sorted-term fold
+    # replays the single-query pivot's addition order bit-for-bit
+    assert got == expect
+
+
+def test_multi_topk_per_query(spark):
+    from html_to_document_spark.operators.retrieval import (
+        bm25_topk, bm25_topk_multi,
+    )
+
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    multi = bm25_topk_multi(df, QUERIES, k=2).collect()
+    for qid, terms in QUERIES.items():
+        single = [r["doc_id"] for r in bm25_topk(df, terms, k=2).collect()]
+        got = sorted(
+            [r for r in multi if r["query_id"] == qid],
+            key=lambda r: (-r["score"], r["doc_id"]),
+        )
+        assert [r["doc_id"] for r in got] == single
+
+
+def test_multi_empty_query_raises(spark):
+    from html_to_document_spark.operators.retrieval import bm25_score_multi
+
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bm25_score_multi(df, {"bad": ["", "  "]})
