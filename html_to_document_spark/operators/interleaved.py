@@ -51,6 +51,9 @@ __all__ = [
     "interleaved_keep_col",
     "hot_media_refs",
     "drop_hot_media",
+    "transform_span_text",
+    "pii_scrub_spans",
+    "fix_mojibake_spans",
 ]
 
 # A hot set larger than this is a sizing error (min_docs too low for the
@@ -269,3 +272,69 @@ def drop_hot_media(
             ),
         )
     return df.withColumn(spans_col, kept)
+
+
+def transform_span_text(
+    df: "DataFrame",
+    text_fn,
+    spans_col: str = "spans",
+    flag_col: "str | None" = None,
+) -> "DataFrame":
+    """Apply a Column->Column text function to every TEXT span's text,
+    leaving media spans (and every kind/media_ref/offset) untouched —
+    the hygiene-parity bridge for the interleaved shape: any scrub
+    that works on a text column works inside the spans array without
+    exploding 10^12 docs' spans through a shuffle.
+
+    One codegen projection (transform + withField); ``text_fn`` runs
+    once per text span. ``flag_col`` adds a doc-level changed marker
+    via array equality against the original (computed on the
+    materialized new column, not by re-running ``text_fn``)."""
+    from pyspark.sql import functions as F
+
+    new_spans = F.transform(
+        F.col(spans_col),
+        lambda s: F.when(
+            s["kind"] == F.lit("text"),
+            s.withField("text", text_fn(s["text"])),
+        ).otherwise(s),
+    )
+    out = df.withColumn("_new_spans", new_spans)
+    cols = []
+    for c in df.columns:
+        if c == spans_col:
+            cols.append(F.col("_new_spans").alias(spans_col))
+        else:
+            cols.append(F.col(c))
+    if flag_col is not None:
+        cols.append(
+            (F.col("_new_spans") != F.col(spans_col)).alias(flag_col)
+        )
+    return out.select(*cols)
+
+
+def pii_scrub_spans(
+    df: "DataFrame",
+    spans_col: str = "spans",
+    flag_col: "str | None" = "was_redacted",
+) -> "DataFrame":
+    """PII redaction over interleaved documents: corpus_hygiene's
+    oracle-gated scrub projection applied inside the spans array."""
+    from .corpus_hygiene import pii_scrub_col
+
+    return transform_span_text(
+        df, pii_scrub_col, spans_col=spans_col, flag_col=flag_col
+    )
+
+
+def fix_mojibake_spans(
+    df: "DataFrame",
+    spans_col: str = "spans",
+    flag_col: "str | None" = "was_mojibake",
+) -> "DataFrame":
+    """Encoding repair over interleaved documents — same bridge."""
+    from .corpus_hygiene import fix_mojibake_col
+
+    return transform_span_text(
+        df, fix_mojibake_col, spans_col=spans_col, flag_col=flag_col
+    )

@@ -216,3 +216,98 @@ def test_null_spans_counts_as_empty_doc(spark):
         "doc_id", interleaved_keep_col().alias("keep")
     ).collect()
     assert all(r["keep"] is False for r in kept)
+
+
+# ---------------------------------------------------------------------------
+# span-level hygiene bridge (transform_span_text / pii_scrub_spans)
+# ---------------------------------------------------------------------------
+
+def _span(kind, text, ref, off):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+
+SPAN_SCHEMA = (
+    "doc_id long, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def test_pii_scrub_spans_matches_column_scrub(spark):
+    """Bit-parity chain: scrubbing inside the spans array must equal
+    the oracle-gated pii_scrub_col applied to each text span's text;
+    media spans pass through byte-identical."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.corpus_hygiene import (
+        pii_scrub_col,
+    )
+    from html_to_document_spark.operators.interleaved import (
+        pii_scrub_spans,
+    )
+
+    rows = [
+        (1, [
+            _span("text", "mail me at a.b@ex.com now", None, 0),
+            _span("image", None, "media://logo", 1),
+            _span("text", "call (555) 123-4567 or 10.0.0.1", None, 2),
+        ]),
+        (2, [
+            _span("image", None, "media://x", 0),
+            _span("text", "clean text", None, 1),
+        ]),
+    ]
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    out = pii_scrub_spans(df)
+    got = {r["doc_id"]: (r["spans"], r["was_redacted"])
+           for r in out.collect()}
+    # media span untouched, offsets/kinds preserved
+    assert got[1][0][1].asDict() == _span("image", None, "media://logo", 1)
+    assert [s["offset"] for s in got[1][0]] == [0, 1, 2]
+    # text spans equal the column scrub's output
+    exploded = (
+        df.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "text")
+        .select("doc_id", F.col("s.offset").alias("off"),
+                pii_scrub_col(F.col("s.text")).alias("t"))
+    )
+    expect = {(r["doc_id"], r["off"]): r["t"] for r in exploded.collect()}
+    for doc_id, (spans, _) in got.items():
+        for s in spans:
+            if s["kind"] == "text":
+                assert s["text"] == expect[(doc_id, s["offset"])]
+    assert got[1][1] is True and got[2][1] is False
+
+
+def test_transform_span_text_single_stage_plan(spark):
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.interleaved import (
+        transform_span_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [_span("text", "a 1234567 b", None, 0)])], SPAN_SCHEMA
+    )
+    out = transform_span_text(
+        df, lambda c: F.regexp_replace(c, "[0-9]+", "<NUM>"),
+        flag_col="chg",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    row = out.collect()[0]
+    assert row["spans"][0]["text"] == "a <NUM> b" and row["chg"] is True
+
+
+def test_mojibake_spans_bridge(spark):
+    from html_to_document_spark.operators.interleaved import (
+        fix_mojibake_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [_span("text", "cafÃ© crowd", None, 0),
+              _span("image", None, "media://m", 1)])],
+        SPAN_SCHEMA,
+    )
+    row = fix_mojibake_spans(df).collect()[0]
+    assert row["spans"][0]["text"] == "café crowd"
+    assert row["was_mojibake"] is True
