@@ -54,6 +54,7 @@ __all__ = [
     "transform_span_text",
     "pii_scrub_spans",
     "fix_mojibake_spans",
+    "curate_interleaved",
 ]
 
 # A hot set larger than this is a sizing error (min_docs too low for the
@@ -338,3 +339,47 @@ def fix_mojibake_spans(
     return transform_span_text(
         df, fix_mojibake_col, spans_col=spans_col, flag_col=flag_col
     )
+
+
+def curate_interleaved(
+    df: "DataFrame",
+    spans_col: str = "spans",
+    *,
+    fix_encoding: bool = False,
+    scrub_pii: bool = False,
+    hot_media_min_docs: "int | None" = None,
+    keep: "dict | None" = None,
+    renumber_offsets: bool = True,
+    with_stats: bool = True,
+) -> "DataFrame":
+    """The composed interleaved-document curation pipeline — the
+    span-shape counterpart of plans.build_training_pipeline, in the
+    same stage order the text pipeline uses: repair encoding FIRST
+    (scores and filters must see repaired text), then PII scrub, then
+    corpus-level logo/banner stripping (changes image counts, so it
+    precedes the stats), then stats + the keep rule.
+
+    Everything except hot-media detection is a per-doc projection;
+    the logo pass adds exactly one exchange (the per-ref doc-frequency
+    count) and a broadcast back. ``keep`` is the
+    ``interleaved_keep_col`` kwargs (None = keep everything);
+    ``hot_media_min_docs`` None skips the logo pass."""
+    out = df
+    if fix_encoding:
+        out = fix_mojibake_spans(out, spans_col, flag_col=None)
+    if scrub_pii:
+        out = pii_scrub_spans(out, spans_col, flag_col=None)
+    if hot_media_min_docs is not None:
+        hot = hot_media_refs(
+            out, spans_col=spans_col, min_docs=hot_media_min_docs
+        )
+        out = drop_hot_media(
+            out, hot, spans_col=spans_col,
+            renumber_offsets=renumber_offsets,
+        )
+    out = interleaved_stats(out, spans_col)
+    if keep is not None:
+        out = out.filter(interleaved_keep_col(**keep))
+    if not with_stats:
+        out = out.select(*df.columns)
+    return out

@@ -209,3 +209,48 @@ def chunk_token_windows(
             F.col("_c.chunk").alias("chunk"),
         )
     )
+
+
+def materialize_packed(
+    df: "DataFrame",
+    packed: "DataFrame",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "<|endofdoc|>",
+) -> "DataFrame":
+    """(bin_id, n_docs, n_tokens, text): the actual training sequences
+    from a :func:`pack_sequences` assignment — member texts joined in
+    ascending ``id_col`` order (under the id column's own type
+    ordering — pack_sequences emits string ids) with ``sep`` between
+    documents.
+
+    Deterministic concatenation without a sort: collect_list's
+    arbitrary order is laundered through ``array_sort`` on
+    (id, text) structs (ids are unique, so the order is total), the
+    same trick as retrieval's sorted-term fold. Per-bin state is
+    bounded by construction — a bin holds at most ``budget`` tokens —
+    so the collect_list can never exceed one training sequence.
+    ``oversize`` docs are excluded (they don't fit any bin; truncate
+    or split upstream)."""
+    from pyspark.sql import functions as F
+
+    j = packed.filter(~F.col("oversize")).join(
+        df.select(
+            F.col(id_col).alias("_mid"), F.col(text_col).alias("_mtext")
+        ),
+        F.col(id_col) == F.col("_mid"),
+    )
+    return j.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_mid"), F.col("_mtext")))
+                ),
+                lambda x: x["_mtext"],
+            ),
+            sep,
+        ).alias("text"),
+    )

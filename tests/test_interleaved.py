@@ -311,3 +311,61 @@ def test_mojibake_spans_bridge(spark):
     row = fix_mojibake_spans(df).collect()[0]
     assert row["spans"][0]["text"] == "café crowd"
     assert row["was_mojibake"] is True
+
+
+def test_curate_interleaved_composed(spark):
+    """Composed pipeline: encoding repair -> pii scrub -> logo strip ->
+    stats -> keep, with the text-pipeline's repair-first ordering."""
+    from html_to_document_spark.operators.interleaved import (
+        curate_interleaved,
+    )
+
+    text = "cafÃ© and details a.b@ex.com " + "w " * 80
+    rows = [
+        # doc 1: survives — enough text, logo stripped
+        (1, [_span("text", text, None, 0),
+             _span("image", None, "media://logo", 1)]),
+        # doc 2: same logo, text too short -> filtered by keep rule
+        (2, [_span("text", "tiny", None, 0),
+             _span("image", None, "media://logo", 1)]),
+        # doc 3: image-only after logo strip -> filtered
+        (3, [_span("image", None, "media://logo", 0)]),
+    ]
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    out = curate_interleaved(
+        df,
+        fix_encoding=True,
+        scrub_pii=True,
+        hot_media_min_docs=3,
+        keep={"min_text_chars": 50},
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    spans = out[0]["spans"]
+    # logo stripped, text repaired AND scrubbed
+    assert all(s["kind"] == "text" for s in spans)
+    assert "café" in spans[0]["text"] and "<EMAIL>" in spans[0]["text"]
+    assert out[0]["n_images"] == 0
+
+
+def test_materialize_packed_sequences(spark):
+    from html_to_document_spark.operators.packing import (
+        materialize_packed, pack_sequences,
+    )
+
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(4))) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = pack_sequences(df, budget=8, num_partitions=1)
+    seqs = materialize_packed(df, packed, sep=" <eod> ").collect()
+    # every bin's text is its members' texts in ascending doc_id order
+    by_bin = {}
+    for r in packed.collect():
+        by_bin.setdefault(r["bin_id"], []).append(r["doc_id"])
+    assert len(seqs) == len(by_bin)
+    texts = {str(i): t for i, t in rows}
+    for r in seqs:
+        # pack_sequences emits doc_id as string; sort as the operator
+        # does (ascending id_col on the packed frame's own type)
+        members = sorted(by_bin[r["bin_id"]])
+        assert r["text"] == " <eod> ".join(texts[str(m)] for m in members)
+        assert r["n_docs"] == len(members)
+        assert r["n_tokens"] == 4 * len(members) <= 8
