@@ -323,6 +323,7 @@ def incremental_near_pairs(
     bucket_cap: int = 128,
     exact_verify: bool = False,
     history_sigs: "DataFrame | None" = None,
+    persist_sigs: bool = False,
     sig_cache: list | None = None,
 ) -> "DataFrame":
     """(new_id, hist_id, est_jaccard[, jaccard]) matches of a NEW crawl
@@ -348,6 +349,14 @@ def incremental_near_pairs(
     artifact that rolls forward, exactly like the Bloom bitmaps.
     With ``exact_verify`` the history text is joined only onto the
     surfaced candidate pairs.
+
+    ``persist_sigs=True`` caches both signature frames (each appears
+    in the band join AND the est re-join, so uncached they compute
+    twice); pass ``sig_cache=[]`` alongside and unpersist after
+    materializing the result — the default is OFF because a caller
+    who cannot unpersist (a fire-and-forget anti-join) would
+    otherwise pin two frames on the executors for the application's
+    lifetime (review r5-cont4).
     """
     from pyspark.sql import functions as F
 
@@ -371,12 +380,13 @@ def incremental_near_pairs(
             history_df, text_col, id_col, num_hashes, shingle_n,
             max_words=max_words,
         ).select(F.col(id_col).alias("_id"), "minhash")
-    from pyspark.storagelevel import StorageLevel
+    if persist_sigs:
+        from pyspark.storagelevel import StorageLevel
 
-    sigs_new = sigs_new.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs_hist = sigs_hist.persist(StorageLevel.MEMORY_AND_DISK)
-    if sig_cache is not None:
-        sig_cache.extend([sigs_new, sigs_hist])
+        sigs_new = sigs_new.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs_hist = sigs_hist.persist(StorageLevel.MEMORY_AND_DISK)
+        if sig_cache is not None:
+            sig_cache.extend([sigs_new, sigs_hist])
 
     banded_new = banded_frame(sigs_new, bands, rows_per_band)
     banded_hist = banded_frame(sigs_hist, bands, rows_per_band)

@@ -308,8 +308,14 @@ def transform_span_text(
         else:
             cols.append(F.col(c))
     if flag_col is not None:
+        # NULL spans (failed extraction) -> unchanged, flag FALSE —
+        # a NULL flag would silently drop the row from any boolean
+        # filter, the exact poisoning interleaved_stats' coalesce
+        # guards against (review r5-cont4)
         cols.append(
-            (F.col("_new_spans") != F.col(spans_col)).alias(flag_col)
+            F.coalesce(
+                F.col("_new_spans") != F.col(spans_col), F.lit(False)
+            ).alias(flag_col)
         )
     return out.select(*cols)
 
@@ -364,15 +370,22 @@ def curate_interleaved(
     count) and a broadcast back. ``keep`` is the
     ``interleaved_keep_col`` kwargs (None = keep everything);
     ``hot_media_min_docs`` None skips the logo pass."""
+    # hot-media detection reads ONLY media_ref, which no text scrub
+    # touches — detect on the RAW input so the hot-set collect (a
+    # driver action) never evaluates the scrub regexes; otherwise the
+    # whole corpus would pay the mojibake+PII transforms twice
+    # (review r5-cont4)
+    hot = (
+        hot_media_refs(df, spans_col=spans_col, min_docs=hot_media_min_docs)
+        if hot_media_min_docs is not None
+        else None
+    )
     out = df
     if fix_encoding:
         out = fix_mojibake_spans(out, spans_col, flag_col=None)
     if scrub_pii:
         out = pii_scrub_spans(out, spans_col, flag_col=None)
-    if hot_media_min_docs is not None:
-        hot = hot_media_refs(
-            out, spans_col=spans_col, min_docs=hot_media_min_docs
-        )
+    if hot is not None:
         out = drop_hot_media(
             out, hot, spans_col=spans_col,
             renumber_offsets=renumber_offsets,

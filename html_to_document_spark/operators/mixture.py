@@ -171,7 +171,17 @@ def split_boundaries(fractions: "list[tuple[str, float]]") -> list[str]:
     bounds, cum = [], 0.0
     for _, f in fractions[:-1]:
         cum += f / total
-        bounds.append(format(min(1 << 32, int(cum * (1 << 32))), "08x"))
+        v = int(cum * (1 << 32))
+        if v >= (1 << 32):
+            # a saturated boundary must compare GREATER than every
+            # 8-hex prefix — 'g' > 'f' lexically, so every md5 prefix
+            # falls below it. format(2**32,'08x') would emit 9 chars
+            # ('100000000'), which compares SMALLER than almost every
+            # prefix and silently flipped ~94% of assignments to the
+            # zero-fraction label (review r5-cont4, verified).
+            bounds.append("g")
+        else:
+            bounds.append(format(v, "08x"))
     return bounds
 
 

@@ -235,11 +235,16 @@ def materialize_packed(
     or split upstream)."""
     from pyspark.sql import functions as F
 
+    # pack_sequences emits its id as a STRING column named doc_id;
+    # cast the member side explicitly — bare string==bigint equality
+    # would coerce BOTH sides to double and collide distinct 64-bit
+    # ids above 2^53 (review r5-cont4)
     j = packed.filter(~F.col("oversize")).join(
         df.select(
-            F.col(id_col).alias("_mid"), F.col(text_col).alias("_mtext")
+            F.col(id_col).cast("string").alias("_mid"),
+            F.col(text_col).alias("_mtext"),
         ),
-        F.col(id_col) == F.col("_mid"),
+        F.col("doc_id") == F.col("_mid"),
     )
     return j.groupBy("bin_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -7,15 +7,23 @@ that retrieve an eval query too well) and targeted corpus sampling
 ("give me the docs most about X").
 
 100 TB shape:
-- The corpus frame is scanned ONCE; tokens are filtered to the
-  query's literal term set *before* the explode's groupBy, so the
-  only corpus-sized shuffle carries (doc_id, term) hits for query
-  terms — a tiny fraction of the token stream. Doc length is a
-  projection on the same scan (no second pass).
+- The corpus never shuffles on anything but the (doc_id)-keyed hit
+  aggregation: tokens are filtered to the query's literal term set
+  *before* the explode's groupBy, so that one shuffle carries
+  (doc_id, term) hits — a tiny fraction of the token stream.
+- Scan count, honestly (review r5-cont4): the plan holds SEPARATE
+  tokenize subtrees for the (N, avgdl) single-row agg and for the
+  hit explode, and the hits subtree evaluates once per consumer
+  (the score join and the per-term df agg) unless cached — up to
+  three projection-only passes, none of which shuffles the corpus.
+  Pass ``cache=[]`` to persist the tiny hits frame (one corpus
+  tokenize for both consumers; unpersist the returned frames after
+  materializing); the consts pass is irreducible without caching
+  the full token arrays, which at corpus scale costs more than the
+  re-scan.
 - Corpus aggregates (N, avgdl) are a single-row agg joined back via
   broadcast; per-term document frequencies aggregate the already-tiny
-  hits frame and broadcast back as the idf map. The corpus never
-  shuffles on anything but the one (doc_id)-keyed hit aggregation.
+  hits frame and broadcast back as the idf map.
 - Scoring is a FIXED-ORDER arithmetic expression over per-term tf
   columns (a literal-values pivot), not a float sum over a
   nondeterministically-ordered row stream — so the double result is
@@ -62,6 +70,7 @@ def bm25_score(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    cache: list | None = None,
 ) -> "DataFrame":
     """Per-document BM25 score for a literal query.
 
@@ -69,7 +78,10 @@ def bm25_score(
     at least one query term; ``score`` is HALF_UP-rounded at 4
     decimals (text_analysis.r4), ``n_matched`` counts distinct query
     terms present. idf uses the Lucene non-negative form
-    ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``. ``cache`` (a list)
+    persists the hits frame so its two consumers share one corpus
+    tokenize — caller unpersists the appended frames (module
+    docstring has the scan-count accounting).
     """
     from pyspark.sql import functions as F
 
@@ -103,6 +115,11 @@ def bm25_score(
             ],
         )
     )
+    if cache is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        hits = hits.persist(StorageLevel.MEMORY_AND_DISK)
+        cache.append(hits)
 
     # Per-term document frequencies over the tiny hits frame.
     dfreq = hits.agg(
@@ -174,10 +191,13 @@ def bm25_score_multi(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    cache: list | None = None,
 ) -> "DataFrame":
     """Per-(query, document) BM25 for a BATCH of literal queries — the
     retrieval-based-decontamination shape (score every training doc
-    against thousands of eval queries in ONE corpus pass).
+    against thousands of eval queries in one job with one corpus
+    hit-shuffle; scan accounting in the module docstring applies
+    here too).
 
     Returns (query_id, id_col, n_matched, score); documents matching
     no term of a query are absent for that query. Bit-identical to
@@ -220,6 +240,11 @@ def bm25_score_multi(
         .agg(F.count(F.lit(1)).cast("double").alias("_tf"),
              F.max("_dl").alias("_dl"))
     )
+    if cache is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        hits = hits.persist(StorageLevel.MEMORY_AND_DISK)
+        cache.append(hits)
     dfreq = hits.groupBy("_t").agg(
         F.count(F.lit(1)).cast("double").alias("_df")
     )

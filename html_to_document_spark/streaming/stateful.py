@@ -379,7 +379,6 @@ def run_streaming_near_dedup(
     is harmless (matching a duplicated history row is still one
     match), and the out_path duplicate is the same idempotent-
     downstream-dedup contract as run_stream_pipeline's sink."""
-    from html_to_document_spark.operators.dedup import minhash_signature
     from html_to_document_spark.operators.incremental import (
         incremental_near_dedup,
     )
@@ -392,6 +391,8 @@ def run_streaming_near_dedup(
     stream = reader.parquet(in_path)
 
     def _sink(batch_df, _batch_id):
+        from pyspark.sql import functions as F
+
         s = batch_df.sparkSession
         hist_sigs = s.read.parquet(sig_path)
         cache: list = []
@@ -405,14 +406,29 @@ def run_streaming_near_dedup(
             max_words=max_words,
             bucket_cap=bucket_cap,
             history_sigs=hist_sigs,
+            persist_sigs=True,
             sig_cache=cache,
         )
+        if roll_forward:
+            # survivors feeds TWO actions (output write + signature
+            # append) — persist it so the dedup lineage runs once per
+            # micro-batch, and append roll-forward signatures by
+            # semi-joining the already-persisted batch signature
+            # frame instead of re-tokenizing survivor text
+            # (review r5-cont4)
+            survivors = survivors.persist()
+            cache.append(survivors)
         survivors.write.mode("append").parquet(out_path)
         if roll_forward:
-            minhash_signature(
-                survivors, num_hashes=num_hashes, shingle_n=shingle_n,
-                max_words=max_words,
-            ).write.mode("append").parquet(sig_path)
+            sigs_new = cache[0]  # (_id, minhash) of the whole batch
+            surv_ids = survivors.select(
+                F.col("doc_id").alias("_id")
+            ).distinct()
+            (
+                sigs_new.join(surv_ids, "_id")
+                .select(F.col("_id").alias("doc_id"), "minhash")
+                .write.mode("append").parquet(sig_path)
+            )
         for frame in cache:
             frame.unpersist()
 

@@ -369,3 +369,23 @@ def test_materialize_packed_sequences(spark):
         assert r["text"] == " <eod> ".join(texts[str(m)] for m in members)
         assert r["n_docs"] == len(members)
         assert r["n_tokens"] == 4 * len(members) <= 8
+
+
+def test_span_scrub_null_spans_flag_false(spark):
+    """NULL spans (failed extraction) -> unchanged row, flag FALSE not
+    NULL (a NULL flag silently drops the row from boolean filters)."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.interleaved import (
+        pii_scrub_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [_span("text", "a.b@ex.com", None, 0)])],
+        SPAN_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in pii_scrub_spans(df).collect()}
+    assert out[1]["spans"] is None and out[1]["was_redacted"] is False
+    assert out[2]["was_redacted"] is True
+    kept = pii_scrub_spans(df).filter(~F.col("was_redacted")).count()
+    assert kept == 1  # doc 1 survives the negated filter

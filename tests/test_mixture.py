@@ -156,3 +156,27 @@ def test_split_boundaries_validation():
         split_boundaries([("a", 0.0)])
     # unnormalized weights normalize
     assert split_boundaries([("a", 2), ("b", 2)]) == ["80000000"]
+
+
+def test_split_boundaries_saturated_fraction(spark):
+    """A cumulative fraction reaching 1.0 must still compare GREATER
+    than every 8-hex md5 prefix (review r5-cont4: format(2**32,'08x')
+    is 9 chars and lexically SMALLER than most prefixes, flipping
+    ~94% of assignments to the zero-fraction label)."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.mixture import (
+        hash_split_col, split_boundaries,
+    )
+
+    assert split_boundaries([("train", 1.0), ("x", 0.0)]) == ["g"]
+    df = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    got = {
+        r["s"]
+        for r in df.select(
+            hash_split_col(
+                "doc_id", [("train", 1.0), ("x", 0.0)]
+            ).alias("s")
+        ).collect()
+    }
+    assert got == {"train"}
