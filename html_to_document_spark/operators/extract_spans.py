@@ -472,3 +472,29 @@ def salted_repartition(
     # hashes the key again, and re-hashing only n distinct values into n
     # buckets leaves ~37% of partitions empty and others 3-4x overloaded
     return df.repartition(num_partitions, F.xxhash64("doc_id", F.lit(salt_seed)))
+
+
+def ensure_parallelism(
+    df: "DataFrame",
+    min_partitions: int | None = None,
+    salt_seed: int = 42,
+) -> "DataFrame":
+    """Guarantee at least ``min_partitions`` (default: the session's
+    ``defaultParallelism``) input partitions ahead of a CPU-heavy
+    per-row stage.
+
+    At the target corpus scale the scan already yields thousands of
+    partitions and this is a no-op (one cheap ``getNumPartitions``
+    plan probe, no job). It exists for the opposite regime — a small,
+    single-file, or post-coalesce input — where a heavy map stage
+    (gram expansion, minhash sketching, model scoring) would otherwise
+    serialize onto one core while the rest of the cluster idles. The
+    widening shuffle moves only the raw input rows once, which is
+    always cheaper than single-threading a stage that fans each row
+    out 10-100x.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return salted_repartition(df, target, salt_seed)

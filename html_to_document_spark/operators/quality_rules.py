@@ -230,6 +230,8 @@ def gopher_repetition_flags(
     *,
     top_thresholds: dict = TOP_NGRAM_THRESHOLDS,
     dup_thresholds: dict = DUP_NGRAM_THRESHOLDS,
+    impl: str = "local",
+    parallelism: "int | str | None" = "auto",
 ) -> "DataFrame":
     """The Gopher n-gram repetition rules: per document, the fraction
     of characters covered by the single most frequent word n-gram
@@ -242,17 +244,171 @@ def gopher_repetition_flags(
     definition, not a character-coverage bitmap, and is applied
     identically in the DuckDB oracle.
 
-    Scale shape: ONE explode emits every (n, gram) occurrence with the
-    gram pre-hashed to 64 bits map-side — shuffle rows are
-    (doc_id, n, hash, gram_chars, doc_chars), never gram text (same
-    collision policy as exact_dedup). Two aggregations: per-gram count
-    (map-side combinable) then per-(doc, n), then a conditional-agg
-    pivot to one row per doc. All expressions JVM-side.
+    Scale shape: the statistic is PER DOCUMENT, so the default
+    ``impl="local"`` never shuffles gram rows at all — each row
+    run-length-encodes its own sorted 64-bit gram hashes inside JVM
+    array expressions (sort + run-start filter + zip_with), emitting
+    one output row per input row with zero exchanges. ``impl=
+    "shuffle"`` keeps the explode + two-aggregation formulation
+    (grams pre-hashed map-side, shuffle rows never carry gram text)
+    as a differential check; both produce identical values (pinned by
+    a lockstep test and the shared DuckDB oracle). ``parallelism=
+    "auto"`` widens a degenerate narrow input (single-file scan)
+    before the gram stage via :func:`ensure_parallelism`; pass
+    ``None`` to leave partitioning untouched.
     """
     from pyspark.sql import functions as F
 
+    if impl not in ("local", "shuffle"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if parallelism is not None:
+        from html_to_document_spark.operators.extract_spans import (
+            ensure_parallelism,
+        )
+
+        df = ensure_parallelism(
+            df, None if parallelism == "auto" else int(parallelism)
+        )
+
     c = F.col(text_col)
     all_ns = sorted(set(top_thresholds) | set(dup_thresholds))
+    if impl == "local":
+        return _repetition_local(df, c, all_ns, top_thresholds, dup_thresholds)
+    return _repetition_shuffle(
+        df, c, all_ns, top_thresholds, dup_thresholds
+    )
+
+
+def _repetition_local(df, c, all_ns, top_thresholds, dup_thresholds):
+    """Zero-shuffle per-row formulation: sorted gram-hash run-length
+    encoding with array higher-order functions (see the dispatcher
+    docstring). A doc appears in the output iff it has at least one
+    gram for the smallest n — the same membership the shuffle/oracle
+    formulation produces via its group-by."""
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        "doc_id", F.length(c).alias("_dc"), _words(c).alias("_w")
+    ).where(F.size(F.col("_w")) >= min(all_ns))
+    words = F.col("_w")
+
+    # stage 1: per n, the SORTED (hash, gram_chars) array. The gram
+    # string array is produced and consumed inside one expression so
+    # only one n's strings are ever live per row; what persists is 16
+    # bytes per gram. _w is a materialized column (not re-split per
+    # lambda element — see the shuffle impl's note).
+    sel = ["doc_id", "_dc"]
+    for n in all_ns:
+        # NB: a one-arg lambda — pyspark treats a second python arg as
+        # the HOF's (element, index) pair, so `lambda i, n=n:` would
+        # silently rebind n to the array index. The loop variable is
+        # captured safely because F.transform invokes the lambda
+        # eagerly at construction time.
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(words) - n + 1),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+        hs = F.array_sort(
+            F.transform(
+                grams,
+                lambda g: F.struct(
+                    F.xxhash64(g).alias("h"), F.length(g).alias("l")
+                ),
+            )
+        )
+        sel.append(
+            F.when(F.size(words) >= n, hs)
+            .otherwise(F.array().cast("array<struct<h:bigint,l:int>>"))
+            .alias(f"_h{n}")
+        )
+    hashed = base.select(*sel)
+
+    # stage 2: run starts (1-based positions where the hash changes)
+    sel = ["doc_id", "_dc"]
+    for n in all_ns:
+        hsc = F.col(f"_h{n}")
+        m = F.size(hsc)
+        starts = F.filter(
+            F.sequence(F.lit(1), m),
+            lambda i: (i == F.lit(1))
+            | (
+                F.element_at(hsc, i)["h"]
+                != F.element_at(hsc, i - F.lit(1))["h"]
+            ),
+        )
+        sel.append(
+            F.when(m >= 1, starts)
+            .otherwise(F.array().cast("array<int>"))
+            .alias(f"_s{n}")
+        )
+        sel.append(hsc)
+    started = hashed.select(*sel)
+
+    # stage 3: runs -> (count, covered chars) per distinct gram; the
+    # struct field order (c, p) makes array_max the same lexicographic
+    # argmax-by-count-then-coverage as the shuffle impl's struct max
+    sel = ["doc_id", "_dc"]
+    for n in all_ns:
+        hsc, stc = F.col(f"_h{n}"), F.col(f"_s{n}")
+        m = F.size(hsc)
+        ends = F.concat(F.slice(stc, 2, F.size(stc)), F.array(m + 1))
+        runs = F.when(
+            m >= 1,
+            F.zip_with(
+                stc,
+                ends,
+                lambda s, e: F.struct(
+                    (e - s).cast("long").alias("c"),
+                    (
+                        (e - s).cast("long")
+                        * F.element_at(hsc, s)["l"]
+                    ).alias("p"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<c:bigint,p:bigint>>"))
+        sel.append(runs.alias(f"_r{n}"))
+    runs_df = started.select(*sel)
+
+    r = lambda x: F.round(x, 4)  # noqa: E731
+    dc = F.col("_dc").cast("double")
+    stat_cols, flag_exprs = [], []
+    for n, thr in sorted(top_thresholds.items()):
+        topf = F.coalesce(F.array_max(F.col(f"_r{n}"))["p"] / dc, F.lit(0.0))
+        stat_cols.append(r(topf).alias(f"top_{n}gram_char_frac"))
+        flag_exprs.append((topf <= thr).alias(f"top_{n}gram_ok"))
+    for n, thr in sorted(dup_thresholds.items()):
+        dupf = F.least(
+            F.aggregate(
+                F.col(f"_r{n}"),
+                F.lit(0).cast("long"),
+                lambda acc, rr: acc
+                + F.when(rr["c"] > 1, rr["p"]).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            )
+            / dc,
+            F.lit(1.0),
+        )
+        stat_cols.append(r(dupf).alias(f"dup_{n}gram_char_frac"))
+        flag_exprs.append((dupf <= thr).alias(f"dup_{n}gram_ok"))
+    keep = None
+    for e in flag_exprs:
+        keep = e if keep is None else keep & e
+    return runs_df.select(
+        "doc_id", *stat_cols, *flag_exprs, keep.alias("repetition_keep")
+    )
+
+
+def _repetition_shuffle(df, c, all_ns, top_thresholds, dup_thresholds):
+    """Explode + two-aggregation formulation: ONE explode emits every
+    (n, gram) occurrence with the gram pre-hashed to 64 bits map-side —
+    shuffle rows are (doc_id, n, hash, gram_chars, doc_chars), never
+    gram text (same collision policy as exact_dedup). Per-gram count
+    (map-side combinable), per-(doc, n) argmax/sum, then a
+    conditional-agg pivot to one row per doc. All expressions
+    JVM-side. Kept as the differential twin of the zero-shuffle local
+    impl."""
+    from pyspark.sql import functions as F
 
     # materialize the split ONCE as a column before the gram lambdas:
     # a lambda that references the outer split() expression makes

@@ -189,15 +189,66 @@ def test_repetition_shuffle_carries_hash_not_text(spark):
     df = spark.createDataFrame([(1, "a b c d e f g")],
                                "doc_id long, text string")
     plan = (
-        gopher_repetition_flags(df)
+        gopher_repetition_flags(df, impl="shuffle", parallelism=None)
         ._jdf.queryExecution().executedPlan().toString()
     )
     # the exchange between the explode and the per-gram count must key
     # on the 64-bit xxhash, never the gram string
-    import re
     exch = [l for l in plan.split("\n") if "Exchange hashpartitioning" in l]
     assert exch and all("xxhash64" in l or "_gh" in l or "doc_id" in l
                         for l in exch)
+
+
+def test_repetition_local_plan_has_no_exchange(spark):
+    """The default per-row formulation never shuffles: the statistic is
+    per-document, so the whole computation is one narrow projection."""
+    from html_to_document_spark.operators.quality_rules import (
+        gopher_repetition_flags,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f g")],
+                               "doc_id long, text string")
+    plan = (
+        gopher_repetition_flags(df, parallelism=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_repetition_local_matches_shuffle(spark):
+    """Lockstep differential: the zero-shuffle run-length formulation
+    and the explode+aggregate formulation agree exactly (values,
+    flags, and row membership) on a corpus with planted repetition,
+    whitespace edges, empty and sub-minimum docs."""
+    import random
+
+    from html_to_document_spark.operators.quality_rules import (
+        gopher_repetition_flags,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta",
+             "the", "of", "and", "xx", "yy", "zz"]
+    rows = []
+    for i in range(120):
+        n = rng.randint(0, 60)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if i % 5 == 0 and n > 4:
+            words = words + words[: rng.randint(1, n)]
+        txt = " ".join(words)
+        if i % 17 == 0:
+            txt = "   " + txt + "\t\n"
+        if i % 31 == 0:
+            txt = ""
+        rows.append((i, txt))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = gopher_repetition_flags(df, impl="local", parallelism=None)
+    b = gopher_repetition_flags(df, impl="shuffle", parallelism=None)
+    ra = a.orderBy("doc_id").collect()
+    rb = b.orderBy("doc_id").collect()
+    assert a.columns == b.columns
+    assert [tuple(r) for r in ra] == [tuple(r) for r in rb]
+    assert len(ra) > 100  # only the <2-word docs drop
 
 
 def test_pipeline_repetition_and_c4_stages(spark):
