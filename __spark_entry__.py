@@ -1422,10 +1422,57 @@ def q_decontaminate_ngram(spark, sf_dir):
     return decontaminate_ngrams(train, bench, n=13)
 
 
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy (MinHash near-dup) decontamination — the document-level
+    companion to the exact modes. Plant reuses the provable-band
+    argument (q_bloom_incremental 'near' arm): exactly THREE benchmark
+    docs (ids 0/97/194 — one per doc_id%3 residue) each carry a
+    k-salted 10-word phrase repeated 4x; contaminated train docs
+    (doc_id%4==0) carry phrase(doc_id%3) repeated 6x — a different
+    string with the IDENTICAL 3-gram shingle set, so est_jaccard=1.0
+    on every band and exact verify reads 1.0; every clean train doc
+    is salted natural text sharing zero shingles with any phrase. So
+    the flagged set == the construction's ground truth and
+    n_benchmark_matches == 1 (one bench doc per residue) at any sf."""
+    from html_to_document_spark.operators.corpus_hygiene import (
+        decontaminate_fuzzy,
+    )
+
+    docs = _docs(spark, sf_dir)
+    phrase = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit(f"dz{i}r"), (F.col("doc_id") % 3).cast("string")
+            )
+            for i in range(10)
+        ],
+    )
+    bench = docs.filter(
+        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") <= 194)
+    ).select(
+        "doc_id", F.concat_ws(" ", phrase, phrase, phrase, phrase).alias("text")
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat_ws(" ", phrase, phrase, phrase,
+                        phrase, phrase, phrase),
+        ).otherwise(
+            F.concat(F.col("text"), F.lit(" uq"),
+                     F.col("doc_id").cast("string"))
+        ).alias("text"),
+    )
+    return decontaminate_fuzzy(
+        train, bench, threshold=0.85, exact_verify=True
+    )
+
+
 def q_decontaminate_modes(spark, sf_dir):
-    """Both decontamination modes in one gate row (paragraph-exact and
-    sliding 13-gram), tagged by a mode column — merged r4 so the
-    50-row cap could admit gopher_rules without losing either gate."""
+    """All three decontamination modes in one gate row (paragraph-
+    exact, sliding 13-gram, and r5's fuzzy near-dup), tagged by a mode
+    column — merged r4/r5 to stay under the 50-row driver cap."""
     a = q_decontaminate(spark, sf_dir).select(
         F.lit("paragraph").alias("mode"),
         "doc_id",
@@ -1436,18 +1483,34 @@ def q_decontaminate_modes(spark, sf_dir):
         "doc_id",
         F.col("n_contaminated_ngrams").alias("n_hits"),
     )
-    return a.unionByName(b)
+    c = q_decontaminate_fuzzy(spark, sf_dir).select(
+        F.lit("fuzzy").alias("mode"),
+        "doc_id",
+        F.col("n_benchmark_matches").alias("n_hits"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q_gopher_rules(spark, sf_dir):
     """Published Gopher document-quality rules as a codegen projection
     (operators/quality_rules.py), oracle-gated over four deterministic
     text variants per doc: clean, symbol-injected ('a'->'#'), 40-char
-    truncation (word-count fail), and a bulleted-line tail (bullet-
+    truncation (word-count fail), and a bulleted-line fail (bullet-
     ratio fail). The oracle recomputes every stat and flag in SQL from
-    the same construction."""
+    the same construction.
+
+    r5: two companion rule families join in by doc_id — the C4
+    bad-words page filter (word_blocklist_flags over text with
+    doc_id%5 planted 'zorple' hits, fraction threshold 0.02 so both
+    keep branches occur) and the char-entropy gibberish signal
+    (char_entropy; doc_id%6==0 docs replaced by a 64-char single-char
+    flood, pinning the low-entropy drop branch)."""
     from html_to_document_spark.operators.quality_rules import (
         gopher_quality_flags,
+        word_blocklist_flags,
+    )
+    from html_to_document_spark.operators.text_analysis import (
+        char_entropy,
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -1461,9 +1524,22 @@ def q_gopher_rules(spark, sf_dir):
         .when(F.col("doc_id") % 4 == 3, F.concat(c, bullet_tail))
         .otherwise(c)
     )
-    return gopher_quality_flags(
+    flags = gopher_quality_flags(
         docs.select("doc_id", variant.alias("text"))
     )
+    badtext = F.concat(
+        c, F.expr("repeat(' zorple', cast(doc_id % 5 as int))")
+    )
+    bl = word_blocklist_flags(
+        docs.select("doc_id", badtext.alias("text")),
+        ("zorple",),
+        max_fraction=0.02,
+    )
+    ent_text = F.when(
+        F.col("doc_id") % 6 == 0, F.expr("repeat('a', 64)")
+    ).otherwise(c)
+    en = char_entropy(docs.select("doc_id", ent_text.alias("text")))
+    return flags.join(bl, "doc_id").join(en, "doc_id")
 
 
 # utf-8-as-sloppy-cp1252 corruption of " naïve é — €9 ½ “q”" — the
@@ -2707,7 +2783,13 @@ def oracle_sql() -> dict[str, str]:
             "    as t(i)"
             ") select doc_id, count(*) as n_contaminated_ngrams "
             "from tg join bg using (g) group by doc_id"
-            ")"
+            ") union all "
+            # fuzzy arm: est_jaccard provably 1.0 (identical shingle
+            # sets) and exactly one benchmark doc per doc_id%3 residue
+            # (ids 0/97/194), so the flag set and hit count come
+            # straight from the plant's ground truth
+            "select 'fuzzy' as mode, doc_id, cast(1 as bigint) as n_hits "
+            "from documents where doc_id % 97 <> 0 and doc_id % 4 = 0"
         ),
         "gopher_rules": (
             # same four text variants, then every Gopher stat/flag
@@ -2750,7 +2832,43 @@ def oracle_sql() -> dict[str, str]:
             )
             + " as int) as stop_hits"
             "  from m"
-            ") select doc_id, n_words,"
+            "), bl as ("
+            # r5 blocklist companion: planted doc_id%5 'zorple' hits,
+            # lower+edge-strip normalization, fraction threshold 0.02
+            "  select doc_id,"
+            "    list_filter(string_split_regex(trim(text || "
+            "repeat(' zorple', cast(doc_id % 5 as int))), '\\s+'), "
+            "w -> regexp_replace(lower(w), "
+            "'^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') in ('zorple')) as fw,"
+            "    string_split_regex(trim(text || repeat(' zorple', "
+            "cast(doc_id % 5 as int))), '\\s+') as bw"
+            "  from documents"
+            "), bls as ("
+            "  select doc_id, cast(len(fw) as int) as n_flagged_words,"
+            "    cast(len(fw) as double) / greatest(len(bw), 1) as bfrac"
+            "  from bl"
+            "), e1 as ("
+            # r5 entropy companion: doc_id%6==0 -> 64-char flood;
+            # sorted-char RLE, terms folded in sorted-char order —
+            # the same construction char_entropy_col codegens
+            "  select doc_id, list_sort(string_split(case when "
+            "doc_id % 6 = 0 then repeat('a', 64) else text end, '')) as cs"
+            "  from documents"
+            "), e2 as ("
+            "  select doc_id, cs, len(cs) as m,"
+            "    list_filter(generate_series(1, len(cs)), "
+            "i -> i = 1 or cs[i] <> cs[i-1]) as st"
+            "  from e1"
+            "), e3 as ("
+            "  select doc_id, m, list_transform("
+            "generate_series(1, len(st)), "
+            "j -> cast(coalesce(st[j+1], m + 1) - st[j] as double)) as ks"
+            "  from e2"
+            "), e4 as ("
+            "  select doc_id, case when m >= 1 then "
+            "list_sum(list_transform(ks, k -> -(k/m)*log2(k/m))) "
+            "else 0.0 end as ent from e3"
+            ") select s.doc_id, n_words,"
             "  floor(mwl * 10000 + 0.5) / 10000 as mean_word_len,"
             "  floor(symr * 10000 + 0.5) / 10000 as symbol_word_ratio,"
             "  floor(bulr * 10000 + 0.5) / 10000 as bullet_line_ratio,"
@@ -2767,8 +2885,15 @@ def oracle_sql() -> dict[str, str]:
             "  (n_words >= 50 and n_words <= 100000) and "
             "  (mwl >= 3.0 and mwl <= 10.0) and symr <= 0.1 and "
             "  bulr <= 0.9 and ellr <= 0.3 and alpr >= 0.8 and "
-            "  stop_hits >= 2 as gopher_keep"
-            " from s"
+            "  stop_hits >= 2 as gopher_keep,"
+            "  n_flagged_words,"
+            "  floor(bfrac * 10000 + 0.5) / 10000 as "
+            "flagged_word_fraction,"
+            "  bfrac <= 0.02 as blocklist_keep,"
+            "  floor(ent * 10000 + 0.5) / 10000 as char_entropy,"
+            "  ent >= 2.0 and ent <= 6.0 as entropy_keep"
+            " from s join bls on s.doc_id = bls.doc_id "
+            "join e4 on s.doc_id = e4.doc_id"
         ),
         "multimodal_pipeline": (
             "with d as (select * from documents where doc_id < 50) "

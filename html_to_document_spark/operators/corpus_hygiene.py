@@ -181,6 +181,67 @@ def decontaminate_ngrams(
     )
 
 
+def decontaminate_fuzzy(
+    train: "DataFrame",
+    benchmark: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    exact_verify: bool = False,
+    benchmark_sigs: "DataFrame | None" = None,
+) -> "DataFrame":
+    """Fuzzy (near-duplicate) test-set decontamination: training docs
+    whose MinHash-estimated shingle Jaccard against ANY benchmark doc
+    reaches ``threshold`` — the document-level companion to the exact
+    13-gram rule (the published recipes pair them: n-gram overlap
+    catches verbatim splices, near-dup similarity catches lightly
+    paraphrased / reformatted copies of whole eval documents).
+
+    Returns (doc_id, n_benchmark_matches, max_est_jaccard
+    [, max_jaccard with exact_verify]) — inner-join semantics like
+    :func:`decontaminate`; anti-join to decontaminate.
+
+    100 TB shape: delegates to ``incremental_near_pairs`` with the
+    benchmark as the "history" side, so the training corpus NEVER
+    self-joins — bands equi-join the (tiny) benchmark band table, hot
+    benchmark buckets collapse to a representative, and with
+    ``exact_verify`` true Jaccard is computed on surfaced pairs only.
+    Pass ``benchmark_sigs`` (a persisted (doc_id, minhash) frame) to
+    skip re-hashing the benchmark per snapshot.
+    """
+    from pyspark.sql import functions as F
+
+    from .incremental import incremental_near_pairs
+
+    pairs = incremental_near_pairs(
+        train,
+        benchmark,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        exact_verify=exact_verify,
+        history_sigs=benchmark_sigs,
+    )
+    aggs = [
+        F.count("*").alias("n_benchmark_matches"),
+        F.max("est_jaccard").alias("max_est_jaccard"),
+    ]
+    if exact_verify:
+        aggs.append(F.max("jaccard").alias("max_jaccard"))
+    return (
+        pairs.select(F.col("new_id").alias(id_col), *pairs.columns[2:])
+        .groupBy(id_col)
+        .agg(*aggs)
+    )
+
+
 # patterns restricted to the RE2 (DuckDB) ∩ java.util.regex (Spark)
 # common dialect: plain classes, bounded repetition, no lookaround.
 # EMAIL covers case-mixed locals, +tags, hyphenated and multi-label

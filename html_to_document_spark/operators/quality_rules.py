@@ -26,6 +26,8 @@ __all__ = [
     "gopher_quality_flags",
     "gopher_keep_col",
     "c4_line_filter",
+    "word_blocklist_flags",
+    "blocklist_keep_col",
     "GOPHER_STOPWORDS",
 ]
 
@@ -217,6 +219,77 @@ def c4_line_filter(
         )
         .drop("_had_brace")
     )
+
+
+def _blocklist_exprs(c, blocklist, max_fraction: float):
+    """(stats dict, keep Column) for the word-blocklist rule over text
+    Column ``c``."""
+    from pyspark.sql import functions as F
+
+    norm = sorted({w.lower() for w in blocklist})
+    if not norm:
+        raise ValueError("blocklist must contain at least one word")
+    words = _words(c)
+    n_words = F.size(words)
+    flagged = F.filter(
+        words,
+        lambda w: F.regexp_replace(
+            F.lower(w), r"^[^a-z0-9]+|[^a-z0-9]+$", ""
+        ).isin(*norm),
+    )
+    n_flagged = F.size(flagged)
+    frac = n_flagged / F.greatest(n_words, F.lit(1))
+    stats = {
+        "n_flagged_words": n_flagged,
+        "flagged_word_fraction": F.round(frac, 4),
+    }
+    return stats, frac <= max_fraction
+
+
+def word_blocklist_flags(
+    df: "DataFrame",
+    blocklist,
+    text_col: str = "text",
+    *,
+    max_fraction: float = 0.0,
+) -> "DataFrame":
+    """The C4 "bad words" page filter (Raffel et al. 2020 §2.2 drop
+    any page containing a word on a blocklist; the published recipe
+    uses the public LDNOOBW lexicon — the list itself is the CALLER's
+    input here, this operator is the mechanism): per-document count
+    and fraction of words whose lowercased, edge-punctuation-stripped
+    form is on the list, plus the keep bit (``flagged_word_fraction <=
+    max_fraction``; the C4 any-hit rule is the ``max_fraction=0.0``
+    default, a fraction threshold is the Dolma/RefinedWeb relaxation).
+
+    Returns (doc_id, n_flagged_words, flagged_word_fraction,
+    blocklist_keep).
+
+    Scale shape: the lexicon compiles to a codegen'd InSet probe over
+    the per-row words array — a pure projection, zero shuffles, zero
+    Python, same plan class as ``gopher_quality_flags``. Word
+    normalization (lower + strip non-alphanumeric edges) catches the
+    "word." / "Word," forms that raw whitespace tokens hide.
+    """
+    from pyspark.sql import functions as F
+
+    stats, keep = _blocklist_exprs(F.col(text_col), blocklist, max_fraction)
+    return df.select(
+        "doc_id",
+        *[e.alias(name) for name, e in stats.items()],
+        keep.alias("blocklist_keep"),
+    )
+
+
+def blocklist_keep_col(
+    blocklist, text_col: str = "text", *, max_fraction: float = 0.0
+) -> "Column":
+    """The blocklist keep predicate as a bare Column — for zero-join
+    ``df.filter(blocklist_keep_col(words))`` pipeline stages."""
+    from pyspark.sql import functions as F
+
+    _, keep = _blocklist_exprs(F.col(text_col), blocklist, max_fraction)
+    return keep
 
 
 # Rae et al. 2021, App. A1.1 — repetition thresholds

@@ -261,3 +261,99 @@ def top_ngram_stats(
             / F.greatest(F.col("_chars"), F.lit(1))
         ).alias("top_gram_char_frac"),
     )
+
+
+def char_entropy_col(c, max_chars: int | None = None) -> "Column":
+    """Shannon entropy (bits/char) of the document's character
+    distribution — the standard cheap gibberish / encoding-artifact
+    signal (low entropy = repeated-char runs and template filler, high
+    entropy = binary-ish or key-mashed noise; Dolma-style pipelines
+    band-pass on it between language-ID and the learned classifier).
+
+    Engine-portable by construction so a DuckDB oracle can replay the
+    exact doubles: the char array is SORTED, run-length encoded with
+    array higher-order functions (the ``gopher_repetition``
+    ``impl="local"`` trick), and the ``-(k/n)*log2(k/n)`` terms fold
+    LEFT-TO-RIGHT in sorted-character order — both engines add the
+    same terms in the same sequence. Zero shuffles, zero Python.
+    ASCII/BMP caveat: Spark splits on UTF-16 code units while DuckDB
+    splits on code points, so cross-engine parity holds for BMP text
+    (astral chars count as 2 units here).
+
+    ``max_chars``: compute over only the first N chars (the oracle
+    mirror is ``substr(text, 1, N)``). Measured ~1 µs/char (the sort
+    dominates); the distribution of a prefix converges to the doc's
+    within a few KB, so capping is the right shape when documents can
+    be arbitrarily large — ``None`` (exact, default) fits corpora
+    whose docs are already length-bounded upstream.
+    """
+    from pyspark.sql import functions as F
+
+    if max_chars is not None:
+        c = F.substring(c, 1, max_chars)
+
+    # one-element-array transforms give LET-BINDING semantics: the
+    # sorted char array (and then the run-start list) evaluate once
+    # per row instead of once per lambda ELEMENT — without this,
+    # Catalyst re-evaluates the outer sort per sequence index and the
+    # expression goes O(len^2) per document (the round-4
+    # gopher_repetition transform-lambda lesson)
+    def ent_of(chars):
+        m = F.size(chars)
+        starts_expr = F.filter(
+            F.sequence(F.lit(1), m),
+            lambda i: (i == F.lit(1))
+            | (
+                F.element_at(chars, i)
+                != F.element_at(chars, i - F.lit(1))
+            ),
+        )
+
+        def with_starts(starts):
+            ends = F.concat(
+                F.slice(starts, 2, F.size(starts)), F.array(m + 1)
+            )
+            counts = F.zip_with(
+                starts, ends, lambda s, e: (e - s).cast("double")
+            )
+            md = m.cast("double")
+            return F.aggregate(
+                counts,
+                F.lit(0.0),
+                lambda acc, k: acc - (k / md) * F.log2(k / md),
+            )
+
+        return F.element_at(
+            F.transform(F.array(starts_expr), with_starts), 1
+        )
+
+    ent = F.element_at(
+        F.transform(F.array(F.array_sort(F.split(c, ""))), ent_of), 1
+    )
+    return F.when(F.length(c) >= 1, ent).otherwise(F.lit(0.0))
+
+
+def char_entropy(
+    df: "DataFrame",
+    text_col: str = "text",
+    *,
+    min_bits: float = 2.0,
+    max_bits: float = 6.0,
+    max_chars: int | None = None,
+) -> "DataFrame":
+    """Per-document character entropy + the band-pass keep bit.
+
+    Returns (doc_id, char_entropy, entropy_keep). Natural-language
+    text sits around 3.5-4.5 bits/char; the default band keeps it and
+    drops single-char floods (0 bits), template filler (< 2) and
+    high-entropy noise (> 6 — base64 blobs, minified blobs, mashed
+    keys). A pure projection — same plan class as the Gopher rules.
+    """
+    from pyspark.sql import functions as F
+
+    ent = char_entropy_col(F.col(text_col), max_chars)
+    return df.select(
+        "doc_id",
+        r4(ent).alias("char_entropy"),
+        ((ent >= min_bits) & (ent <= max_bits)).alias("entropy_keep"),
+    )

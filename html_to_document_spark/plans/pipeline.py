@@ -107,6 +107,9 @@ def build_training_pipeline(
     gopher_filter: bool = False,
     repetition_filter: bool = False,
     c4_clean: bool = False,
+    blocklist: tuple | None = None,
+    blocklist_max_fraction: float = 0.0,
+    entropy_band: "tuple[float, float] | None" = None,
     text_join: str = "space",
     lm_model: dict | None = None,
     lm_max_ppl: float | None = None,
@@ -129,9 +132,10 @@ def build_training_pipeline(
     dedup (test-set decontamination — a broadcast semi-join against
     the benchmark's distinct paragraph/gram set, so the corpus is not
     re-shuffled). ``decontaminate_mode``: "paragraph" (exact paragraph
-    equality) or "ngram" (sliding 13-gram overlap — the standard eval
+    equality), "ngram" (sliding 13-gram overlap — the standard eval
     recipe; catches reflowed/lightly-edited contamination the exact
-    mode misses).
+    mode misses), or "fuzzy" (MinHash near-dup similarity against the
+    benchmark — document-level paraphrase/reformat contamination).
 
     ``gopher_filter``: additionally apply the published Gopher
     document-quality rules (``operators/quality_rules.py``) to the
@@ -147,6 +151,16 @@ def build_training_pipeline(
     ``c4_clean``: C4-style line cleaning of the assembled text before
     scoring (line-ending punctuation, min words/line, drop markers);
     docs with too few surviving lines are dropped.
+
+    ``blocklist`` (+ ``blocklist_max_fraction``): the C4 bad-words
+    page rule — drop docs whose blocklisted-word fraction exceeds the
+    threshold (0.0 = the published any-hit rule). A codegen'd InSet
+    probe folded into the same filter stage as the other projections.
+
+    ``entropy_band``: (min_bits, max_bits) band-pass on character
+    Shannon entropy (``text_analysis.char_entropy_col``) — drops
+    single-char floods / template filler (low) and base64-ish noise
+    (high). Also a pure projection; zero scans, zero shuffles added.
 
     ``text_join``: "space" (default, historical) or "newline" — the
     separator between text spans in the assembled text. Line-based
@@ -271,6 +285,26 @@ def build_training_pipeline(
 
         corpus = corpus.filter(gopher_keep_col("text"))
 
+    if blocklist is not None:
+        from html_to_document_spark.operators.quality_rules import (
+            blocklist_keep_col,
+        )
+
+        corpus = corpus.filter(
+            blocklist_keep_col(
+                blocklist, "text", max_fraction=blocklist_max_fraction
+            )
+        )
+
+    if entropy_band is not None:
+        from html_to_document_spark.operators.text_analysis import (
+            char_entropy_col,
+        )
+
+        lo, hi = entropy_band
+        ent = char_entropy_col(F.col("text"))
+        corpus = corpus.filter((ent >= lo) & (ent <= hi))
+
     if lm_model is not None:
         # CCNet-style perplexity cut (operators/lm_filter.py): the
         # broadcast-model scoring is one Arrow-batched mapInPandas
@@ -316,6 +350,15 @@ def build_training_pipeline(
             contaminated = decontaminate_ngrams(corpus, benchmark)
         elif decontaminate_mode == "paragraph":
             contaminated = decontaminate(corpus, benchmark)
+        elif decontaminate_mode == "fuzzy":
+            # near-dup document-level decontamination — catches
+            # paraphrased/reformatted eval copies the exact modes miss
+            # (asymmetric band join: the corpus never self-joins here)
+            from html_to_document_spark.operators.corpus_hygiene import (
+                decontaminate_fuzzy,
+            )
+
+            contaminated = decontaminate_fuzzy(corpus, benchmark)
         else:
             raise ValueError(
                 f"unknown decontaminate_mode {decontaminate_mode!r}"

@@ -113,6 +113,9 @@ def run_stream_pipeline(
     benchmark=None,
     decontaminate_mode: str = "paragraph",
     gopher_filter: bool = False,
+    blocklist: tuple | None = None,
+    blocklist_max_fraction: float = 0.0,
+    entropy_band: "tuple[float, float] | None" = None,
     lm_model: dict | None = None,
     lm_max_ppl: float | None = None,
     fix_encoding: bool = False,
@@ -121,8 +124,9 @@ def run_stream_pipeline(
     ingest -> span extraction -> (optional PII scrub, same projection as
     the batch pipeline) -> lang/quality projections -> filter ->
     (optional test-set decontamination: stream-STATIC broadcast
-    anti-join against the benchmark's paragraph/13-gram set, batch
-    parity via ``decontaminate_mode``) -> STATEFUL exact dedup (first
+    anti-join against the benchmark's paragraph/13-gram set, or the
+    asymmetric MinHash band join in "fuzzy" mode — batch parity via
+    ``decontaminate_mode``) -> STATEFUL exact dedup (first
     occurrence wins across micro-batches) -> parquet sink. Near-dup
     LSH stays a periodic batch job over the accumulated output (its
     self-joins don't stream); this covers the always-on part of the
@@ -184,6 +188,28 @@ def run_stream_pipeline(
         )
 
         corpus = corpus.filter(gopher_keep_col("text"))
+    if blocklist is not None:
+        # batch parity: build_training_pipeline(blocklist=...) — the
+        # C4 bad-words rule is a stateless InSet projection
+        from html_to_document_spark.operators.quality_rules import (
+            blocklist_keep_col,
+        )
+
+        corpus = corpus.filter(
+            blocklist_keep_col(
+                blocklist, "text", max_fraction=blocklist_max_fraction
+            )
+        )
+    if entropy_band is not None:
+        # batch parity: build_training_pipeline(entropy_band=...) —
+        # the char-entropy band-pass is also a stateless projection
+        from html_to_document_spark.operators.text_analysis import (
+            char_entropy_col,
+        )
+
+        lo, hi = entropy_band
+        ent = char_entropy_col(F.col("text"))
+        corpus = corpus.filter((ent >= lo) & (ent <= hi))
     if lm_model is not None:
         # batch parity with build_training_pipeline(lm_model=...): the
         # CCNet perplexity cut is a stateless broadcast-model
@@ -206,20 +232,24 @@ def run_stream_pipeline(
         # downstream exact-dedup, and the price of arbitrary logic.
         from html_to_document_spark.operators.corpus_hygiene import (
             decontaminate,
+            decontaminate_fuzzy,
             decontaminate_ngrams,
         )
 
-        if decontaminate_mode not in ("paragraph", "ngram"):
+        if decontaminate_mode not in ("paragraph", "ngram", "fuzzy"):
             raise ValueError(
                 f"unknown decontaminate_mode {decontaminate_mode!r}"
             )
 
         def _sink(batch_df, _batch_id):
-            fn = (
-                decontaminate_ngrams
-                if decontaminate_mode == "ngram"
-                else decontaminate
-            )
+            fn = {
+                "ngram": decontaminate_ngrams,
+                "paragraph": decontaminate,
+                # fuzzy streams because the band join is ASYMMETRIC:
+                # each micro-batch matches the static benchmark side
+                # only — the stream never self-joins
+                "fuzzy": decontaminate_fuzzy,
+            }[decontaminate_mode]
             contaminated = fn(batch_df, benchmark).select("doc_id")
             (
                 batch_df.join(contaminated, "doc_id", "left_anti")

@@ -313,3 +313,84 @@ def test_pipeline_paragraph_dedup(spark):
         build_training_pipeline(
             docs, num_partitions=2, paragraph_dedup="keep_first"
         )
+
+
+def test_pipeline_blocklist_and_entropy_stages(spark):
+    """blocklist= drops a doc carrying a planted bad word (C4 any-hit
+    rule); entropy_band= drops a planted single-char flood; both are
+    projections folded into the existing filter stage."""
+    from html_to_document_spark.sources.synthetic import generate_corpus
+
+    span_schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    docs = generate_corpus(spark, 30, seed=37, giant_frac=0.0)
+    bad = spark.createDataFrame(
+        [("zzz-bad",
+          [("text", "the words and of that have with zorple here " * 3,
+            None, 0)])],
+        span_schema,
+    )
+    # passes lang-ID (en stopwords) and quality, fails the entropy
+    # floor (~1.2 bits/char: two symbols dominate the distribution)
+    flood = spark.createDataFrame(
+        [("zzz-flood", [("text", "the " * 5 + "a " * 200, None, 0)])],
+        span_schema,
+    )
+    planted = docs.unionByName(bad).unionByName(flood)
+    base_ids = {
+        r["doc_id"]
+        for r in build_training_pipeline(
+            planted, num_partitions=4, min_quality=0.0,
+            materialize="none",
+        ).select("doc_id").collect()
+    }
+    # both planted docs survive the base filters — the assertions
+    # below test the NEW stages, not lang/quality fallout
+    assert {"zzz-bad", "zzz-flood"} <= base_ids
+    out = build_training_pipeline(
+        planted, num_partitions=4, min_quality=0.0,
+        blocklist=("zorple",), entropy_band=(2.0, 6.0),
+        materialize="none",
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert "zzz-bad" not in ids
+    assert "zzz-flood" not in ids
+    assert len(ids) > 0
+
+
+def test_pipeline_decontaminate_fuzzy_mode(spark):
+    """decontaminate_mode='fuzzy' drops a doc that is a near-duplicate
+    of a benchmark doc (same shingle SET, different repetition count)
+    which both exact modes miss at the document level."""
+    from html_to_document_spark.sources.synthetic import generate_corpus
+
+    # stopword-bearing phrase so the planted doc passes lang-ID and
+    # the drop below is attributable to fuzzy decontamination alone
+    phrase = "the fza and fzb of fzc that fzd have fze"
+    contaminated = spark.createDataFrame(
+        [("zzz-contaminated",
+          [("text", " ".join([phrase] * 6), None, 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    docs = generate_corpus(spark, 30, seed=41, giant_frac=0.0).unionByName(
+        contaminated
+    )
+    bench = spark.createDataFrame(
+        [(999, " ".join([phrase] * 4))], "doc_id long, text string"
+    )
+    base = build_training_pipeline(
+        docs, min_quality=0.0, materialize="none"
+    )
+    assert "zzz-contaminated" in {
+        r["doc_id"] for r in base.select("doc_id").collect()
+    }
+    out = build_training_pipeline(
+        docs, min_quality=0.0, benchmark=bench,
+        decontaminate_mode="fuzzy", materialize="none",
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert "zzz-contaminated" not in ids
+    assert len(ids) > 0

@@ -354,3 +354,51 @@ def test_streaming_domain_cap(spark, tmp_path):
     batch3.write.mode("append").parquet(in_path)
     run_streaming_domain_cap(spark, in_path, out_path, ckpt, max_docs=4)
     assert spark.read.parquet(out_path).count() == 8
+
+
+def test_stream_pipeline_blocklist_entropy_fuzzy(spark, tmp_path):
+    """Batch-parity r5 stages in the streaming plan: the C4 blocklist
+    rule, the char-entropy band-pass (both stateless projections) and
+    fuzzy decontamination (asymmetric band join in foreachBatch)."""
+    from html_to_document_spark.streaming.stateful import run_stream_pipeline
+
+    in_path = str(tmp_path / "in")
+
+    good = ("the data and words that we have with all of "
+            + " ".join(f"word{i}" for i in range(60)) + ".")
+    phrase = "the fza and fzb of fzc that fzd have fze"
+    rows = [
+        ("keep", [{"kind": "text", "text": f"<p>{good}</p>",
+                   "media_ref": None, "offset": 0}]),
+        ("badword", [{"kind": "text",
+                      "text": f"<p>{good} zorple</p>",
+                      "media_ref": None, "offset": 0}]),
+        ("flood", [{"kind": "text",
+                    "text": "<p>" + "the " * 5 + "a " * 200 + "</p>",
+                    "media_ref": None, "offset": 0}]),
+        ("contaminated", [{"kind": "text",
+                           "text": "<p>" + " ".join([phrase] * 6) + "</p>",
+                           "media_ref": None, "offset": 0}]),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    ).write.parquet(in_path)
+    bench = spark.createDataFrame(
+        [(999, " ".join([phrase] * 4))], "doc_id long, text string"
+    )
+
+    out_plain = str(tmp_path / "plain")
+    run_stream_pipeline(spark, in_path, out_plain, str(tmp_path / "ck0"),
+                        min_quality=0.0)
+    assert {r.doc_id for r in spark.read.parquet(out_plain).collect()} == \
+        {"keep", "badword", "flood", "contaminated"}
+
+    out_filtered = str(tmp_path / "filt")
+    run_stream_pipeline(spark, in_path, out_filtered, str(tmp_path / "ck1"),
+                        min_quality=0.0, blocklist=("zorple",),
+                        entropy_band=(2.0, 6.0), benchmark=bench,
+                        decontaminate_mode="fuzzy")
+    assert {r.doc_id for r in spark.read.parquet(out_filtered).collect()} == \
+        {"keep"}
