@@ -719,10 +719,82 @@ def q_url_filter_blocked(spark, sf_dir):
     # true for every row of an under-cap host, so one window covers
     # both arms).
     capped = domain_share_flags(flagged, max_docs=60, selector="min_id")
-    return capped.select(
+
+    # r5 continuation: the row also gates the link-graph family
+    # (operators/link_graph.py) end to end — each doc's HTML carries
+    # two anchors whose targets derive from the doc's host index
+    # (i -> (i+1)%6 and (2i+3)%6 over the construction's 6 hosts, so
+    # the plant exercises self-edge drop at i=3 and duplicate-edge
+    # dedup at i=4), edges are harvested from REAL extraction span
+    # meta (href), and hosts are ranked with 4 rounds of damping-7/8
+    # PageRank. Damping 7/8 + out-degrees in {1,2} + init rank 1 keep
+    # every intermediate a dyadic rational with < 2^20 numerators, so
+    # FP addition is EXACT and order-independent — the doubles
+    # hash-match DuckDB's unrolled 4-iteration SQL bit for bit.
+    from html_to_document_spark.core.extract import ExtractOptions
+    from html_to_document_spark.operators.extract_spans import (
+        exploded_with_meta,
+    )
+    from html_to_document_spark.operators.link_graph import (
+        harvest_links,
+        host_edges,
+        in_degree,
+        pagerank,
+    )
+    from html_to_document_spark.operators.url_filter import host_col
+
+    idx = F.when(k < 4, k).otherwise(
+        F.when(F.col("doc_id") % 10 == 4, F.lit(4)).otherwise(F.lit(5))
+    )
+
+    def host_of(i):
+        return (
+            F.when(i == 0, F.lit("www.blockedsite.com"))
+            .when(i == 1, F.lit("blockedsite.com"))
+            .when(i == 2, F.lit("blockedsite.com.evil.net"))
+            .when(i == 3, F.lit("notblockedsite.com"))
+            .when(i == 4, F.lit("ok4.example.org"))
+            .otherwise(F.lit("ok9.example.org"))
+        )
+
+    html = F.concat(
+        F.lit("<p>page "), sid,
+        F.lit('</p><p><a href="http://'), host_of((idx + 1) % 6),
+        F.lit('/out1">first link</a></p><p><a href="http://'),
+        host_of((idx * 2 + 3) % 6),
+        F.lit('/out2">second link</a></p>'),
+    )
+    pages = docs.select("doc_id", "url", html.alias("html"))
+    spans = exploded_with_meta(
+        extract_spans_from_html(
+            pages.select("doc_id", "html"),
+            options=ExtractOptions(with_meta=True),
+        )
+    )
+    links = harvest_links(spans)  # doc_id rides as string here
+    edges = host_edges(
+        links.join(
+            pages.select(
+                F.col("doc_id").cast("string").alias("doc_id"), "url"
+            ),
+            "doc_id",
+        )
+    )
+    pr = F.broadcast(pagerank(edges, damping=0.875, iterations=4))
+    ind = F.broadcast(in_degree(edges))
+
+    out = (
+        capped.withColumn("_host", host_col("url"))
+        .join(pr, F.col("_host") == pr["node"], "left")
+        .join(ind, F.col("_host") == ind["node"], "left")
+    )
+    return out.select(
         "doc_id", "blocked",
         F.col("keep_domain_capped").alias("keep_capped"),
         normalize_url_col("url").alias("norm_url"),
+        F.col("rank").alias("pagerank"),
+        F.coalesce(F.col("n_inlinks"), F.lit(0)).cast("long")
+        .alias("host_inlinks"),
     )
 
 
@@ -2335,7 +2407,13 @@ def oracle_sql() -> dict[str, str]:
         "url_filter_blocked": (
             # ground truth of the URL construction: k in (0,1) hits
             # blockedsite.com exactly or as a subdomain; k=2 is a
-            # lookalike suffix host, k=3 a lookalike prefix, k=4 clean
+            # lookalike suffix host, k=3 a lookalike prefix, k=4 clean.
+            # The link-graph arm recomputes the planted host graph
+            # (i -> (i+1)%6, (2i+3)%6; self-edges out, duplicates
+            # deduped) and unrolls 4 PageRank iterations at damping
+            # 7/8 — every value is a dyadic rational by construction,
+            # so the doubles are bit-identical to Spark's regardless
+            # of either engine's summation order.
             "with h as ("
             "  select doc_id, doc_id % 5 in (0, 1) as blocked, "
             "    case doc_id % 5 "
@@ -2344,20 +2422,55 @@ def oracle_sql() -> dict[str, str]:
             "      when 2 then 'blockedsite.com.evil.net' "
             "      when 3 then 'notblockedsite.com' "
             "      else 'ok' || cast(doc_id % 10 as varchar) "
-            "        || '.example.org' end as host "
+            "        || '.example.org' end as host, "
+            "    case when doc_id % 5 < 4 then doc_id % 5 "
+            "      when doc_id % 10 = 4 then 4 else 5 end as idx "
             "  from documents"
-            ") select doc_id, blocked, "
-            "row_number() over (partition by host order by doc_id) <= 60 "
-            "  as keep_capped, "
+            "), hosts as (select distinct idx, host from h"
+            "), re as ("
+            "  select idx as si, (idx + 1) % 6 as di from hosts "
+            "  union "
+            "  select idx, (idx * 2 + 3) % 6 from hosts"
+            "), edges as ("
+            "  select distinct s.host as src, d.host as dst from re "
+            "  join hosts s on s.idx = re.si "
+            "  join hosts d on d.idx = re.di "
+            "  where re.si <> re.di"
+            "), deg as ("
+            "  select src, cast(count(*) as double) as od "
+            "  from edges group by src"
+            "), r0 as ("
+            "  select host as node, cast(1 as double) as r from hosts"
+            "), "
+            + ", ".join(
+                f"r{i} as (select hh.host as node, "
+                f"cast(0.125 as double) + cast(0.875 as double) * "
+                f"coalesce(sum(r{i - 1}.r / deg.od), 0) as r "
+                f"from hosts hh "
+                f"left join edges e on e.dst = hh.host "
+                f"left join r{i - 1} on r{i - 1}.node = e.src "
+                f"left join deg on deg.src = e.src "
+                f"group by hh.host)"
+                for i in (1, 2, 3, 4)
+            )
+            + ", ind as ("
+            "  select dst as node, count(*) as n from edges group by dst"
+            ") select h.doc_id, h.blocked, "
+            "row_number() over (partition by h.host order by h.doc_id) "
+            "  <= 60 as keep_capped, "
             # canonical URL from the construction's ground truth:
             # scheme/host lowered, fragment + utm param gone, kept
             # params sorted ('a=' < 'z='), path preserved (no
             # trailing slash in the construction)
-            "'http://' || host || case when doc_id % 5 = 0 "
-            "  then '/a/' else '/' end || cast(doc_id as varchar) "
-            "|| '?a=' || cast(doc_id % 2 as varchar) "
-            "|| '&z=' || cast(doc_id % 3 as varchar) as norm_url "
-            "from h"
+            "'http://' || h.host || case when h.doc_id % 5 = 0 "
+            "  then '/a/' else '/' end || cast(h.doc_id as varchar) "
+            "|| '?a=' || cast(h.doc_id % 2 as varchar) "
+            "|| '&z=' || cast(h.doc_id % 3 as varchar) as norm_url, "
+            "r4.r as pagerank, "
+            "coalesce(ind.n, 0) as host_inlinks "
+            "from h "
+            "left join r4 on r4.node = h.host "
+            "left join ind on ind.node = h.host"
         ),
         "gopher_repetition": (
             "with v as ("

@@ -1,0 +1,241 @@
+"""Hyperlink-graph operators for crawl curation: harvest anchor/href
+edges from extracted spans, then rank hosts with PageRank (Page,
+Brin, Motwani, Winograd 1999 — "The PageRank Citation Ranking") and
+in-degree. Link-graph centrality is the standard crawl-side quality
+and frontier-prioritization signal (CommonCrawl publishes exactly
+these host-level rank files); downstream it joins onto the corpus as
+a per-host quality weight the same way the classifier scores do.
+
+The harvest side rides the extraction engine's existing span
+metadata: ``ExtractOptions(with_meta=True)`` records the first href
+of every hyperlink-wrapped chunk (the reference's hyperlink wrap,
+``parser.ts`` anchor branch — SURVEY L10), so edges fall out of a
+filter + projection over spans the pipeline already produced — no
+second parse of the HTML.
+
+100 TB shape:
+
+- ``harvest_links`` / ``host_edges`` are projections over the spans
+  frame; the only shuffle is the final host-level ``distinct()`` on
+  two short string columns (hosts << pages by orders of magnitude).
+- ``pagerank`` iterates ``k`` rounds of join + partial-agg. The edge
+  frame (two string columns) and the out-degree frame are persisted
+  ONCE; each round shuffles only the (node, rank) frame — 16 bytes of
+  payload per node — never the corpus and never the edge strings
+  more than the first hash exchange. Dangling mass is a single-row
+  aggregate broadcast back (no driver collect in the loop), and
+  ``checkpoint_interval`` truncates the growing lineage with an eager
+  ``localCheckpoint`` so round ``k``'s plan does not replay rounds
+  ``1..k-1``. At cluster scale, pre-bucketing edges by ``src`` makes
+  the per-round join exchange one-sided.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import Column, DataFrame
+
+from .url_filter import host_col
+
+
+def harvest_links(
+    spans: "DataFrame",
+    doc_col: str = "doc_id",
+    href_col: str = "href",
+    text_col: str = "text",
+) -> "DataFrame":
+    """(doc_id, href, anchor_text) for every extracted span that
+    carries a hyperlink target — the raw link corpus (anchor text is
+    itself a curation asset: it is the classic relevance label for
+    the page it points AT). Input is the exploded meta-span frame
+    (``operators.extract_spans.exploded_with_meta``)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spans.filter(
+            F.col(href_col).isNotNull() & (F.col(href_col) != "")
+        )
+        .select(
+            F.col(doc_col).alias("doc_id"),
+            F.col(href_col).alias("href"),
+            F.col(text_col).alias("anchor_text"),
+        )
+    )
+
+
+def host_edges(
+    links: "DataFrame",
+    src_url_col: str = "url",
+    href_col: str = "href",
+    drop_self: bool = True,
+) -> "DataFrame":
+    """Distinct host-level (src, dst) edges from a link frame that
+    carries the source page's URL: both endpoints go through the same
+    ``try_parse_url`` host extraction as the domain filters (lower-
+    cased; malformed URLs yield NULL and are dropped, never fail the
+    job). Relative hrefs have no host and thus drop — at host
+    granularity a relative link is a self-edge, which ``drop_self``
+    removes anyway. The ``distinct()`` on two short strings is the
+    operator's only shuffle."""
+    from pyspark.sql import functions as F
+
+    e = links.select(
+        host_col(src_url_col).alias("src"),
+        host_col(href_col).alias("dst"),
+    ).filter(
+        F.col("src").isNotNull() & (F.col("src") != "")
+        & F.col("dst").isNotNull() & (F.col("dst") != "")
+    )
+    if drop_self:
+        e = e.filter(F.col("src") != F.col("dst"))
+    return e.distinct()
+
+
+def in_degree(
+    edges: "DataFrame", src_col: str = "src", dst_col: str = "dst"
+) -> "DataFrame":
+    """(node, n_inlinks) over the distinct edge set — the cheap
+    centrality proxy (one partial-agg shuffle on the dst column)."""
+    from pyspark.sql import functions as F
+
+    return (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .distinct()
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.count("*").cast("long").alias("n_inlinks"))
+    )
+
+
+def pagerank(
+    edges: "DataFrame",
+    damping: float = 0.85,
+    iterations: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    normalized: bool = False,
+    checkpoint_interval: int = 4,
+) -> "DataFrame":
+    """Fixed-iteration PageRank over a (src, dst) edge frame →
+    ``(node, rank)``.
+
+    Power iteration in the UNNORMALIZED convention (init rank 1.0 per
+    node, total mass N preserved each round; ``normalized=True``
+    divides by N at the end):
+
+        r'(v) = (1-d) + d * ( Σ_{u→v} r(u)/outdeg(u) + dangling/N )
+
+    where ``dangling`` is the rank mass sitting on nodes with no
+    out-edges, redistributed uniformly (the standard Google fix —
+    without it mass drains and ranks are not comparable across
+    graphs). Self-loops and duplicate edges are removed up front so
+    out-degrees match the distinct edge set.
+
+    Plan shape per round: one hash join of the persisted edge frame
+    with the (node, rank) frame on ``src``, one partial-agg ``sum``
+    by ``dst`` (map-side combinable), one broadcast of the single-row
+    dangling aggregate, one left join back onto the node set. Nothing
+    driver-side grows with the graph; ``iterations`` is fixed, so the
+    whole ranking is ``k`` bounded shuffles of a 16-byte-payload
+    frame. ``checkpoint_interval`` bounds plan growth with an eager
+    ``localCheckpoint`` every that-many rounds (0 disables — only for
+    small ``iterations``).
+    """
+    from pyspark.sql import functions as F
+
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1): {damping!r}")
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0: {iterations!r}")
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # one scalar action; N is needed as a literal
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select(
+            "node", F.lit(1.0).alias("rank")
+        ).limit(0)
+
+    deg = (
+        e.groupBy("src")
+        .agg(F.count("*").cast("double").alias("_out_deg"))
+        .persist()
+    )
+
+    d = float(damping)
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    prev = None  # the round's materialized frame, released next round
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("_out_deg")).alias("_in"))
+        )
+        # rank mass on nodes with no out-edges, as a broadcast 1-row
+        # frame (never a driver collect inside the loop)
+        dangling = F.broadcast(
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        new_ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(dangling)
+            .select(
+                nodes["node"],
+                (
+                    F.lit(1.0 - d)
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        # Each round reads ``ranks`` twice (contrib + dangling), so the
+        # round's result MUST materialize eagerly or the unevaluated
+        # plan doubles every iteration. localCheckpoint additionally
+        # truncates lineage so round k's plan never replays 1..k-1.
+        if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks = new_ranks.persist()
+            new_ranks.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = new_ranks
+        ranks = new_ranks
+
+    # after the loop the final frame is materialized (persisted or
+    # checkpointed; with iterations=0 it is a cheap projection that
+    # recomputes from source) — the loop inputs release their blocks
+    e.unpersist()
+    deg.unpersist()
+    nodes.unpersist()
+
+    if normalized:
+        ranks = ranks.select(
+            "node", (F.col("rank") / F.lit(float(n))).alias("rank")
+        )
+    return ranks
