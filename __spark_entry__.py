@@ -391,17 +391,24 @@ def q_lang_quality(spark, sf_dir):
 
     Also gates hash_split_col (mixture.py): the 80/10/10 md5-prefix
     train/val/test assignment — a pure JVM projection whose DuckDB
-    mirror is generated from the same boundary literals."""
+    mirror is generated from the same boundary literals.
+
+    r5 continuation: also gates temperature_fraction_col (mixture.py,
+    XLM-R alpha-sampling) over the lang column at alpha=0.5 — the
+    W-free algebraic form frac(k) = min_j(n_j^.5) / n_k^.5 has no
+    order-sensitive sum, and both engines evaluate it through the
+    same libm pow, so the doubles hash-match bit for bit."""
     from html_to_document_spark.operators.mixture import (
         hash_split_col,
         select_token_budget,
+        temperature_fraction_col,
     )
 
     out = q_lang_id(spark, sf_dir).join(
         q_quality_score(spark, sf_dir), "doc_id"
     )
     total = out.agg(F.sum("n_chars_measured")).first()[0]
-    return select_token_budget(
+    base = select_token_budget(
         out, budget=int(0.4 * total), tokens_col="n_chars_measured"
     ).withColumn(
         "split_assign",
@@ -409,6 +416,12 @@ def q_lang_quality(spark, sf_dir):
             "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)], "s5"
         ),
     )
+    tf = temperature_fraction_col(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        group_col="lang",
+        alpha=0.5,
+    ).select("doc_id", "temp_keep_frac")
+    return base.join(tf, "doc_id")
 
 
 def q_dsir_weight(spark, sf_dir):
@@ -2121,6 +2134,11 @@ def oracle_sql() -> dict[str, str]:
             "and o.pos = k.keep.pos)"
         ),
         "lang_quality": (
+            # temp_keep_frac (r5-cont): XLM-R temperature sampling at
+            # alpha=0.5 over the lang column — the W-free algebraic
+            # form (min_j n_j^.5 / n_k^.5) needs no order-sensitive
+            # sum; both engines hit the same libm pow
+            "select lqq2.*, tf.temp_keep_frac from ("
             # split_assign (r5-cont): deterministic md5-prefix
             # train/val/test split — the SQL expression is generated
             # from the SAME split_boundaries literals the Spark
@@ -2166,6 +2184,14 @@ def oracle_sql() -> dict[str, str]:
             "/ 10000.0 as quality from r"
             ") qs using (doc_id)"
             ") lqq"
+            ") lqq2 join ("
+            "with lc as (select lang, cast(count(*) as double) as n "
+            "from documents group by lang) "
+            "select d.doc_id, "
+            "(select min(pow(n, 0.5)) from lc) / pow(lc.n, 0.5) "
+            "as temp_keep_frac "
+            "from documents d join lc using (lang)"
+            ") tf using (doc_id)"
         ),
         # DSIR raw-gram mode (operators/dsir.py): identical planted
         # corpus, target-slice gram counts, <unk> mapping, add-alpha

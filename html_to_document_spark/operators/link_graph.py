@@ -118,6 +118,7 @@ def pagerank(
     dst_col: str = "dst",
     normalized: bool = False,
     checkpoint_interval: int = 4,
+    teleport: "DataFrame | None" = None,
 ) -> "DataFrame":
     """Fixed-iteration PageRank over a (src, dst) edge frame →
     ``(node, rank)``.
@@ -126,13 +127,24 @@ def pagerank(
     node, total mass N preserved each round; ``normalized=True``
     divides by N at the end):
 
-        r'(v) = (1-d) + d * ( Σ_{u→v} r(u)/outdeg(u) + dangling/N )
+        r'(v) = (1-d)·N·t(v) + d * ( Σ_{u→v} r(u)/outdeg(u)
+                                     + dangling·t(v) )
 
     where ``dangling`` is the rank mass sitting on nodes with no
-    out-edges, redistributed uniformly (the standard Google fix —
-    without it mass drains and ranks are not comparable across
-    graphs). Self-loops and duplicate edges are removed up front so
-    out-degrees match the distinct edge set.
+    out-edges and ``t`` is the teleport distribution — uniform 1/N by
+    default (the classic Google fix: without redistribution mass
+    drains and ranks are not comparable across graphs). Self-loops
+    and duplicate edges are removed up front so out-degrees match the
+    distinct edge set.
+
+    ``teleport`` switches to PERSONALIZED PageRank (the TrustRank /
+    seeded-trust-propagation shape — Gyöngyi, Garcia-Molina, Pedersen
+    2004: rank mass teleports only to a vetted seed set, so spam
+    hosts far from the seeds starve): a (node, weight) frame whose
+    non-negative weights are normalized to sum 1 and broadcast onto
+    the node set (nodes absent from the frame get t(v) = 0). Total
+    mass N is preserved either way, so scores stay comparable with
+    the uniform variant.
 
     Plan shape per round: one hash join of the persisted edge frame
     with the (node, rank) frame on ``src``, one partial-agg ``sum``
@@ -183,7 +195,45 @@ def pagerank(
     )
 
     d = float(damping)
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    base_nodes = nodes
+    if teleport is not None:
+        # personalized mode: carry the normalized teleport weight on
+        # the node frame; uniform mode stays on the 1/N-free exact
+        # formula below (multiplying (1/N)·N back out is not FP-exact)
+        t = (
+            teleport.select(
+                F.col("node"),
+                F.col("weight").cast("double").alias("_w"),
+            )
+            # collapse duplicate seed rows so the left join below
+            # cannot fan out the node set
+            .groupBy("node")
+            .agg(F.sum("_w").alias("_w"))
+        )
+        joined = (
+            base_nodes.join(F.broadcast(t), "node", "left")
+            .select(
+                "node", F.coalesce(F.col("_w"), F.lit(0.0)).alias("_w")
+            )
+            .persist()
+        )
+        # normalize over the weights that actually land on graph
+        # nodes — weight on a node absent from the graph would
+        # otherwise inflate the denominator and silently leak mass
+        total_w = joined.agg(F.sum("_w")).first()[0]
+        if not total_w or total_w <= 0:
+            raise ValueError(
+                "teleport weights must have positive sum on the "
+                "graph's node set"
+            )
+        nodes = joined.select(
+            "node", (F.col("_w") / F.lit(float(total_w))).alias("_t")
+        )
+        ranks = nodes.select(
+            "node", (F.col("_t") * F.lit(float(n))).alias("rank")
+        )
+    else:
+        ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     prev = None  # the round's materialized frame, released next round
     for i in range(iterations):
         contrib = (
@@ -198,20 +248,28 @@ def pagerank(
             ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
+        if teleport is not None:
+            rank_expr = (
+                F.lit((1.0 - d) * float(n)) * F.col("_t")
+                + F.lit(d)
+                * (
+                    F.coalesce(F.col("_in"), F.lit(0.0))
+                    + F.col("_dang") * F.col("_t")
+                )
+            )
+        else:
+            rank_expr = (
+                F.lit(1.0 - d)
+                + F.lit(d)
+                * (
+                    F.coalesce(F.col("_in"), F.lit(0.0))
+                    + F.col("_dang") / F.lit(float(n))
+                )
+            )
         new_ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .crossJoin(dangling)
-            .select(
-                nodes["node"],
-                (
-                    F.lit(1.0 - d)
-                    + F.lit(d)
-                    * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.col("_dang") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
+            .select(nodes["node"], rank_expr.alias("rank"))
         )
         # Each round reads ``ranks`` twice (contrib + dangling), so the
         # round's result MUST materialize eagerly or the unevaluated
@@ -232,7 +290,9 @@ def pagerank(
     # recomputes from source) — the loop inputs release their blocks
     e.unpersist()
     deg.unpersist()
-    nodes.unpersist()
+    base_nodes.unpersist()
+    if teleport is not None:
+        joined.unpersist()
 
     if normalized:
         ranks = ranks.select(

@@ -70,6 +70,89 @@ def resample_mixture(
     return df.sampleBy(source_col, fractions, seed=seed)
 
 
+def temperature_fractions(
+    counts: dict[str, int], alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature-scaled mixture keep-fractions (the multilingual /
+    multi-domain balancing rule published with XLM-R (Conneau 2020,
+    alpha=0.3) and GPT-3's domain weighting): target share of group
+    ``k`` is proportional to ``n_k**alpha``, so ``alpha=1`` keeps the
+    natural distribution and ``alpha->0`` approaches uniform —
+    low-resource groups are upsampled RELATIVE to the head without
+    ever repeating documents.
+
+    Algebraic form: with targets ``w_k = n_k**alpha`` the generic
+    binding-source construction (``mixture_fractions``) collapses to
+
+        frac(k) = min_j(n_j**(1-alpha)) / n_k**(1-alpha)
+
+    — the normalizing sum cancels, which besides being fewer ops
+    makes the doubles reproducible from any engine's ``pow`` without
+    an order-sensitive summation. The binding group (the smallest
+    ``n**(1-alpha)``, i.e. the rarest group for ``alpha < 1``) keeps
+    fraction 1.0; every other group downsamples toward it. Pure
+    function (unit-testable without Spark)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha!r}")
+    ratios = {
+        k: float(n) ** (1.0 - alpha)
+        for k, n in counts.items()
+        if n > 0
+    }
+    if not ratios:
+        return {}
+    m = min(ratios.values())
+    return {k: m / r for k, r in ratios.items()}
+
+
+def temperature_fraction_col(
+    df: "DataFrame",
+    group_col: str = "lang",
+    alpha: float = 0.3,
+    out_col: str = "temp_keep_frac",
+) -> "DataFrame":
+    """Annotate each row with its group's temperature keep-fraction.
+    One narrow count agg (one short row per group to the driver —
+    groups are languages/domains, dozens at most); fractions come
+    back as plain literals in a broadcast map, so the corpus itself
+    never shuffles."""
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["k"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("k"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    fractions = temperature_fractions(counts, alpha)
+    expr = F.lit(None).cast("double")
+    for k, v in sorted(fractions.items()):
+        expr = F.when(F.col(group_col) == k, F.lit(v)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def resample_temperature(
+    df: "DataFrame",
+    group_col: str = "lang",
+    alpha: float = 0.3,
+    seed: int = 42,
+) -> "DataFrame":
+    """Downsample ``df`` to the temperature-``alpha`` mixture over
+    ``group_col`` (seeded Bernoulli, same 100 TB shape as
+    ``resample_mixture``: one count agg + a stateless sampleBy pass,
+    zero corpus shuffle)."""
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["k"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("k"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    fractions = temperature_fractions(counts, alpha)
+    return df.sampleBy(group_col, fractions, seed=seed)
+
+
 MAX_QUALITY_BUCKETS = 100_000  # refuse an unbounded histogram collect
 
 

@@ -88,6 +88,85 @@ def test_normalized_and_zero_iterations(spark):
     assert math.isclose(sum(norm.values()), 1.0, rel_tol=1e-12)
 
 
+def test_personalized_seed_starves_unreachable(spark):
+    # TrustRank shape: all teleport mass on seed A; C links in but
+    # nothing links to C and it gets no teleport, so C starves.
+    # d=0.5, n=3, init r = n*t = (3,0,0) — all values dyadic => exact:
+    # round 1: (1.5, 1.5, 0); round 2: (2.25, 0.75, 0)
+    e = _edges(spark, [("A", "B"), ("B", "A"), ("C", "A")])
+    seeds = spark.createDataFrame([("A", 1.0)], "node string, weight double")
+    assert _ranks(pagerank(e, damping=0.5, iterations=1,
+                           teleport=seeds)) == {
+        "A": 1.5, "B": 1.5, "C": 0.0,
+    }
+    assert _ranks(pagerank(e, damping=0.5, iterations=2,
+                           teleport=seeds)) == {
+        "A": 2.25, "B": 0.75, "C": 0.0,
+    }
+
+
+def test_personalized_dangling_mass_follows_teleport(spark):
+    # A->B with B dangling and all teleport on A: B's mass returns
+    # entirely to A (not uniformly). d=0.5, n=2, init (2, 0):
+    # round 1: (1, 1); round 2: A = 1 + 0.5*1 = 1.5, B = 0.5
+    e = _edges(spark, [("A", "B")])
+    seeds = spark.createDataFrame([("A", 4.0)], "node string, weight double")
+    assert _ranks(pagerank(e, damping=0.5, iterations=2,
+                           teleport=seeds)) == {"A": 1.5, "B": 0.5}
+
+
+def test_personalized_uniform_equals_default(spark):
+    # equal weights over all 4 nodes => t = 1/4 (dyadic), so the
+    # personalized path must reproduce the default bit for bit
+    pairs = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("D", "A")]
+    e = _edges(spark, pairs)
+    uni = spark.createDataFrame(
+        [(x, 2.0) for x in "ABCD"], "node string, weight double"
+    )
+    assert _ranks(pagerank(e, damping=0.5, iterations=3)) == _ranks(
+        pagerank(e, damping=0.5, iterations=3, teleport=uni)
+    )
+
+
+def test_personalized_off_graph_weight_ignored(spark):
+    # weight on a node outside the graph must not dilute the seeds
+    e = _edges(spark, [("A", "B"), ("B", "A"), ("C", "A")])
+    just_a = spark.createDataFrame(
+        [("A", 1.0)], "node string, weight double"
+    )
+    with_ghost = spark.createDataFrame(
+        [("A", 1.0), ("Z", 5.0)], "node string, weight double"
+    )
+    assert _ranks(
+        pagerank(e, damping=0.5, iterations=2, teleport=just_a)
+    ) == _ranks(
+        pagerank(e, damping=0.5, iterations=2, teleport=with_ghost)
+    )
+
+    import pytest
+
+    only_ghost = spark.createDataFrame(
+        [("Z", 5.0)], "node string, weight double"
+    )
+    with pytest.raises(ValueError, match="positive sum"):
+        pagerank(e, iterations=1, teleport=only_ghost)
+
+
+def test_personalized_duplicate_seed_rows_collapse(spark):
+    e = _edges(spark, [("A", "B"), ("B", "A"), ("C", "A")])
+    once = spark.createDataFrame(
+        [("A", 2.0)], "node string, weight double"
+    )
+    twice = spark.createDataFrame(
+        [("A", 1.0), ("A", 1.0)], "node string, weight double"
+    )
+    out = pagerank(e, damping=0.5, iterations=2, teleport=twice)
+    assert out.count() == 3  # dup seed rows must not fan out nodes
+    assert _ranks(out) == _ranks(
+        pagerank(e, damping=0.5, iterations=2, teleport=once)
+    )
+
+
 def test_empty_edges(spark):
     out = pagerank(_edges(spark, []).limit(0), iterations=3)
     assert out.count() == 0

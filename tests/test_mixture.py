@@ -180,3 +180,77 @@ def test_split_boundaries_saturated_fraction(spark):
         ).collect()
     }
     assert got == {"train"}
+
+
+def test_temperature_fractions_exact():
+    from html_to_document_spark.operators.mixture import (
+        temperature_fractions,
+    )
+
+    # sqrt counts 100/25/4 -> ratios 10/5/2 -> fracs 0.2/0.4/1.0 exact
+    assert temperature_fractions(
+        {"a": 100, "b": 25, "c": 4}, alpha=0.5
+    ) == {"a": 0.2, "b": 0.4, "c": 1.0}
+    # alpha=1 keeps the natural distribution: nobody downsamples
+    assert temperature_fractions(
+        {"a": 100, "b": 7}, alpha=1.0
+    ) == {"a": 1.0, "b": 1.0}
+    # alpha=0 targets uniform: frac = n_min / n_k
+    assert temperature_fractions(
+        {"a": 100, "b": 25}, alpha=0.0
+    ) == {"a": 0.25, "b": 1.0}
+    # zero-count groups drop; empty input returns empty
+    assert temperature_fractions({"a": 10, "z": 0}, alpha=0.5) == {
+        "a": 1.0
+    }
+    assert temperature_fractions({}, alpha=0.5) == {}
+
+
+def test_temperature_fractions_alpha_bounds():
+    import pytest
+
+    from html_to_document_spark.operators.mixture import (
+        temperature_fractions,
+    )
+
+    with pytest.raises(ValueError):
+        temperature_fractions({"a": 1}, alpha=-0.1)
+    with pytest.raises(ValueError):
+        temperature_fractions({"a": 1}, alpha=1.5)
+
+
+def test_temperature_fraction_col_and_resample(spark):
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.mixture import (
+        resample_temperature,
+        temperature_fraction_col,
+    )
+
+    rows = (
+        [(i, "en") for i in range(100)]
+        + [(i + 100, "fr") for i in range(25)]
+        + [(i + 200, "zh") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_fraction_col(df, group_col="lang", alpha=0.5)
+    got = {
+        r["lang"]: r["f"]
+        for r in out.select(
+            "lang", F.col("temp_keep_frac").alias("f")
+        ).distinct().collect()
+    }
+    assert got == {"en": 0.2, "fr": 0.4, "zh": 1.0}
+
+    kept = resample_temperature(df, group_col="lang", alpha=0.5, seed=7)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    # the binding group keeps everything (fraction exactly 1.0);
+    # others are Bernoulli around n*frac
+    assert by_lang["zh"] == 4
+    assert 8 <= by_lang["en"] <= 35 and 3 <= by_lang["fr"] <= 18
+    assert kept.columns == df.columns
