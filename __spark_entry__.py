@@ -770,7 +770,26 @@ def q_url_filter_blocked(spark, sf_dir):
             .otherwise(F.lit("ok9.example.org"))
         )
 
+    # r5 continuation: the html plant also carries head directives
+    # (operators/html_head.py) — a robots-noindex meta on doc_id%11
+    # and a declared canonical (with strippable junk params) on
+    # doc_id%7, so the row gates noindex detection, canonical
+    # extraction+normalization, and the canonical mirror-collapse
+    # keeper straight off the same raw-HTML column extraction reads
     html = F.concat(
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit('<meta name="robots" content="noindex">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" '
+                      'href="http://canon.example.org/c'),
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit('?b=2&utm_x=1#z">'),
+            ),
+        ).otherwise(F.lit("")),
         F.lit("<p>page "), sid,
         F.lit('</p><p><a href="http://'), host_of((idx + 1) % 6),
         F.lit('/out1">first link</a></p><p><a href="http://'),
@@ -796,10 +815,29 @@ def q_url_filter_blocked(spark, sf_dir):
     pr = F.broadcast(pagerank(edges, damping=0.875, iterations=4))
     ind = F.broadcast(in_degree(edges))
 
+    from html_to_document_spark.operators.html_head import (
+        canonical_dedup,
+        canonical_url_col,
+        robots_noindex_col,
+    )
+
+    canon_kept = canonical_dedup(pages).select("doc_id").withColumn(
+        "_canon_keep", F.lit(True)
+    )
+    heads = pages.select(
+        "doc_id",
+        robots_noindex_col("html").alias("noindex"),
+        F.coalesce(
+            normalize_url_col(canonical_url_col("html")),
+            normalize_url_col("url"),
+        ).alias("canon_key"),
+    ).join(canon_kept, "doc_id", "left")
+
     out = (
         capped.withColumn("_host", host_col("url"))
         .join(pr, F.col("_host") == pr["node"], "left")
         .join(ind, F.col("_host") == ind["node"], "left")
+        .join(heads, "doc_id")
     )
     return out.select(
         "doc_id", "blocked",
@@ -808,6 +846,9 @@ def q_url_filter_blocked(spark, sf_dir):
         F.col("rank").alias("pagerank"),
         F.coalesce(F.col("n_inlinks"), F.lit(0)).cast("long")
         .alias("host_inlinks"),
+        "noindex", "canon_key",
+        F.coalesce(F.col("_canon_keep"), F.lit(False))
+        .alias("keep_canon"),
     )
 
 
@@ -2440,6 +2481,18 @@ def oracle_sql() -> dict[str, str]:
             # 7/8 — every value is a dyadic rational by construction,
             # so the doubles are bit-identical to Spark's regardless
             # of either engine's summation order.
+            # Outer wrap (r5-cont): head-directive arms — noindex is
+            # planted on doc_id%11, the declared canonical (junk
+            # params stripped by normalization) on doc_id%7; the
+            # mirror-collapse keeper is min-doc_id per canonical key.
+            "select c.*, row_number() over "
+            "(partition by canon_key order by doc_id) = 1 "
+            "as keep_canon from ("
+            "select b.*, b.doc_id % 11 = 0 as noindex, "
+            "case when b.doc_id % 7 = 0 then "
+            "'http://canon.example.org/c' "
+            "|| cast(b.doc_id % 13 as varchar) || '?b=2' "
+            "else b.norm_url end as canon_key from ("
             "with h as ("
             "  select doc_id, doc_id % 5 in (0, 1) as blocked, "
             "    case doc_id % 5 "
@@ -2497,6 +2550,7 @@ def oracle_sql() -> dict[str, str]:
             "from h "
             "left join r4 on r4.node = h.host "
             "left join ind on ind.node = h.host"
+            ") b) c"
         ),
         "gopher_repetition": (
             "with v as ("

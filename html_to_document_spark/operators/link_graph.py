@@ -110,6 +110,63 @@ def in_degree(
     )
 
 
+def filter_low_rank_hosts(
+    df: "DataFrame",
+    ranks: "DataFrame",
+    min_rank: float,
+    url_col: str = "url",
+    keep_unranked: bool = True,
+) -> "DataFrame":
+    """Drop documents whose host's link-graph rank falls below
+    ``min_rank`` — the crawl-prioritization use of ``pagerank``
+    (CommonCrawl publishes host-level rank files for exactly this).
+    ``ranks`` is a (node, rank) frame; hosts absent from it are kept
+    by default (no link evidence is not spam evidence — set
+    ``keep_unranked=False`` for an allow-list posture).
+
+    100 TB shape (the ``blocked_hosts`` pattern): the rank join runs
+    on the corpus's DISTINCT HOST SET (hosts << pages), the resulting
+    drop set comes back as a broadcast map-side anti-join on host
+    equality, and the corpus itself is never shuffled. The drop set
+    is guarded by ``url_filter.MAX_HOT_DOMAINS`` — if more hosts fall
+    below the threshold than can broadcast, raise the threshold
+    question to the caller instead of silently building a
+    corpus-sized join."""
+    from pyspark.sql import functions as F
+
+    from .url_filter import MAX_HOT_DOMAINS
+
+    host = host_col(url_col)
+    hosts = (
+        df.select(host.alias("host"))
+        .filter(F.col("host").isNotNull() & (F.col("host") != ""))
+        .distinct()
+    )
+    r = ranks.select(
+        F.col("node").alias("host"), F.col("rank").cast("double")
+    )
+    joined = hosts.join(r, "host", "left")
+    if keep_unranked:
+        drop = joined.filter(
+            F.col("rank").isNotNull() & (F.col("rank") < min_rank)
+        )
+    else:
+        drop = joined.filter(
+            F.col("rank").isNull() | (F.col("rank") < min_rank)
+        )
+    drop = drop.select("host")
+    n_drop = drop.limit(MAX_HOT_DOMAINS + 1).count()
+    if n_drop > MAX_HOT_DOMAINS:
+        raise ValueError(
+            f"low-rank host set exceeds MAX_HOT_DOMAINS "
+            f"({MAX_HOT_DOMAINS}); lower min_rank or pre-partition "
+            f"the corpus — a drop set this size cannot broadcast"
+        )
+    return df.join(
+        F.broadcast(drop), host == drop["host"], "left_anti"
+    )
+
+
 def pagerank(
     edges: "DataFrame",
     damping: float = 0.85,

@@ -33,6 +33,10 @@ def build_crawl_pipeline(
     warc_path: str,
     *,
     blocklist: "DataFrame | None" = None,
+    host_ranks: "DataFrame | None" = None,
+    min_host_rank: float = 0.0,
+    respect_noindex: bool = False,
+    dedup_canonical: bool = False,
     max_docs_per_domain: int | None = None,
     options: ExtractOptions = DEFAULT_OPTIONS,
     num_partitions: int = 64,
@@ -76,6 +80,29 @@ def build_crawl_pipeline(
     docs = read_warc(spark, warc_path, binary_types=pdf_types)
     if blocklist is not None:
         docs = filter_blocked_domains(docs, blocklist)
+    if host_ranks is not None:
+        # link-graph crawl prioritization (operators/link_graph.py):
+        # spam-farm hosts starve in a previous crawl round's PageRank
+        # (personalized teleport = TrustRank) and are dropped BEFORE
+        # parsing — same placement rationale as the domain cap below.
+        # unranked hosts are kept (no link evidence != spam evidence).
+        from html_to_document_spark.operators.link_graph import (
+            filter_low_rank_hosts,
+        )
+
+        docs = filter_low_rank_hosts(docs, host_ranks, min_host_rank)
+    if respect_noindex or dedup_canonical:
+        # head directives (operators/html_head.py): honor the
+        # publisher's noindex, and collapse print/mobile/session
+        # mirror families on their declared canonical URL — both run
+        # BEFORE parsing (a dropped mirror never pays for extraction);
+        # binary PDF records (NULL html) pass through untouched.
+        from html_to_document_spark.operators import html_head
+
+        if respect_noindex:
+            docs = html_head.drop_noindex(docs)
+        if dedup_canonical:
+            docs = html_head.canonical_dedup(docs)
     if max_docs_per_domain is not None:
         # RefinedWeb/Dolma corpus-balance rule, applied BEFORE parsing
         # so an over-represented host's excess pages never pay for

@@ -168,3 +168,33 @@ def test_crawl_pipeline_domain_cap(spark, tmp_path):
     # this) — the guarantees are shrinkage and per-seed determinism
     assert len(capped) < len(full)          # the 9-10-doc hosts shrank
     assert capped == run(max_docs_per_domain=4)  # deterministic
+
+
+def test_crawl_pipeline_host_rank_filter(spark, tmp_path):
+    """Link-graph prioritization: low-rank hosts drop BEFORE parsing;
+    unranked hosts survive."""
+    path = _archive(tmp_path)
+    ranks = spark.createDataFrame(
+        [("site0.example.com", 0.01), ("site1.example.com", 1.7)],
+        "node string, rank double",
+    )
+    out = build_crawl_pipeline(
+        spark, path,
+        host_ranks=ranks,
+        min_host_rank=0.5,
+        num_partitions=4,
+        pii_scrub=False,
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # site0 hosts doc ids i%4==0 and i%10!=0: ALL dropped pre-parse
+    site0 = {f"urn:uuid:r{i:03d}" for i in range(40)
+             if i % 4 == 0 and i % 10 != 0}
+    assert not (ids & site0)
+    # ranked-above-threshold (site1) and unranked (site2) hosts both
+    # survive the rank filter (downstream near-dup collapses rotated
+    # bodies, so assert per host family, not per doc)
+    site1 = {f"urn:uuid:r{i:03d}" for i in range(40)
+             if i % 4 == 1 and i % 10 != 0}
+    site2 = {f"urn:uuid:r{i:03d}" for i in range(40)
+             if i % 4 == 2 and i % 10 != 0}
+    assert ids & site1 and ids & site2

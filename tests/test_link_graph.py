@@ -240,3 +240,39 @@ def test_pagerank_plan_no_python_and_bounded_joins(spark):
     out = pagerank(e, damping=0.5, iterations=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_filter_low_rank_hosts(spark):
+    from html_to_document_spark.operators.link_graph import (
+        filter_low_rank_hosts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://good.example.org/a"),
+            (2, "http://spam.example.biz/b"),
+            (3, "http://unranked.example.net/c"),
+            (4, "not a url"),
+        ],
+        "doc_id long, url string",
+    )
+    ranks = spark.createDataFrame(
+        [("good.example.org", 2.5), ("spam.example.biz", 0.05)],
+        "node string, rank double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in filter_low_rank_hosts(docs, ranks, 0.2).collect()
+    }
+    # spam host dropped; unranked + unparsable kept by default
+    assert kept == {1, 3, 4}
+
+    strict = {
+        r["doc_id"]
+        for r in filter_low_rank_hosts(
+            docs, ranks, 0.2, keep_unranked=False
+        ).collect()
+    }
+    # allow-list posture: only ranked-above-threshold hosts survive;
+    # the unparsable-URL row has no host and never enters the drop set
+    assert strict == {1, 4}
