@@ -471,3 +471,124 @@ def run_streaming_near_dedup(
     )
     q.awaitTermination()
     return q
+
+
+CANON_OUT_SCHEMA = "doc_id string, url string"
+CANON_STATE_SCHEMA = "seen byte"
+
+
+def streaming_canonical_dedup(
+    stream_df: "DataFrame",
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    respect_noindex: bool = True,
+) -> "DataFrame":
+    """Canonical-URL mirror collapse over an unbounded crawl stream —
+    the streaming counterpart of ``html_head.canonical_dedup``: each
+    canonical key (the page's declared ``rel=canonical``, normalized,
+    else its own normalized URL) emits its first document and
+    suppresses every later mirror forever. Arrival-order semantics
+    (within one micro-batch the min doc_id wins), the
+    ``streaming_exact_dedup`` contract. ``respect_noindex`` also
+    drops robots-noindex pages — a stateless projection folded into
+    the same pass.
+
+    Scale shape: groups key on the 64-bit digest of the canonical
+    key, so state per distinct page is ONE tiny row (the state store
+    never carries URLs or HTML); rows with no derivable key
+    (unparsable URL, no canonical) are never deduped and bypass the
+    stateful operator via a union — pooling them into the NULL-digest
+    group would both dedup them against each other and concentrate
+    them in one state task."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from html_to_document_spark.operators.html_head import (
+        canonical_url_col,
+        robots_noindex_col,
+    )
+    from html_to_document_spark.operators.url_filter import (
+        normalize_url_col,
+    )
+
+    s = stream_df
+    if respect_noindex:
+        s = s.filter(~robots_noindex_col(html_col))
+    # key NULLness must be tested BEFORE hashing: xxhash64(NULL) is
+    # the seed constant, not NULL, and would pool every keyless row
+    # into one dedup group
+    base = s.select(
+        F.coalesce(
+            normalize_url_col(canonical_url_col(html_col)),
+            normalize_url_col(url_col),
+        ).alias("_key"),
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(url_col).alias("url"),
+    )
+    passthrough = base.filter(F.col("_key").isNull()).select(
+        "doc_id", "url"
+    )
+    keyed = base.filter(F.col("_key").isNotNull()).select(
+        F.xxhash64(F.col("_key")).alias("digest"), "doc_id", "url"
+    )
+
+    def canon_fn(key, pdf_iter, state):
+        if state.exists:
+            for _ in pdf_iter:  # drain: this key already emitted
+                pass
+            return
+        best = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.loc[pdf["doc_id"].idxmin()]
+            if best is None or cand["doc_id"] < best["doc_id"]:
+                best = cand
+        if best is not None:
+            state.update((1,))
+            yield pd.DataFrame(
+                {"doc_id": [best["doc_id"]], "url": [best["url"]]}
+            )
+
+    return keyed.groupBy("digest").applyInPandasWithState(
+        canon_fn,
+        outputStructType=CANON_OUT_SCHEMA,
+        stateStructType=CANON_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ).unionByName(passthrough)
+
+
+def run_streaming_canonical_dedup(
+    spark,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    respect_noindex: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """File-source wiring for ``streaming_canonical_dedup`` (append
+    sink; key state lives in the checkpoint)."""
+    reader = spark.readStream.schema(
+        "doc_id string, url string, html string"
+    )
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    stream = reader.parquet(in_path)
+    out = streaming_canonical_dedup(
+        stream, respect_noindex=respect_noindex
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -402,3 +402,54 @@ def test_stream_pipeline_blocklist_entropy_fuzzy(spark, tmp_path):
                         decontaminate_mode="fuzzy")
     assert {r.doc_id for r in spark.read.parquet(out_filtered).collect()} == \
         {"keep"}
+
+
+def test_streaming_canonical_dedup(spark, tmp_path):
+    """r5 continuation: canonical mirror collapse across micro-batches
+    — first doc per canonical key wins forever (in-batch ties to the
+    smallest doc_id); noindex pages drop; keyless rows bypass."""
+    from html_to_document_spark.streaming.stateful import (
+        run_streaming_canonical_dedup,
+    )
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    canon = '<link rel="canonical" href="http://site.com/art">'
+
+    batch1 = spark.createDataFrame(
+        [
+            # two mirrors of one article in ONE batch: min id wins
+            ("m2", "http://site.com/art?print=1", f"<p>x</p>{canon}"),
+            ("m1", "http://m.site.com/art", f"<p>y</p>{canon}"),
+            # own-URL key (no canonical declared)
+            ("p1", "http://other.com/p?a=1", "<p>z</p>"),
+            # noindex page drops regardless of key
+            ("x1", "http://other.com/q",
+             '<meta name="robots" content="noindex"><p>w</p>'),
+            # keyless row passes through
+            ("k1", "not a url", "<p>k</p>"),
+        ],
+        "doc_id string, url string, html string",
+    )
+    batch1.write.parquet(in_path)
+    run_streaming_canonical_dedup(spark, in_path, out_path, ckpt)
+    got = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert got == {"m1", "p1", "k1"}
+
+    # second batch: later mirrors of the same canonical suppressed;
+    # tracking-param variant of other.com/p?a=1 suppressed; a fresh
+    # canonical emits; keyless rows never dedup against each other
+    batch2 = spark.createDataFrame(
+        [
+            ("m9", "http://site.com/art;v2", f"<p>q</p>{canon}"),
+            ("p2", "http://OTHER.com/p?utm_s=1&a=1#f", "<p>r</p>"),
+            ("f1", "http://fresh.net/new", "<p>s</p>"),
+            ("k2", "not a url", "<p>k</p>"),
+        ],
+        "doc_id string, url string, html string",
+    )
+    batch2.write.mode("append").parquet(in_path)
+    run_streaming_canonical_dedup(spark, in_path, out_path, ckpt)
+    got = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert got == {"m1", "p1", "k1", "f1", "k2"}
