@@ -814,6 +814,12 @@ def q_url_filter_blocked(spark, sf_dir):
     )
     pr = F.broadcast(pagerank(edges, damping=0.875, iterations=4))
     ind = F.broadcast(in_degree(edges))
+    # r5 continuation: HITS on the same planted graph — unnormalized
+    # fixed-k scores are sums of integers (exactly whole doubles), so
+    # 4 unrolled rounds hash-match the SQL mirror with no FP caveats
+    from html_to_document_spark.operators.link_graph import hits
+
+    ht = F.broadcast(hits(edges, iterations=4))
 
     from html_to_document_spark.operators.html_head import (
         canonical_dedup,
@@ -837,6 +843,7 @@ def q_url_filter_blocked(spark, sf_dir):
         capped.withColumn("_host", host_col("url"))
         .join(pr, F.col("_host") == pr["node"], "left")
         .join(ind, F.col("_host") == ind["node"], "left")
+        .join(ht, F.col("_host") == ht["node"], "left")
         .join(heads, "doc_id")
     )
     return out.select(
@@ -846,6 +853,8 @@ def q_url_filter_blocked(spark, sf_dir):
         F.col("rank").alias("pagerank"),
         F.coalesce(F.col("n_inlinks"), F.lit(0)).cast("long")
         .alias("host_inlinks"),
+        F.col("hub").alias("host_hub"),
+        F.col("authority").alias("host_auth"),
         "noindex", "canon_key",
         F.coalesce(F.col("_canon_keep"), F.lit(False))
         .alias("keep_canon"),
@@ -2532,6 +2541,24 @@ def oracle_sql() -> dict[str, str]:
                 f"group by hh.host)"
                 for i in (1, 2, 3, 4)
             )
+            + ", h0 as (select host as node, cast(1 as double) as hv "
+            "from hosts), "
+            # HITS, 4 unrolled rounds: a_i(v) = sum of h_{i-1} over
+            # in-edges, h_i(u) = sum of a_i over out-edges — all
+            # whole-number doubles, no FP-order caveat
+            + ", ".join(
+                f"a{i} as (select hh.host as node, "
+                f"coalesce(sum(h{i - 1}.hv), 0) as av from hosts hh "
+                f"left join edges e on e.dst = hh.host "
+                f"left join h{i - 1} on h{i - 1}.node = e.src "
+                f"group by hh.host), "
+                f"h{i} as (select hh.host as node, "
+                f"coalesce(sum(a{i}.av), 0) as hv from hosts hh "
+                f"left join edges e on e.src = hh.host "
+                f"left join a{i} on a{i}.node = e.dst "
+                f"group by hh.host)"
+                for i in (1, 2, 3, 4)
+            )
             + ", ind as ("
             "  select dst as node, count(*) as n from edges group by dst"
             ") select h.doc_id, h.blocked, "
@@ -2546,10 +2573,13 @@ def oracle_sql() -> dict[str, str]:
             "|| '?a=' || cast(h.doc_id % 2 as varchar) "
             "|| '&z=' || cast(h.doc_id % 3 as varchar) as norm_url, "
             "r4.r as pagerank, "
-            "coalesce(ind.n, 0) as host_inlinks "
+            "coalesce(ind.n, 0) as host_inlinks, "
+            "h4.hv as host_hub, a4.av as host_auth "
             "from h "
             "left join r4 on r4.node = h.host "
-            "left join ind on ind.node = h.host"
+            "left join ind on ind.node = h.host "
+            "left join h4 on h4.node = h.host "
+            "left join a4 on a4.node = h.host"
             ") b) c"
         ),
         "gopher_repetition": (

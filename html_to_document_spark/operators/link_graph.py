@@ -110,6 +110,111 @@ def in_degree(
     )
 
 
+def hits(
+    edges: "DataFrame",
+    iterations: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_interval: int = 4,
+) -> "DataFrame":
+    """Fixed-iteration HITS (Kleinberg 1999) over a (src, dst) edge
+    frame → ``(node, hub, authority)`` — the complementary centrality
+    pair to PageRank: an AUTHORITY is pointed at by good hubs (cited
+    content), a HUB points at good authorities (link directories /
+    index pages). Crawl curation uses the split where PageRank's
+    single score conflates them — e.g. boilerplate link farms score
+    as hubs, not authorities.
+
+    UNNORMALIZED mutual reinforcement:
+
+        a'(v) = Σ_{u→v} h(u)        h'(u) = Σ_{u→v} a'(v)
+
+    with init ``h = 1``. Per-iteration normalization (the textbook
+    L2 step) only rescales — the RANKING after k iterations is
+    identical — so it is left out: every intermediate stays a
+    whole-number double (sums of integers), making fixed-``k`` runs
+    exactly reproducible on any engine as long as values stay under
+    2^53 (growth is bounded by the graph's principal eigenvalue —
+    on curation-sized host graphs with small ``k`` this is far off;
+    normalize the RESULT if magnitudes matter downstream).
+
+    Same plan shape as ``pagerank``: self-loops/duplicates removed up
+    front, per-round one join + one partial-agg sum per direction on
+    the persisted edge frame, eager materialization per round (the
+    hub update reads the fresh authority frame), lineage truncation
+    every ``checkpoint_interval`` rounds.
+    """
+    from pyspark.sql import functions as F
+
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0: {iterations!r}")
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    )
+    prev = None
+    for i in range(iterations):
+        auth = (
+            e.join(scores, e["src"] == scores["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_a"))
+        )
+        new_auth = nodes.join(
+            auth, nodes["node"] == auth["dst"], "left"
+        ).select(
+            nodes["node"],
+            F.coalesce(F.col("_a"), F.lit(0.0)).alias("authority"),
+        )
+        hub = (
+            e.join(new_auth, e["dst"] == new_auth["node"])
+            .groupBy("src")
+            .agg(F.sum("authority").alias("_h"))
+        )
+        new_scores = (
+            nodes.join(hub, nodes["node"] == hub["src"], "left")
+            .join(new_auth.withColumnRenamed("node", "_an"),
+                  nodes["node"] == F.col("_an"), "left")
+            .select(
+                nodes["node"],
+                F.coalesce(F.col("_h"), F.lit(0.0)).alias("hub"),
+                F.coalesce(F.col("authority"), F.lit(0.0))
+                .alias("authority"),
+            )
+        )
+        # same eager-materialization argument as pagerank: the round
+        # reads its inputs repeatedly; checkpoint bounds lineage
+        if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
+            new_scores = new_scores.localCheckpoint(eager=True)
+        else:
+            new_scores = new_scores.persist()
+            new_scores.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = new_scores
+        scores = new_scores
+
+    e.unpersist()
+    nodes.unpersist()
+    return scores
+
+
 def filter_low_rank_hosts(
     df: "DataFrame",
     ranks: "DataFrame",

@@ -276,3 +276,47 @@ def test_filter_low_rank_hosts(spark):
     # allow-list posture: only ranked-above-threshold hosts survive;
     # the unparsable-URL row has no host and never enters the drop set
     assert strict == {1, 4}
+
+
+def test_hits_hand_computed(spark):
+    from html_to_document_spark.operators.link_graph import hits
+
+    # A->B, A->C, B->C, C->A; init h=1:
+    # r1: a=(A1,B1,C2) h=(A3,B2,C1); r2: a=(A1,B3,C5) h=(A8,B5,C1)
+    e = _edges(spark, [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")])
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(e, iterations=2).collect()}
+    assert got == {"A": (8.0, 1.0), "B": (5.0, 3.0), "C": (1.0, 5.0)}
+
+
+def test_hits_sources_and_sinks(spark):
+    from html_to_document_spark.operators.link_graph import hits
+
+    # pure hub (no in-edges) has authority 0; pure authority (no
+    # out-edges) has hub 0 — the split PageRank conflates
+    e = _edges(spark, [("hubpage", "content1"), ("hubpage", "content2"),
+                       ("other", "content1")])
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(e, iterations=3).collect()}
+    assert got["hubpage"][1] == 0.0 and got["content1"][0] == 0.0
+    # the two-outlink hub out-scores the one-outlink hub; the
+    # two-inlink authority out-scores the one-inlink one
+    assert got["hubpage"][0] > got["other"][0]
+    assert got["content1"][1] > got["content2"][1]
+
+
+def test_hits_long_run_checkpointed_stays_integral(spark):
+    from html_to_document_spark.operators.link_graph import hits
+
+    pairs = [(f"n{i}", f"n{(3 * i + 1) % 12}") for i in range(12)
+             if i % 5 != 0] + [(f"n{i}", f"n{(i + 4) % 12}")
+                               for i in range(0, 12, 2)]
+    out = hits(_edges(spark, pairs), iterations=8,
+               checkpoint_interval=3).collect()
+    expected_nodes = {s for s, _ in pairs} | {d for _, d in pairs}
+    assert {r["node"] for r in out} == expected_nodes  # n5 is isolated
+    for r in out:
+        # unnormalized scores are sums of integers — exactly whole
+        assert r["hub"] == int(r["hub"])
+        assert r["authority"] == int(r["authority"])
+    assert any(r["hub"] > 0 for r in out)
