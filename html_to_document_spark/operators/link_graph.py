@@ -215,6 +215,72 @@ def hits(
     return scores
 
 
+def host_score_table(
+    docs: "DataFrame",
+    url_col: str = "url",
+    html_col: str = "html",
+    damping: float = 0.85,
+    iterations: int = 10,
+    teleport: "DataFrame | None" = None,
+    options=None,
+) -> "DataFrame":
+    """Raw crawl (doc_id, url, html) → per-host score table
+    ``(node, rank, hub, authority, n_inlinks)`` — the composed
+    "build this crawl round's host-quality table" path: extraction
+    (meta mode) → href harvest → host edges → PageRank + HITS +
+    in-degree, joined on the host. The output is the ``ranks`` input
+    of ``filter_low_rank_hosts`` for the NEXT crawl round (and the
+    broadcastable host-quality side table for scoring joins).
+
+    Cost shape: one extraction pass (the pipeline usually already
+    paid it — pass pre-extracted meta spans through
+    ``harvest_links`` directly to skip it here), then everything
+    downstream touches only the host-level edge frame."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.core.extract import ExtractOptions
+    from .extract_spans import (
+        exploded_with_meta,
+        extract_spans_from_html,
+    )
+
+    opts = options or ExtractOptions(with_meta=True)
+    spans = exploded_with_meta(
+        extract_spans_from_html(
+            docs.select(F.col("doc_id"), F.col(html_col).alias("html")),
+            options=opts,
+        )
+    )
+    links = harvest_links(spans).join(
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col(url_col).alias("url"),
+        ),
+        "doc_id",
+    )
+    edges = host_edges(links).persist()
+    pr = pagerank(
+        edges, damping=damping, iterations=iterations,
+        teleport=teleport,
+    )
+    ha = hits(edges, iterations=iterations)
+    ind = in_degree(edges)
+    out = (
+        pr.join(ha, "node", "full")
+        .join(ind, "node", "full")
+        .select(
+            "node",
+            F.coalesce("rank", F.lit(0.0)).alias("rank"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            F.coalesce("n_inlinks", F.lit(0)).cast("long")
+            .alias("n_inlinks"),
+        )
+    )
+    edges.unpersist()
+    return out
+
+
 def filter_low_rank_hosts(
     df: "DataFrame",
     ranks: "DataFrame",

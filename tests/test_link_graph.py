@@ -320,3 +320,35 @@ def test_hits_long_run_checkpointed_stays_integral(spark):
         assert r["hub"] == int(r["hub"])
         assert r["authority"] == int(r["authority"])
     assert any(r["hub"] > 0 for r in out)
+
+
+def test_host_score_table_end_to_end(spark):
+    from html_to_document_spark.operators.link_graph import (
+        host_score_table,
+    )
+
+    # one.example.org <-> two.example.org, three links in to two
+    docs = spark.createDataFrame(
+        [
+            (1, "http://one.example.org/p",
+             '<p><a href="http://two.example.org/x">two</a></p>'),
+            (2, "http://two.example.org/q",
+             '<p><a href="http://one.example.org/y">one</a></p>'),
+            (3, "http://three.example.org/r",
+             '<p><a href="http://two.example.org/z">two</a></p>'),
+        ],
+        "doc_id long, url string, html string",
+    )
+    out = {r["node"]: r for r in host_score_table(
+        docs, damping=0.5, iterations=4
+    ).collect()}
+    assert set(out) == {"one.example.org", "two.example.org",
+                        "three.example.org"}
+    # two gets in-links from both others; three gets none
+    assert out["two.example.org"]["n_inlinks"] == 2
+    assert out["three.example.org"]["n_inlinks"] == 0
+    assert out["two.example.org"]["rank"] > out["three.example.org"]["rank"]
+    assert out["two.example.org"]["authority"] > 0.0
+    # mass conserved across the composed path (3 nodes)
+    total = sum(r["rank"] for r in out.values())
+    assert abs(total - 3.0) < 1e-9
