@@ -110,6 +110,74 @@ def in_degree(
     )
 
 
+def anchor_text_profile(
+    links: "DataFrame",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor_text",
+    top_k: int = 8,
+) -> "DataFrame":
+    """Incoming anchor-text aggregation per link TARGET — the classic
+    off-page relevance/quality signal (anchor text is how the web
+    describes the page it points AT; search engines index it, and
+    crawl curation uses it both as a per-host topic label and as a
+    spam tell — link farms repeat one commercial anchor). Input is a
+    link frame carrying the target key (host or URL) and the anchor
+    text, e.g. :func:`harvest_links` output with
+    ``url_filter.host_col(href)`` projected as ``dst``.
+
+    Returns one row per target: ``(node, n_anchor_links,
+    n_unique_anchors, top_anchor, top_anchors)`` — total incoming
+    anchored links, distinct anchor strings, the most frequent anchor
+    (ties to the lexically smallest — deterministic), and the top-k
+    anchors by (count desc, anchor asc) joined with ``" | "``.
+
+    100 TB shape: the corpus-sized frame is aggregated ONCE by
+    (dst, anchor) with map-side combine — after that every frame is
+    distinct-(target, anchor)-pair sized. The top-k rank is a window
+    over that reduced frame partitioned by dst (state = one rank
+    counter), and the rank filter runs BEFORE collect_list so
+    per-target driver-free state is bounded at ``top_k`` structs —
+    no unbounded collect even for a host with millions of distinct
+    anchors. NULL/empty anchors drop first (they describe nothing)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    pairs = (
+        links.filter(
+            F.col(anchor_col).isNotNull() & (F.col(anchor_col) != "")
+        )
+        .groupBy(
+            F.col(dst_col).alias("node"),
+            F.col(anchor_col).alias("_anchor"),
+        )
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    totals = pairs.groupBy("node").agg(
+        F.sum("_n").alias("n_anchor_links"),
+        F.count("*").cast("long").alias("n_unique_anchors"),
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("_n").desc(), F.col("_anchor").asc()
+    )
+    ranked = pairs.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= top_k
+    )
+    tops = ranked.groupBy("node").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_rk", "_anchor"))),
+                lambda s: s["_anchor"],
+            ),
+            " | ",
+        ).alias("top_anchors"),
+        F.min(F.struct("_rk", "_anchor")).alias("_top"),
+    )
+    return totals.join(tops, "node").select(
+        "node", "n_anchor_links", "n_unique_anchors",
+        F.col("_top")["_anchor"].alias("top_anchor"), "top_anchors",
+    )
+
+
 def hits(
     edges: "DataFrame",
     iterations: int = 8,

@@ -313,3 +313,78 @@ def hash_split_sql(
             f"else {expr} end"
         )
     return expr
+
+
+def shuffle_shard(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "",
+    sub_hex: int = 4,
+    out_shard: str = "shard",
+    out_pos: str = "shard_pos",
+) -> "DataFrame":
+    """Deterministic one-time corpus shuffle + sharding — the step
+    that turns a curated pool into the SHUFFLED, SHARDED training
+    corpus a run actually reads (every pretraining recipe shuffles
+    document order once at corpus-build time; at 100 TB you cannot
+    re-shuffle per epoch, so the shuffle must be reproducible and
+    auditable from the ids alone). Each row gets:
+
+    - ``out_shard`` — which of ``n_shards`` near-equal shards it
+      lands in (md5-prefix lexical thresholds from the SAME
+      :func:`split_boundaries` literals as :func:`hash_split_col`,
+      so assignment is engine-reproducible and append/repartition
+      stable), and
+    - ``out_pos`` — its 0-based position within the shard under the
+      global md5 order (ties broken by ``id_col``): the training
+      read order, derivable from any engine.
+
+    100 TB shape: NO global sort. Positions come from the two-level
+    histogram trick: the first ``sub_hex`` hex chars of the digest
+    define sub-buckets whose (shard, sub) counts aggregate map-side
+    (≤ ``16**sub_hex + n_shards`` rows to the driver), cumulative
+    offsets broadcast back, and a row_number window partitioned by
+    (shard, sub) — 16**sub_hex parallel windows instead of
+    ``n_shards`` single-reducer ones — adds the within-bucket rank.
+    Because the sub-bucket is a PREFIX of the digest, (sub, digest)
+    order equals digest order, so offset + rank reproduces the naive
+    ``row_number() over (partition by shard order by digest, id)``
+    exactly (the oracle formulation). Raise ``sub_hex`` so the
+    largest bucket (~N/16**sub_hex rows) fits an executor."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if not 1 <= sub_hex <= 8:
+        raise ValueError("sub_hex must be in 1..8")
+    fractions = [(str(i), 1.0) for i in range(n_shards)]
+    digest = F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    )
+    with_key = df.withColumn("_digest", digest).withColumn(
+        out_shard,
+        hash_split_col(id_col, fractions, salt).cast("int"),
+    ).withColumn("_sub", F.substring("_digest", 1, sub_hex))
+    counts = (
+        with_key.groupBy(out_shard, "_sub").count().collect()
+    )
+    counts.sort(key=lambda r: (r[out_shard], r["_sub"]))
+    offsets, cum, cur_shard = [], 0, None
+    for r in counts:
+        if r[out_shard] != cur_shard:
+            cur_shard, cum = r[out_shard], 0
+        offsets.append((r[out_shard], r["_sub"], cum))
+        cum += r["count"]
+    off_df = with_key.sparkSession.createDataFrame(
+        offsets, f"{out_shard} int, _sub string, _off long"
+    )
+    w = Window.partitionBy(out_shard, "_sub").orderBy("_digest", id_col)
+    return (
+        with_key.join(F.broadcast(off_df), [out_shard, "_sub"])
+        .withColumn(
+            out_pos, (F.col("_off") + F.row_number().over(w) - 1)
+        )
+        .drop("_digest", "_sub", "_off")
+    )

@@ -294,3 +294,56 @@ def test_remove_repeated_paragraphs_drop_hot(spark):
     assert out[99].text == "twice seen. lone paragraph"
     assert out[100].text == "twice seen"
     assert out[99].n_paras_removed == 0
+
+
+def test_dedup_lines_in_doc_keep_first_within_doc(spark):
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.corpus_hygiene import (
+        dedup_lines_in_doc,
+    )
+
+    rows = [
+        (1, "nav menu. body text. nav menu. footer. body text"),
+        (2, "unique one. unique two"),
+        (3, "same. same. same"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"])
+        for r in dedup_lines_in_doc(df).collect()
+    }
+    assert got[1] == ("nav menu. body text. footer", 2)
+    assert got[2] == ("unique one. unique two", 0)
+    assert got[3] == ("same", 2)
+    assert got[4] == ("", 0)
+    # cross-document repeats are NOT touched (that is the corpus-level
+    # operator's job): two docs sharing a line both keep it
+    df2 = spark.createDataFrame(
+        [(1, "shared. a"), (2, "shared. b")], "doc_id long, text string"
+    )
+    got2 = {r["doc_id"]: r["text"] for r in dedup_lines_in_doc(df2).collect()}
+    assert got2 == {1: "shared. a", 2: "shared. b"}
+    # zero-shuffle, zero-Python plan: a pure projection
+    plan = dedup_lines_in_doc(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_dedup_lines_in_doc_newline_sep_and_empty_segments(spark):
+    from html_to_document_spark.operators.corpus_hygiene import (
+        dedup_lines_in_doc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\n\na\nb\n"), (2, "x\ny")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"])
+        for r in dedup_lines_in_doc(df, sep="\n").collect()
+    }
+    # empty segments (consecutive separators, trailing sep) collapse
+    # and never count as removals
+    assert got[1] == ("a\nb", 1)
+    assert got[2] == ("x\ny", 0)

@@ -352,3 +352,39 @@ def test_host_score_table_end_to_end(spark):
     # mass conserved across the composed path (3 nodes)
     total = sum(r["rank"] for r in out.values())
     assert abs(total - 3.0) < 1e-9
+
+
+def test_anchor_text_profile_counts_ranks_and_caps(spark):
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.link_graph import (
+        anchor_text_profile,
+    )
+
+    rows = (
+        [("h1", "click here")] * 3
+        + [("h1", "best site")] * 3
+        + [("h1", "misc")]
+        + [("h1", "")]
+        + [("h1", None)]
+        + [("h2", "only")]
+    )
+    df = spark.createDataFrame(rows, "dst string, anchor_text string")
+    got = {r["node"]: r for r in anchor_text_profile(df, top_k=2).collect()}
+    h1 = got["h1"]
+    # NULL/empty anchors dropped from every stat
+    assert h1["n_anchor_links"] == 7
+    assert h1["n_unique_anchors"] == 3
+    # count tie (3-3) broken to the lexically smallest anchor
+    assert h1["top_anchor"] == "best site"
+    # top_k caps the concat, ordered (count desc, anchor asc)
+    assert h1["top_anchors"] == "best site | click here"
+    assert got["h2"]["top_anchor"] == "only"
+    assert got["h2"]["top_anchors"] == "only"
+    # rank filter survives to the optimized plan (it is what bounds
+    # per-node aggregation state at top_k structs)
+    plan = (
+        anchor_text_profile(df, top_k=2)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "_rk" in plan and "row_number" in plan

@@ -254,3 +254,82 @@ def test_temperature_fraction_col_and_resample(spark):
     assert by_lang["zh"] == 4
     assert 8 <= by_lang["en"] <= 35 and 3 <= by_lang["fr"] <= 18
     assert kept.columns == df.columns
+
+
+def test_shuffle_shard_matches_naive_and_is_deterministic(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from html_to_document_spark.operators.mixture import (
+        hash_split_col,
+        shuffle_shard,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = shuffle_shard(df, n_shards=4, salt="s5", sub_hex=2)
+    out.cache()
+    try:
+        # per-shard positions are a dense 0..n_k-1 permutation
+        for r in out.groupBy("shard").agg(
+            F.count("*").alias("n"),
+            F.countDistinct("shard_pos").alias("d"),
+            F.min("shard_pos").alias("mn"),
+            F.max("shard_pos").alias("mx"),
+        ).collect():
+            assert r["d"] == r["n"] and r["mn"] == 0
+            assert r["mx"] == r["n"] - 1
+        # shards are near-equal (md5 uniformity at n=2000, 4 shards)
+        sizes = [
+            r["n"]
+            for r in out.groupBy("shard").agg(
+                F.count("*").alias("n")
+            ).collect()
+        ]
+        assert len(sizes) == 4 and min(sizes) > 380
+        # the histogram+window algorithm equals the naive global
+        # row_number formulation (the oracle shape) exactly
+        naive = (
+            df.withColumn(
+                "_d",
+                F.md5(F.concat(F.lit("s5"), F.col("doc_id").cast("string"))),
+            )
+            .withColumn(
+                "shard",
+                hash_split_col(
+                    "doc_id", [(str(i), 1.0) for i in range(4)], "s5"
+                ).cast("int"),
+            )
+            .withColumn(
+                "shard_pos",
+                F.row_number().over(
+                    Window.partitionBy("shard").orderBy("_d", "doc_id")
+                )
+                - 1,
+            )
+            .drop("_d")
+        )
+        assert out.select(*naive.columns).exceptAll(naive).count() == 0
+        assert naive.exceptAll(out.select(*naive.columns)).count() == 0
+        # deterministic under repartition (assignment + position both)
+        again = shuffle_shard(
+            df.repartition(7), n_shards=4, salt="s5", sub_hex=2
+        )
+        assert again.exceptAll(out).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_shuffle_shard_single_shard_and_validation(spark):
+    import pytest as _pytest
+
+    from html_to_document_spark.operators.mixture import shuffle_shard
+
+    df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    one = shuffle_shard(df, n_shards=1, salt="x", sub_hex=1)
+    rows = one.select("shard", "shard_pos").collect()
+    assert {r["shard"] for r in rows} == {0}
+    assert sorted(r["shard_pos"] for r in rows) == list(range(50))
+    with _pytest.raises(ValueError):
+        shuffle_shard(df, n_shards=0)
+    with _pytest.raises(ValueError):
+        shuffle_shard(df, sub_hex=0)
