@@ -640,9 +640,26 @@ def q_rep_topgram_stats(spark, sf_dir):
     """repetition_stats + top_ngram_stats merged into one gate row
     (r5) — both are per-doc projections, so a doc_id join gates the
     identical values while freeing a slot under the 50-row cap for
-    token_windows (the same merge shape as token_fingerprint)."""
-    return q_repetition_stats(spark, sf_dir).join(
-        q_top_ngram_stats(spark, sf_dir), "doc_id"
+    token_windows (the same merge shape as token_fingerprint).
+
+    r5 continuation: the row also gates the deterministic corpus
+    shuffle+shard (mixture.shuffle_shard — the one-time training-order
+    shuffle): 4 shards, salt 's5r5'. The operator's two-level
+    histogram+window algorithm (no global sort, no single-reducer
+    shard windows) must equal the oracle's NAIVE formulation —
+    row_number over (partition by shard order by md5 digest, doc_id)
+    — exactly; the shard assignment reuses the hash_split boundary
+    literals, so the SQL mirror is generated from the same source."""
+    from html_to_document_spark.operators.mixture import shuffle_shard
+
+    sh = shuffle_shard(
+        _docs(spark, sf_dir).select("doc_id"),
+        n_shards=4, salt="s5r5", sub_hex=2,
+    )
+    return (
+        q_repetition_stats(spark, sf_dir)
+        .join(q_top_ngram_stats(spark, sf_dir), "doc_id")
+        .join(sh, "doc_id")
     )
 
 
@@ -814,6 +831,25 @@ def q_url_filter_blocked(spark, sf_dir):
     )
     pr = F.broadcast(pagerank(edges, damping=0.875, iterations=4))
     ind = F.broadcast(in_degree(edges))
+    # r5 continuation: the same harvested link frame also gates
+    # anchor_text_profile — incoming anchor-text aggregation per
+    # target host (counts, distinct anchors, (count desc, anchor asc)
+    # top + top-k concat). The plant's two fixed anchors per doc give
+    # every host a derivable (anchor, count) profile; ties resolve to
+    # 'first link' (lexically smaller), matching the oracle's ordered
+    # aggregates.
+    from html_to_document_spark.operators.link_graph import (
+        anchor_text_profile,
+    )
+
+    prof = F.broadcast(
+        anchor_text_profile(
+            links.select(
+                host_col("href").alias("dst"), "anchor_text"
+            ),
+            top_k=2,
+        )
+    )
     # r5 continuation: HITS on the same planted graph — unnormalized
     # fixed-k scores are sums of integers (exactly whole doubles), so
     # 4 unrolled rounds hash-match the SQL mirror with no FP caveats
@@ -844,6 +880,14 @@ def q_url_filter_blocked(spark, sf_dir):
         .join(pr, F.col("_host") == pr["node"], "left")
         .join(ind, F.col("_host") == ind["node"], "left")
         .join(ht, F.col("_host") == ht["node"], "left")
+        .join(
+            prof.select(
+                F.col("node").alias("_pnode"), "n_anchor_links",
+                "n_unique_anchors", "top_anchor", "top_anchors",
+            ),
+            F.col("_host") == F.col("_pnode"),
+            "left",
+        )
         .join(heads, "doc_id")
     )
     return out.select(
@@ -855,6 +899,10 @@ def q_url_filter_blocked(spark, sf_dir):
         .alias("host_inlinks"),
         F.col("hub").alias("host_hub"),
         F.col("authority").alias("host_auth"),
+        F.col("n_anchor_links").alias("anchor_links"),
+        F.col("n_unique_anchors").alias("anchor_uniq"),
+        F.col("top_anchor").alias("anchor_top"),
+        F.col("top_anchors").alias("anchor_tops"),
         "noindex", "canon_key",
         F.coalesce(F.col("_canon_keep"), F.lit(False))
         .alias("keep_canon"),
@@ -1469,8 +1517,16 @@ def q_paragraph_dedup(spark, sf_dir):
     rewrite: clean_text + n_removed_first) and drop_hot (boilerplate
     stop-list at max_occurrences=3: stoplist_text + n_removed_hot) —
     the oracle recomputes both from the same window/count CTE via
-    ordered string_agg."""
+    ordered string_agg.
+
+    r5 continuation: the row also gates the WITHIN-document half of
+    the repetition story (dedup_lines_in_doc — Dolma/RefinedWeb's
+    per-page duplicate-paragraph removal): self_text keeps each
+    line's first occurrence inside its own doc only, via the
+    zero-shuffle array_position filter; the oracle mirrors it with
+    DuckDB's 1-based list_filter/list_position lambda."""
     from html_to_document_spark.operators.corpus_hygiene import (
+        dedup_lines_in_doc,
         paragraph_dedup_stats,
         remove_repeated_paragraphs,
     )
@@ -1491,8 +1547,16 @@ def q_paragraph_dedup(spark, sf_dir):
         F.col("text").alias("stoplist_text"),
         F.col("n_paras_removed").cast("long").alias("n_removed_hot"),
     )
+    self_ = dedup_lines_in_doc(docs).select(
+        "doc_id",
+        F.col("text").alias("self_text"),
+        F.col("n_lines_removed").alias("n_removed_self"),
+    )
     return (
-        paragraph_dedup_stats(docs).join(first, "doc_id").join(hot, "doc_id")
+        paragraph_dedup_stats(docs)
+        .join(first, "doc_id")
+        .join(hot, "doc_id")
+        .join(self_, "doc_id")
     )
 
 
@@ -2446,7 +2510,22 @@ def oracle_sql() -> dict[str, str]:
             "as top_gram_count, "
             "floor(cnt * length(g) * 1.0 / greatest(chars, 1) * 10000 + 0.5) "
             "/ 10000.0 as top_gram_char_frac from r where rn = 1"
-            ") tg using (doc_id)"
+            ") tg using (doc_id) join ("
+            # shuffle_shard mirror: the NAIVE global-window
+            # formulation the histogram algorithm must equal; shard
+            # case generated from the same split_boundaries literals
+            "select doc_id, cast("
+            + hash_split_sql(
+                "doc_id", [(str(i), 1.0) for i in range(4)], "s5r5"
+            )
+            + " as int) as shard, "
+            "cast(row_number() over (partition by cast("
+            + hash_split_sql(
+                "doc_id", [(str(i), 1.0) for i in range(4)], "s5r5"
+            )
+            + " as int) order by md5('s5r5' || cast(doc_id as varchar)),"
+            " doc_id) - 1 as bigint) as shard_pos from documents"
+            ") sh using (doc_id)"
         ),
         # context-window chunker (r5, packing.chunk_token_windows):
         # the oracle re-slices the filtered token list at the same
@@ -2561,6 +2640,26 @@ def oracle_sql() -> dict[str, str]:
             )
             + ", ind as ("
             "  select dst as node, count(*) as n from edges group by dst"
+            # anchor_text_profile mirror: per-DOC link instances (two
+            # anchors per doc, self-links and duplicate targets KEPT —
+            # the profile counts links, not the deduped edge set),
+            # aggregated per target host with (count desc, anchor asc)
+            # ordered top/concat. Each host has <= 2 distinct anchors
+            # so top_k=2 never truncates.
+            "), il as ("
+            "  select (idx + 1) % 6 as di, 'first link' as a from h "
+            "  union all "
+            "  select (idx * 2 + 3) % 6, 'second link' from h"
+            "), ac as ("
+            "  select di, a, count(*) as n from il group by di, a"
+            "), prof as ("
+            "  select d.host as node, "
+            "    cast(sum(n) as bigint) as anchor_links, "
+            "    cast(count(*) as bigint) as anchor_uniq, "
+            "    first(a order by n desc, a) as anchor_top, "
+            "    string_agg(a, ' | ' order by n desc, a) as anchor_tops "
+            "  from ac join hosts d on d.idx = ac.di "
+            "  group by d.host"
             ") select h.doc_id, h.blocked, "
             "row_number() over (partition by h.host order by h.doc_id) "
             "  <= 60 as keep_capped, "
@@ -2574,12 +2673,15 @@ def oracle_sql() -> dict[str, str]:
             "|| '&z=' || cast(h.doc_id % 3 as varchar) as norm_url, "
             "r4.r as pagerank, "
             "coalesce(ind.n, 0) as host_inlinks, "
-            "h4.hv as host_hub, a4.av as host_auth "
+            "h4.hv as host_hub, a4.av as host_auth, "
+            "prof.anchor_links, prof.anchor_uniq, "
+            "prof.anchor_top, prof.anchor_tops "
             "from h "
             "left join r4 on r4.node = h.host "
             "left join ind on ind.node = h.host "
             "left join h4 on h4.node = h.host "
-            "left join a4 on a4.node = h.host"
+            "left join a4 on a4.node = h.host "
+            "left join prof on prof.node = h.host"
             ") b) c"
         ),
         "gopher_repetition": (
@@ -2933,6 +3035,7 @@ def oracle_sql() -> dict[str, str]:
             "from unioned group by 1"
         ),
         "paragraph_dedup": (
+            "select * from ("
             "with s as ("
             "  select doc_id, "
             "    string_split(replace(text, ' ', '. '), '. ') as l "
@@ -2961,6 +3064,19 @@ def oracle_sql() -> dict[str, str]:
             "cast(sum(case when cnt > 3 then 1 else 0 end) as bigint) "
             "  as n_removed_hot "
             "from r group by doc_id"
+            # within-doc line dedup mirror (dedup_lines_in_doc):
+            # DuckDB list lambdas index from 1 where Spark's index
+            # from 0, hence list_position(lf, x) = i (vs Spark's i+1)
+            ") main join ("
+            "  select doc_id, array_to_string(k, '. ') as self_text, "
+            "    cast(len(lf) - len(k) as bigint) as n_removed_self "
+            "  from ("
+            "    select doc_id, lf, "
+            "      list_filter(lf, (x, i) -> list_position(lf, x) = i) as k"
+            "    from (select doc_id, list_filter(string_split("
+            "      replace(text, ' ', '. '), '. '), x -> x <> '') as lf "
+            "      from documents))"
+            ") sd using (doc_id)"
         ),
         "decontaminate_modes": (
             "select 'paragraph' as mode, doc_id, n_contaminated_paras "
