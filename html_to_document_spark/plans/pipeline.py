@@ -114,6 +114,7 @@ def build_training_pipeline(
     lm_model: dict | None = None,
     lm_max_ppl: float | None = None,
     fix_encoding: bool = False,
+    line_dedup: bool = False,
 ) -> "DataFrame":
     """(doc_id, spans[interleaved]) -> filtered, deduplicated corpus.
     ``html_col`` routes a raw-HTML source (e.g. a WARC scan) into the
@@ -201,7 +202,15 @@ def build_training_pipeline(
     remove_repeated_paragraphs) applied to the assembled text before
     any scoring, so every downstream filter judges the deduped
     content. Requires ``text_join="newline"`` (paragraph boundaries);
-    documents whose text empties out are dropped."""
+    documents whose text empties out are dropped.
+
+    ``line_dedup``: WITHIN-document duplicate-line removal
+    (corpus_hygiene.dedup_lines_in_doc — the Dolma/RefinedWeb
+    per-page rule) applied to the assembled text BEFORE the
+    corpus-level ``paragraph_dedup`` pass and before any scoring: a
+    page that repeats its own nav block five times should be judged
+    (and corpus-deduped) on one copy. A zero-shuffle projection;
+    requires ``text_join="newline"`` like the other line rules."""
     from pyspark.sql import functions as F
 
     spans = extract_spans_balanced(
@@ -245,6 +254,24 @@ def build_training_pipeline(
         )
 
         corpus = c4_line_filter(corpus).drop("n_lines_in", "n_lines_kept")
+    if line_dedup:
+        # within-doc pass runs BEFORE the corpus-level one: the page's
+        # own repeats collapse first, so the corpus pass (and every
+        # score) sees one copy per page
+        if text_join != "newline":
+            raise ValueError(
+                "line_dedup requires text_join='newline' "
+                "(space-joined text has no line boundaries)"
+            )
+        from html_to_document_spark.operators.corpus_hygiene import (
+            dedup_lines_in_doc,
+        )
+
+        corpus = (
+            dedup_lines_in_doc(corpus, sep="\n")
+            .drop("n_lines_removed")
+            .filter(F.length("text") > 0)
+        )
     if paragraph_dedup is not None:
         # CCNet-style corpus-level paragraph rewrite BEFORE scoring so
         # lang-ID/quality/Gopher/LM/near-dup all see the deduped text

@@ -119,6 +119,8 @@ def run_stream_pipeline(
     lm_model: dict | None = None,
     lm_max_ppl: float | None = None,
     fix_encoding: bool = False,
+    text_join: str = "space",
+    line_dedup: bool = False,
 ):
     """Streaming counterpart of plans.build_training_pipeline: continuous
     ingest -> span extraction -> (optional PII scrub, same projection as
@@ -145,8 +147,10 @@ def run_stream_pipeline(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = extract_spans(reader.parquet(in_path))
 
+    if text_join not in ("space", "newline"):
+        raise ValueError(f"unknown text_join {text_join!r}")
     text = F.concat_ws(
-        " ",
+        " " if text_join == "space" else "\n",
         F.filter(
             F.transform("spans", lambda s: F.when(s["kind"] == "text", s["text"])),
             lambda x: x.isNotNull() & (x != ""),
@@ -165,19 +169,37 @@ def run_stream_pipeline(
         )
 
         text = pii_scrub_col(text)
-    corpus = (
-        stream.select("doc_id", text.alias("text"))
-        .filter(F.length("text") > 0)
-        .select(
-            "doc_id",
-            "text",
-            lang_pred_col(F.col("text")).alias("lang_pred"),
-            quality_col(F.col("text")).alias("quality"),
+    corpus = stream.select("doc_id", text.alias("text")).filter(
+        F.length("text") > 0
+    )
+    if line_dedup:
+        # batch parity: build_training_pipeline(line_dedup=True) —
+        # within-doc duplicate-line removal is a stateless per-row
+        # projection (no cross-row state), so it streams as-is; same
+        # ordering (BEFORE scoring, so lang/quality judge the deduped
+        # text) and same newline requirement as the batch pipeline
+        if text_join != "newline":
+            raise ValueError(
+                "line_dedup requires text_join='newline' "
+                "(space-joined text has no line boundaries)"
+            )
+        from html_to_document_spark.operators.corpus_hygiene import (
+            dedup_lines_in_doc,
         )
-        .filter(
-            F.col("lang_pred").isin(*keep_langs)
-            & (F.col("quality") >= min_quality)
+
+        corpus = (
+            dedup_lines_in_doc(corpus, sep="\n")
+            .drop("n_lines_removed")
+            .filter(F.length("text") > 0)
         )
+    corpus = corpus.select(
+        "doc_id",
+        "text",
+        lang_pred_col(F.col("text")).alias("lang_pred"),
+        quality_col(F.col("text")).alias("quality"),
+    ).filter(
+        F.col("lang_pred").isin(*keep_langs)
+        & (F.col("quality") >= min_quality)
     )
     if gopher_filter:
         # batch parity: the same codegen'd rule predicate as

@@ -394,3 +394,43 @@ def test_pipeline_decontaminate_fuzzy_mode(spark):
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert "zzz-contaminated" not in ids
     assert len(ids) > 0
+
+
+def test_pipeline_line_dedup_within_doc(spark):
+    """line_dedup=True collapses a page's OWN repeated line before
+    scoring and before the corpus-level paragraph pass; cross-document
+    sharing alone is untouched by it. Requires newline join."""
+    import pytest
+
+    nav = "home products pricing about contact careers blog support"
+    a_body = "the alpha words are about unique things from here"
+    b_body = "the beta words are about other things over there too"
+    docs = spark.createDataFrame(
+        [
+            ("a", [("text",
+                    f"<p>{nav}</p><p>{a_body}</p><p>{nav}</p>", None, 0)]),
+            ("b", [("text", f"<p>{nav}</p><p>{b_body}</p>", None, 0)]),
+        ],
+        "doc_id string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = {r.doc_id: r.text for r in build_training_pipeline(
+        docs, num_partitions=2, min_quality=0.0,
+        text_join="newline", line_dedup=True,
+    ).collect()}
+    # within-doc repeat gone, one copy kept; cross-doc copy untouched
+    assert out["a"].count(nav) == 1 and a_body in out["a"]
+    assert out["b"].count(nav) == 1 and b_body in out["b"]
+
+    # composed with the corpus-level pass: b's (now single) nav copy
+    # is a later corpus occurrence of a's and is removed by keep_first
+    both = {r.doc_id: r.text for r in build_training_pipeline(
+        docs, num_partitions=2, min_quality=0.0,
+        text_join="newline", line_dedup=True,
+        paragraph_dedup="keep_first",
+    ).collect()}
+    assert both["a"].count(nav) == 1
+    assert nav not in both["b"] and b_body in both["b"]
+
+    with pytest.raises(ValueError, match="newline"):
+        build_training_pipeline(docs, num_partitions=2, line_dedup=True)

@@ -453,3 +453,52 @@ def test_streaming_canonical_dedup(spark, tmp_path):
     run_streaming_canonical_dedup(spark, in_path, out_path, ckpt)
     got = {r.doc_id for r in spark.read.parquet(out_path).collect()}
     assert got == {"m1", "p1", "k1", "f1", "k2"}
+
+
+def test_stream_pipeline_line_dedup_parity(spark, tmp_path):
+    """Streaming line_dedup parity: a span-repeated line collapses to
+    one copy in the sink output (the same stateless projection as the
+    batch pipeline), and the newline-join requirement is enforced."""
+    import pytest
+
+    from html_to_document_spark.streaming.stateful import run_stream_pipeline
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    nav = "home products pricing about contact careers blog support"
+    corpus = generate_corpus(spark, 8, seed=41, giant_frac=0.0)
+    corpus = corpus.withColumn(
+        "spans",
+        F.concat(
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.lit(f"<p>{nav}</p>").alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ),
+            "spans",
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.lit(f"<p>{nav}</p>").alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(99).alias("offset"),
+                )
+            ),
+        ),
+    )
+    corpus.write.parquet(in_path)
+    run_stream_pipeline(spark, in_path, out_path, ckpt,
+                        min_quality=0.0, text_join="newline",
+                        line_dedup=True)
+    texts = [r.text for r in spark.read.parquet(out_path).collect()]
+    assert texts
+    assert all(t.count(nav) == 1 for t in texts)
+
+    with pytest.raises(ValueError, match="newline"):
+        run_stream_pipeline(spark, in_path, str(tmp_path / "o2"),
+                            str(tmp_path / "c2"), line_dedup=True)
