@@ -740,6 +740,34 @@ def q_url_filter_blocked(spark, sf_dir):
     docs = d.select("doc_id", url.alias("url"))
     bl = spark.createDataFrame([("BlockedSite.com",)], "domain string")
     flagged = flag_blocked_domains(docs, bl)
+    # r5 continuation: the row also gates robots.txt compliance
+    # (operators/robots.py, RFC 9309) end to end — parse + compile +
+    # broadcast rules join + longest-match/tie-allow verdict. The
+    # planted robots corpus exercises the carve-out ('/a/' disallowed,
+    # '/a/1' allowed back: ids starting with 1 survive), the total
+    # block, agent-group selection (the '*' group is the permissive
+    # one) and the '$' end anchor (exactly doc 44 on its host); hosts
+    # without a robots row read allowed. Oracle = the construction's
+    # ground truth per arm (the parser itself is pytest-pinned).
+    from html_to_document_spark.operators.robots import (
+        compile_robots,
+        robots_allowed,
+    )
+
+    robots_df = spark.createDataFrame(
+        [
+            ("www.blockedsite.com",
+             "User-agent: *\nDisallow: /a/\nAllow: /a/1"),
+            ("blockedsite.com", "User-agent: *\nDisallow: /"),
+            ("notblockedsite.com",
+             "User-agent: bot\nDisallow: /\n\nUser-agent: *\nDisallow:"),
+            ("ok4.example.org", "User-agent: *\nDisallow: /44$"),
+        ],
+        "host string, robots_txt string",
+    )
+    rb = robots_allowed(docs, compile_robots(robots_df)).select(
+        "doc_id", F.col("robots_allowed").alias("robots_keep")
+    )
     # r5 continuation: the row also gates per-domain share capping
     # (domain_share_flags, min_id selector — the SQL-exact arm): at
     # max_docs=60 the four k<4 host families (~100 docs each at
@@ -889,9 +917,10 @@ def q_url_filter_blocked(spark, sf_dir):
             "left",
         )
         .join(heads, "doc_id")
+        .join(rb, "doc_id")
     )
     return out.select(
-        "doc_id", "blocked",
+        "doc_id", "blocked", "robots_keep",
         F.col("keep_domain_capped").alias("keep_capped"),
         normalize_url_col("url").alias("norm_url"),
         F.col("rank").alias("pagerank"),
@@ -2661,6 +2690,15 @@ def oracle_sql() -> dict[str, str]:
             "  from ac join hosts d on d.idx = ac.di "
             "  group by d.host"
             ") select h.doc_id, h.blocked, "
+            # robots_keep ground truth per planted arm: carve-out on
+            # www (ids starting '1' allowed back), total block on
+            # blockedsite.com, '*'-group empty disallow on
+            # notblockedsite, $-anchored /44 on ok4, no row elsewhere
+            "case when h.host = 'www.blockedsite.com' "
+            "  then cast(h.doc_id as varchar) like '1%' "
+            "when h.host = 'blockedsite.com' then false "
+            "when h.host = 'ok4.example.org' then h.doc_id <> 44 "
+            "else true end as robots_keep, "
             "row_number() over (partition by h.host order by h.doc_id) "
             "  <= 60 as keep_capped, "
             # canonical URL from the construction's ground truth:

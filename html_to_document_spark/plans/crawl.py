@@ -33,6 +33,8 @@ def build_crawl_pipeline(
     warc_path: str,
     *,
     blocklist: "DataFrame | None" = None,
+    robots: "DataFrame | None" = None,
+    robots_agent: str = "*",
     host_ranks: "DataFrame | None" = None,
     min_host_rank: float = 0.0,
     respect_noindex: bool = False,
@@ -80,6 +82,17 @@ def build_crawl_pipeline(
     docs = read_warc(spark, warc_path, binary_types=pdf_types)
     if blocklist is not None:
         docs = filter_blocked_domains(docs, blocklist)
+    if robots is not None:
+        # robots.txt compliance (operators/robots.py, RFC 9309):
+        # ``robots`` is a (host, robots_txt) frame — one row per host,
+        # e.g. the crawl's own robots fetches. Disallowed URLs drop
+        # FIRST, before any parsing or ranking, via the broadcast
+        # rules join (the corpus never shuffles for it).
+        from html_to_document_spark.operators.robots import (
+            filter_robots_disallowed,
+        )
+
+        docs = filter_robots_disallowed(docs, robots, agent=robots_agent)
     if host_ranks is not None:
         # link-graph crawl prioritization (operators/link_graph.py):
         # spam-farm hosts starve in a previous crawl round's PageRank

@@ -198,3 +198,40 @@ def test_crawl_pipeline_host_rank_filter(spark, tmp_path):
     site2 = {f"urn:uuid:r{i:03d}" for i in range(40)
              if i % 4 == 2 and i % 10 != 0}
     assert ids & site1 and ids & site2
+
+
+def test_crawl_pipeline_robots_filter(spark, tmp_path):
+    """robots= drops disallowed URLs BEFORE parsing (RFC 9309
+    longest-match with an Allow carve-out), keyed by the crawl's
+    (host, robots_txt) frame; hosts without robots rows are kept."""
+    path = _archive(tmp_path)
+    # archive URLs are /p/r{i}; block site0's whole /p/ tree except
+    # the carved-out /p/r02* prefix, and everything on site1
+    robots = spark.createDataFrame(
+        [
+            ("site0.example.com",
+             "User-agent: *\nDisallow: /p/\nAllow: /p/r02"),
+            ("site1.example.com", "User-agent: *\nDisallow: /"),
+        ],
+        "host string, robots_txt string",
+    )
+    out = build_crawl_pipeline(
+        spark, path, robots=robots,
+        num_partitions=4, min_quality=0.0,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    # site1 (i % 4 == 1, not i % 10 == 0): ALL dropped pre-parse
+    site1 = {f"urn:uuid:r{i:03d}" for i in range(40)
+             if i % 4 == 1 and i % 10 != 0}
+    assert not (ids & site1)
+    # site0 blocked by /p/ ... except the Allow carve-out /p/r02
+    carved = {"urn:uuid:r024", "urn:uuid:r028"}
+    site0_blocked = {f"urn:uuid:r{i:03d}" for i in range(40)
+                     if i % 4 == 0 and i % 10 != 0} - carved
+    assert not (ids & site0_blocked)
+    # carve-out and no-robots-row hosts survive the robots stage
+    # (downstream near-dup collapses rotated bodies, so assert per
+    # host family, not per doc)
+    site2 = {f"urn:uuid:r{i:03d}" for i in range(40)
+             if i % 4 == 2 and i % 10 != 0}
+    assert ids & carved and ids & site2
