@@ -668,7 +668,9 @@ def q_token_windows(spark, sf_dir):
     chunker; operators/packing.py::chunk_token_windows): 40-token
     windows every 30 tokens over the documents table — one
     shuffle-free JVM projection+explode; the oracle re-slices the
-    token list with generate_series in SQL."""
+    token list with generate_series in SQL. Also gates the
+    stride-overlap loss mask (loss_start/n_loss_tokens — each token
+    contributes loss exactly once across a doc's chunks)."""
     from html_to_document_spark.operators.packing import (
         chunk_token_windows,
     )
@@ -1553,10 +1555,18 @@ def q_paragraph_dedup(spark, sf_dir):
     per-page duplicate-paragraph removal): self_text keeps each
     line's first occurrence inside its own doc only, via the
     zero-shuffle array_position filter; the oracle mirrors it with
-    DuckDB's 1-based list_filter/list_position lambda."""
+    DuckDB's 1-based list_filter/list_position lambda.
+
+    r5 continuation: the row also gates the HOST-scoped third member
+    of the family (remove_host_template_lines — the per-SITE
+    boilerplate rule: a line in >= 3 DISTINCT docs of the same host is
+    a site template and is removed host-wide). Hosts fabricated as
+    'h'||(doc_id%4); tmpl_text/n_removed_tmpl recomputed by the oracle
+    from a distinct-doc (host, para) count >= 3 left join."""
     from html_to_document_spark.operators.corpus_hygiene import (
         dedup_lines_in_doc,
         paragraph_dedup_stats,
+        remove_host_template_lines,
         remove_repeated_paragraphs,
     )
 
@@ -1581,11 +1591,23 @@ def q_paragraph_dedup(spark, sf_dir):
         F.col("text").alias("self_text"),
         F.col("n_lines_removed").alias("n_removed_self"),
     )
+    tmpl = remove_host_template_lines(
+        docs.withColumn(
+            "host",
+            F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("string")),
+        ),
+        min_docs=3,
+    ).select(
+        "doc_id",
+        F.col("text").alias("tmpl_text"),
+        F.col("n_tmpl_removed").cast("long").alias("n_removed_tmpl"),
+    )
     return (
         paragraph_dedup_stats(docs)
         .join(first, "doc_id")
         .join(hot, "doc_id")
         .join(self_, "doc_id")
+        .join(tmpl, "doc_id")
     )
 
 
@@ -2570,7 +2592,15 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, cast(k as int) as chunk_id, "
             "cast(least(40, n - k * 30) as int) as n_tokens, "
             "array_to_string(list_slice(w, k * 30 + 1, "
-            "least(k * 30 + 40, n)), ' ') as chunk from idx"
+            "least(k * 30 + 40, n)), ' ') as chunk, "
+            # stride-overlap loss mask: chunk 0 masks nothing; later
+            # chunks mask min(window - stride, n_tokens) repeated head
+            # tokens, so n_loss_tokens sums to n per document
+            "cast(case when k = 0 then 0 "
+            "else least(10, n - k * 30) end as int) as loss_start, "
+            "cast(least(40, n - k * 30) - case when k = 0 then 0 "
+            "else least(10, n - k * 30) end as int) as n_loss_tokens "
+            "from idx"
         ),
         "corpus_stats": (
             "select lang, count(*) as n_docs, "
@@ -3115,6 +3145,34 @@ def oracle_sql() -> dict[str, str]:
             "      replace(text, ' ', '. '), '. '), x -> x <> '') as lf "
             "      from documents))"
             ") sd using (doc_id)"
+            # host-template mirror (remove_host_template_lines): a
+            # line in >= 3 DISTINCT docs of the same host ('h'||id%4)
+            # is removed everywhere on that host; docs with no
+            # removals keep their rejoined text (identical here —
+            # the fabricated text has no empty segments)
+            " join ("
+            "  with hp as ("
+            "    select doc_id, 'h' || cast(doc_id % 4 as varchar) as host,"
+            "      para, ord from ("
+            "      select doc_id, unnest(l) as para, "
+            "        unnest(range(1, len(l) + 1)) as ord from ("
+            "        select doc_id, string_split("
+            "          replace(text, ' ', '. '), '. ') as l "
+            "        from documents)"
+            "    ) where para <> ''"
+            "  ), tm as ("
+            "    select host, para from ("
+            "      select distinct doc_id, host, para from hp"
+            "    ) group by host, para having count(*) >= 3"
+            "  ) select doc_id, "
+            "    coalesce(string_agg(case when tm.para is null then hp.para "
+            "      end, '. ' order by ord), '') as tmpl_text, "
+            "    cast(sum(case when tm.para is not null then 1 else 0 end) "
+            "      as bigint) as n_removed_tmpl "
+            "  from hp left join tm on tm.host = hp.host "
+            "    and tm.para = hp.para "
+            "  group by doc_id"
+            ") ht using (doc_id)"
         ),
         "decontaminate_modes": (
             "select 'paragraph' as mode, doc_id, n_contaminated_paras "

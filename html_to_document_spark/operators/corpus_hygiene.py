@@ -521,3 +521,91 @@ def dedup_lines_in_doc(
         (F.size("_lines") - F.size(kept)).cast("long")
         .alias("n_lines_removed"),
     )
+
+
+def remove_host_template_lines(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    min_docs: int = 3,
+    sep: str = PARA_SEP,
+) -> "DataFrame":
+    """HOST-scoped template-line removal — the per-SITE boilerplate
+    rule (RefinedWeb's line-wise filtering and trafilatura-style
+    main-content extraction both key on "this line appears on many
+    pages of the same site": nav menus, cookie banners, footer
+    legalese). A line is a template for its host when it occurs in at
+    least ``min_docs`` DISTINCT documents of that host — distinct
+    docs, not occurrences, so a single page repeating its own footer
+    cannot promote it (that page is :func:`dedup_lines_in_doc`'s
+    job). Template lines are removed from EVERY document of the host.
+
+    Scope contrast with the corpus-wide pass
+    (:func:`remove_repeated_paragraphs` ``drop_hot``): a line legit on
+    one site but boilerplate on another ("About us") is only removed
+    where it IS boilerplate, and a host's template never needs to
+    clear a corpus-wide bar it would share with unrelated sites.
+
+    Rows with a NULL ``host_col`` pass through untouched (no host
+    evidence — the blocked-domains / domain-cap convention).
+
+    Returns ``df`` with ``text_col`` rewritten (documents with no
+    removals keep their original text byte-for-byte) plus
+    ``n_tmpl_removed`` (removed line occurrences). ``sep`` is a
+    LITERAL boundary (default :data:`PARA_SEP`; pass ``"\\n"`` for
+    newline-joined pipeline text).
+
+    100 TB shape: the explode projects (id, host, pos, xxhash64(line))
+    — 8-byte digests shuffle, line text never does. The template set
+    is a distinct + map-side-combinable count keyed on (host, digest)
+    — an equi-join shape with NO window, so AQE can skew-split an
+    ultra-hot host. Dropped (id, pos) pairs aggregate to one short
+    row per AFFECTED document and join back id-keyed; untouched
+    documents pay only the join probe, and the rebuild is a pure
+    codegen array filter (no Python).
+    """
+    from pyspark.sql import functions as F
+
+    import re as _re
+
+    def split_lines(col):
+        if sep == PARA_SEP:
+            return _paragraphs(col)
+        return F.filter(
+            F.split(F.col(col), _re.escape(sep)), lambda p: p != ""
+        )
+
+    paras = df.filter(F.col(host_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(host_col).alias("_host"),
+        F.posexplode(split_lines(text_col)).alias("_pos", "para"),
+    ).select("_id", "_host", "_pos", F.xxhash64("para").alias("_ph"))
+
+    template = (
+        paras.select("_host", "_ph", "_id")
+        .distinct()
+        .groupBy("_host", "_ph")
+        .count()
+        .filter(F.col("count") >= min_docs)
+        .select("_host", "_ph")
+    )
+    dropped = paras.join(template, ["_host", "_ph"]).select("_id", "_pos")
+
+    per_doc = dropped.groupBy("_id").agg(
+        F.collect_list("_pos").alias("_dropped")
+    )
+    kept = F.filter(
+        split_lines(text_col),
+        lambda p, i: ~F.array_contains(F.col("_dropped"), i),
+    )
+    out = df.join(per_doc, df[id_col] == per_doc["_id"], "left")
+    return out.select(
+        *[c for c in df.columns if c != text_col],
+        F.when(F.col("_dropped").isNull(), F.col(text_col))
+        .otherwise(F.array_join(kept, sep))
+        .alias(text_col),
+        F.when(F.col("_dropped").isNull(), F.lit(0))
+        .otherwise(F.size("_dropped"))
+        .alias("n_tmpl_removed"),
+    )

@@ -153,7 +153,19 @@ def chunk_token_windows(
     positions are 0, stride, 2*stride, ... up to the smallest start
     that still reaches the end, so every token is covered and only
     the last chunk may be short. Returns one row per chunk:
-    (id_col, chunk_id, n_tokens, chunk).
+    (id_col, chunk_id, n_tokens, chunk, loss_start, n_loss_tokens).
+
+    ``loss_start``/``n_loss_tokens`` are the stride-overlap LOSS MASK
+    (the standard sliding-window training/eval rule: a token the
+    previous chunk already covered must not contribute loss twice):
+    the first ``loss_start`` tokens of a chunk repeat the previous
+    chunk's tail and should be context-only; the remaining
+    ``n_loss_tokens = n_tokens - loss_start`` are this chunk's loss
+    tokens. Chunk 0 has ``loss_start = 0``;  later chunks have
+    exactly ``min(window - stride, n_tokens)`` (the true overlap with
+    the previous chunk's coverage, not just a clamp). Summing
+    ``n_loss_tokens`` over a document's chunks always re-counts each
+    token exactly once.
 
     Scale shape: a single shuffle-free projection + explode — the
     words array is materialized once as a column (the r4 lesson: a
@@ -185,11 +197,21 @@ def chunk_token_windows(
                 F.array_join(
                     F.slice(words, i * stride + 1, window), " "
                 ).alias("chunk"),
+                # overlap with the previous chunk's coverage:
+                # min(prev_end, n) - this_start = min(window - stride,
+                # n_tokens); 0 for chunk 0
+                F.when(i == 0, F.lit(0))
+                .otherwise(
+                    F.least(F.lit(window - stride), n - i * stride)
+                )
+                .cast("int")
+                .alias("loss_start"),
             ),
         ),
     ).otherwise(
         F.array().cast(
-            "array<struct<chunk_id:int,n_tokens:int,chunk:string>>"
+            "array<struct<chunk_id:int,n_tokens:int,chunk:string,"
+            "loss_start:int>>"
         )
     )
     return (
@@ -207,6 +229,9 @@ def chunk_token_windows(
             F.col("_c.chunk_id").alias("chunk_id"),
             F.col("_c.n_tokens").alias("n_tokens"),
             F.col("_c.chunk").alias("chunk"),
+            F.col("_c.loss_start").alias("loss_start"),
+            (F.col("_c.n_tokens") - F.col("_c.loss_start"))
+            .alias("n_loss_tokens"),
         )
     )
 

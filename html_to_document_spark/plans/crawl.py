@@ -55,6 +55,8 @@ def build_crawl_pipeline(
     repetition_filter: bool = False,
     c4_clean: bool = False,
     text_join: str = "space",
+    host_template_min_docs: int | None = None,
+    line_dedup: bool = False,
 ) -> "DataFrame":
     """WARC files -> curated training corpus.
 
@@ -138,6 +140,18 @@ def build_crawl_pipeline(
         ).select(*text_docs.columns)
         docs = text_docs.unionByName(pdf_docs)
 
+    host_template = None
+    if host_template_min_docs is not None:
+        # per-SITE boilerplate removal (corpus_hygiene.
+        # remove_host_template_lines): the crawl knows each doc's
+        # host from its URL; the (doc_id, host) frame is a pure
+        # projection of the already-filtered docs, and the pipeline
+        # applies the template pass to newline-joined text before
+        # scoring. Requires text_join="newline" (enforced below).
+        host_template = docs.select(
+            "doc_id", host_col("url").alias("host")
+        )
+
     corpus = build_training_pipeline(
         docs.select("doc_id", "url", "html"),
         options,
@@ -153,6 +167,9 @@ def build_crawl_pipeline(
         repetition_filter=repetition_filter,
         c4_clean=c4_clean,
         text_join=text_join,
+        host_template=host_template,
+        host_template_min_docs=host_template_min_docs or 3,
+        line_dedup=line_dedup,
     )
 
     if mixture_targets is not None:

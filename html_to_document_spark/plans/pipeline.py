@@ -115,6 +115,8 @@ def build_training_pipeline(
     lm_max_ppl: float | None = None,
     fix_encoding: bool = False,
     line_dedup: bool = False,
+    host_template: "DataFrame | None" = None,
+    host_template_min_docs: int = 3,
 ) -> "DataFrame":
     """(doc_id, spans[interleaved]) -> filtered, deduplicated corpus.
     ``html_col`` routes a raw-HTML source (e.g. a WARC scan) into the
@@ -210,7 +212,16 @@ def build_training_pipeline(
     corpus-level ``paragraph_dedup`` pass and before any scoring: a
     page that repeats its own nav block five times should be judged
     (and corpus-deduped) on one copy. A zero-shuffle projection;
-    requires ``text_join="newline"`` like the other line rules."""
+    requires ``text_join="newline"`` like the other line rules.
+
+    ``host_template``: a (doc_id, host) frame; when given, HOST-scoped
+    template lines (corpus_hygiene.remove_host_template_lines — lines
+    appearing in >= ``host_template_min_docs`` distinct documents of
+    the same host) are removed from the assembled text after the
+    within-doc pass and before the corpus-level one, so site nav /
+    cookie banners vanish before any scoring. Docs missing from the
+    frame (NULL host after the left join) pass through untouched.
+    Requires ``text_join="newline"``."""
     from pyspark.sql import functions as F
 
     spans = extract_spans_balanced(
@@ -270,6 +281,32 @@ def build_training_pipeline(
         corpus = (
             dedup_lines_in_doc(corpus, sep="\n")
             .drop("n_lines_removed")
+            .filter(F.length("text") > 0)
+        )
+    if host_template is not None:
+        # per-SITE boilerplate pass between the within-doc and
+        # corpus-level rules: host templates collapse here so the
+        # corpus pass (and every score) never sees site nav/banners
+        if text_join != "newline":
+            raise ValueError(
+                "host_template requires text_join='newline' "
+                "(space-joined text has no line boundaries)"
+            )
+        from html_to_document_spark.operators.corpus_hygiene import (
+            remove_host_template_lines,
+        )
+
+        corpus = (
+            remove_host_template_lines(
+                corpus.join(
+                    host_template.select("doc_id", "host"),
+                    "doc_id",
+                    "left",
+                ),
+                min_docs=host_template_min_docs,
+                sep="\n",
+            )
+            .drop("host", "n_tmpl_removed")
             .filter(F.length("text") > 0)
         )
     if paragraph_dedup is not None:

@@ -83,6 +83,40 @@ def test_chunker_plan_is_shuffle_free(spark):
     assert "Python" not in plan  # pure JVM expressions
 
 
+def test_loss_mask_counts_every_token_once(spark):
+    out = chunk_token_windows(
+        _doc(spark, 11), window=4, stride=3
+    ).collect()
+    out.sort(key=lambda r: r.chunk_id)
+    # chunk 0 masks nothing; later chunks mask the window-stride=1
+    # head token the previous chunk already covered
+    assert [r.loss_start for r in out] == [0, 1, 1, 1]
+    assert [r.n_loss_tokens for r in out] == [4, 3, 3, 1]
+    assert sum(r.n_loss_tokens for r in out) == 11
+
+    # heavy overlap: window=10 stride=3 over 14 tokens
+    out = chunk_token_windows(
+        _doc(spark, 14), window=10, stride=3
+    ).collect()
+    out.sort(key=lambda r: r.chunk_id)
+    # starts 0,3,6 -> n_tokens 10,10,8; each later chunk repeats 7
+    # tokens of the previous chunk's coverage
+    assert [r.loss_start for r in out] == [0, 7, 7]
+    assert [r.n_loss_tokens for r in out] == [10, 3, 1]
+    assert sum(r.n_loss_tokens for r in out) == 14
+
+    # stride == window: nothing overlaps, nothing masked
+    out = chunk_token_windows(_doc(spark, 8), window=4, stride=4).collect()
+    assert all(r.loss_start == 0 for r in out)
+    assert sum(r.n_loss_tokens for r in out) == 8
+
+
+def test_loss_mask_single_and_short_chunks(spark):
+    # single short chunk: all tokens are loss tokens
+    out = chunk_token_windows(_doc(spark, 3), window=10, stride=5).collect()
+    assert out[0].loss_start == 0 and out[0].n_loss_tokens == 3
+
+
 # ------------------------------------------------------------------
 # fix_mojibake
 # ------------------------------------------------------------------

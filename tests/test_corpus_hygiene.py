@@ -347,3 +347,86 @@ def test_dedup_lines_in_doc_newline_sep_and_empty_segments(spark):
     # and never count as removals
     assert got[1] == ("a\nb", 1)
     assert got[2] == ("x\ny", 0)
+
+
+def test_remove_host_template_lines_basic(spark):
+    from html_to_document_spark.operators.corpus_hygiene import (
+        remove_host_template_lines,
+    )
+
+    rows = [
+        # host a: "cookie banner" on 3 distinct docs -> template
+        (1, "a", "cookie banner. page one"),
+        (2, "a", "cookie banner. page two"),
+        (3, "a", "page three. cookie banner"),
+        # host a: "twice" on only 2 docs -> kept
+        (4, "a", "twice. body four"),
+        (5, "a", "twice. body five"),
+        # host b: same "cookie banner" line but only 1 doc -> kept
+        (6, "b", "cookie banner. other site"),
+        # NULL host: untouched even though the line is a's template
+        (7, None, "cookie banner. no host"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {
+        r.doc_id: (r.text, r.n_tmpl_removed)
+        for r in remove_host_template_lines(docs).collect()
+    }
+    assert out[1] == ("page one", 1)
+    assert out[2] == ("page two", 1)
+    assert out[3] == ("page three", 1)
+    assert out[4] == ("twice. body four", 0)
+    assert out[5] == ("twice. body five", 0)
+    assert out[6] == ("cookie banner. other site", 0)
+    assert out[7] == ("cookie banner. no host", 0)
+
+
+def test_remove_host_template_distinct_docs_not_occurrences(spark):
+    # one page repeating a line 5x does NOT make it a site template
+    from html_to_document_spark.operators.corpus_hygiene import (
+        remove_host_template_lines,
+    )
+
+    rows = [
+        (1, "a", "footer. footer. footer. footer. footer. body"),
+        (2, "a", "footer. second page"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {
+        r.doc_id: (r.text, r.n_tmpl_removed)
+        for r in remove_host_template_lines(docs, min_docs=3).collect()
+    }
+    assert out[1][1] == 0 and out[2][1] == 0
+    # but a third distinct doc tips it, and then EVERY occurrence of
+    # the template line goes (all 5 repeats on page 1)
+    rows.append((3, "a", "footer. third page"))
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {
+        r.doc_id: (r.text, r.n_tmpl_removed)
+        for r in remove_host_template_lines(docs, min_docs=3).collect()
+    }
+    assert out[1] == ("body", 5)
+    assert out[2] == ("second page", 1)
+    assert out[3] == ("third page", 1)
+
+
+def test_remove_host_template_newline_sep_untouched_bytes(spark):
+    from html_to_document_spark.operators.corpus_hygiene import (
+        remove_host_template_lines,
+    )
+
+    rows = [
+        (1, "a", "nav\nbody.. one\n"),  # untouched doc keeps raw bytes
+        (2, "b", "nav\nx"),
+        (3, "b", "nav\ny"),
+        (4, "b", "nav\nz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {
+        r.doc_id: (r.text, r.n_tmpl_removed)
+        for r in remove_host_template_lines(docs, min_docs=3, sep="\n").collect()
+    }
+    assert out[1] == ("nav\nbody.. one\n", 0)  # host a never reaches 3 docs
+    assert out[2] == ("x", 1)
+    assert out[3] == ("y", 1)
+    assert out[4] == ("z", 1)

@@ -434,3 +434,58 @@ def test_pipeline_line_dedup_within_doc(spark):
 
     with pytest.raises(ValueError, match="newline"):
         build_training_pipeline(docs, num_partitions=2, line_dedup=True)
+
+
+def test_pipeline_host_template(spark):
+    """host_template removes per-SITE boilerplate lines (>= min_docs
+    distinct docs of the SAME host) before scoring; another host's
+    single use of the same line survives. Requires newline join."""
+    import pytest
+
+    nav = "home products pricing about contact careers blog support"
+    bodies = {
+        "a1": "the alpha words describe unique things from over here",
+        "a2": "the beta words describe other things from over there",
+        "a3": "the gamma words describe further things from nearby",
+        "b1": "the delta words describe entirely separate site content",
+    }
+    rows = []
+    for did, body in bodies.items():
+        rows.append(
+            (did, [("text", f"<p>{nav}</p><p>{body}</p>", None, 0)])
+        )
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    hosts = spark.createDataFrame(
+        [("a1", "a"), ("a2", "a"), ("a3", "a"), ("b1", "b")],
+        "doc_id string, host string",
+    )
+    out = {r.doc_id: r.text for r in build_training_pipeline(
+        docs, num_partitions=2, min_quality=0.0,
+        text_join="newline", host_template=hosts,
+    ).collect()}
+    # nav is a template for host a (3 distinct docs) -> gone there
+    for did in ("a1", "a2", "a3"):
+        assert nav not in out[did] and bodies[did] in out[did]
+    # host b has a single page -> its copy survives
+    assert nav in out["b1"] and bodies["b1"] in out["b1"]
+
+    # a doc missing from the host frame passes through untouched even
+    # when its own line IS the host's template (min_docs=2: a2+a3
+    # still qualify the line without a1's vote)
+    hosts_partial = hosts.filter(hosts.doc_id != "a1")
+    part = {r.doc_id: r.text for r in build_training_pipeline(
+        docs, num_partitions=2, min_quality=0.0,
+        text_join="newline", host_template=hosts_partial,
+        host_template_min_docs=2,
+    ).collect()}
+    assert nav in part["a1"]  # NULL host -> untouched
+    assert nav not in part["a2"] and nav not in part["a3"]
+
+    with pytest.raises(ValueError, match="newline"):
+        build_training_pipeline(
+            docs, num_partitions=2, host_template=hosts
+        )
