@@ -1798,6 +1798,35 @@ def q_gopher_rules(spark, sf_dir):
 _MOJI_SUFFIX = " naÃ¯ve Ã© â€” â‚¬9 Â½ â€œqâ€" + "\x9d"  # U+009D: cp1252-hole byte, escaped
 _MOJI_FIXED = " naïve é — €9 ½ “q”"
 
+# control/format-char plant (r5, clean_control_chars_col): ZWSP, soft
+# hyphen, NBSP, BEL, CRLF, ideographic space — the table text is
+# ASCII-identity under the scrub, so the oracle replays the SAME
+# RE2∩Java pattern strings on (text || this suffix) in DuckDB
+_CTRL_SUFFIX = (
+    " A\u200bB\u00adC\u00a0D\x07E\r\nF g\u3000h"
+)
+_CTRL_SUFFIX_SQL = (
+    "' A' || chr(8203) || 'B' || chr(173) || 'C' || chr(160) || "
+    "'D' || chr(7) || 'E' || chr(13) || chr(10) || 'F g' || "
+    "chr(12288) || 'h'"
+)
+
+
+def _ctrl_clean_sql(expr: str) -> str:
+    """The clean_control_chars_col chain as DuckDB SQL, replaying the
+    IDENTICAL RE2∩Java pattern strings the Spark operator uses."""
+    from html_to_document_spark.operators.corpus_hygiene import (
+        CTRL_DELETE_RE,
+        CTRL_SPACE_RE,
+    )
+
+    return (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"{expr}, '\\r\\n?', chr(10), 'g'), "
+        f"'{CTRL_DELETE_RE}', '', 'g'), "
+        f"'{CTRL_SPACE_RE}', ' ', 'g')"
+    )
+
 
 def q_pii_scrub(spark, sf_dir):
     """PII redaction as a codegen'd projection (emails incl. +tag and
@@ -1806,8 +1835,15 @@ def q_pii_scrub(spark, sf_dir):
     r5: a demojibaked column joins in the full 165-entry encoding-
     repair chain (corpus_hygiene.fix_mojibake_col) over a planted
     sloppy-cp1252 corruption; the oracle appends the expected clean
-    suffix directly."""
+    suffix directly.
+
+    r5 continuation: a ctrl_clean column gates the control/format-char
+    scrub (clean_control_chars_col) over a planted ZWSP/SHY/NBSP/BEL/
+    CRLF/ideographic-space suffix; the oracle replays the operator's
+    IDENTICAL RE2∩Java pattern strings in DuckDB regexp_replace (a
+    cross-engine dialect gate, not a ground-truth plant)."""
     from html_to_document_spark.operators.corpus_hygiene import (
+        clean_control_chars_col,
         fix_mojibake_col,
         pii_scrub,
     )
@@ -1829,6 +1865,9 @@ def q_pii_scrub(spark, sf_dir):
         fix_mojibake_col(
             F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))
         ).alias("demojibaked"),
+        clean_control_chars_col(
+            F.concat(F.col("text"), F.lit(_CTRL_SUFFIX))
+        ).alias("ctrl_clean"),
     )
     return pii_scrub(docs).join(fixed, "doc_id")
 
@@ -3365,7 +3404,11 @@ def oracle_sql() -> dict[str, str]:
             ") select doc_id, scrubbed, scrubbed <> text as was_redacted, "
             # the demojibake plant: table text is ASCII (identity under
             # the repair chain), so fixed = orig || the clean suffix
-            "orig || ' naïve é — €9 ½ “q”' as demojibaked "
+            "orig || ' naïve é — €9 ½ “q”' as demojibaked, "
+            # control-scrub plant: DuckDB replays the operator's own
+            # pattern strings over the reconstructed dirty suffix
+            + _ctrl_clean_sql("orig || " + _CTRL_SUFFIX_SQL)
+            + " as ctrl_clean "
             "from s"
         ),
         "lineage_counts": (

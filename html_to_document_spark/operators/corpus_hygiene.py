@@ -609,3 +609,62 @@ def remove_host_template_lines(
         .otherwise(F.size("_dropped"))
         .alias("n_tmpl_removed"),
     )
+
+
+# control/format-character scrub patterns — restricted to the
+# RE2 ∩ Java-regex common dialect (both support \x{...} in classes)
+# so the DuckDB oracle can run the IDENTICAL pattern strings.
+#
+# deletable: C0 controls except \t\n (\r is normalized to \n first),
+# DEL, C1 controls (U+0080-U+009F — includes NEL), soft hyphen,
+# zero-width space, word joiner, BOM/zero-width no-break space.
+# ZWNJ/ZWJ (U+200C/U+200D) are deliberately KEPT: they are
+# linguistically meaningful (Persian/Arabic/Indic shaping, emoji
+# sequences) and removing them corrupts text a tokenizer handles fine.
+CTRL_DELETE_RE = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+    "\\x{0080}-\\x{009f}\\x{00ad}\\x{200b}\\x{2060}\\x{feff}]"
+)
+# unicode space separators normalized to ASCII space (NBSP, ogham,
+# en/em/figure/thin/hair spaces, narrow NBSP, math space, ideographic)
+CTRL_SPACE_RE = (
+    "[\\x{00a0}\\x{1680}\\x{2000}-\\x{200a}\\x{202f}\\x{205f}\\x{3000}]"
+)
+
+
+def clean_control_chars_col(text_col: "Column | str") -> "Column":
+    """Pre-tokenization control/format-character scrub (the standard
+    crawl-text cleanup every published pipeline runs in some form —
+    C4 drops pages with bad codepoints, Dolma/CCNet normalize them):
+    CRLF/CR -> LF, then control and invisible-format characters
+    deleted (:data:`CTRL_DELETE_RE`), then unicode space separators
+    mapped to ASCII space (:data:`CTRL_SPACE_RE`).
+
+    Ordering contract: run AFTER :func:`fix_mojibake_col` — the
+    repair chain needs the raw NBSP continuation bytes this scrub
+    would rewrite (same repair-before-normalize rule ftfy documents).
+
+    A pure Column projection (three JVM regexp_replace calls): zero
+    Python, zero shuffle, and the patterns are RE2 ∩ Java so an
+    engine-independent oracle can replay them byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.regexp_replace(c, "\\r\\n?", "\n")
+    c = F.regexp_replace(c, CTRL_DELETE_RE, "")
+    return F.regexp_replace(c, CTRL_SPACE_RE, " ")
+
+
+def clean_control_chars(
+    df: "DataFrame", text_col: str = "text"
+) -> "DataFrame":
+    """Apply :func:`clean_control_chars_col` to ``text_col`` and add
+    ``had_control`` (true when the scrub changed the text)."""
+    from pyspark.sql import functions as F
+
+    cleaned = clean_control_chars_col(text_col)
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        cleaned.alias(text_col),
+        (cleaned != F.col(text_col)).alias("had_control"),
+    )

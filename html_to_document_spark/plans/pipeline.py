@@ -114,6 +114,7 @@ def build_training_pipeline(
     lm_model: dict | None = None,
     lm_max_ppl: float | None = None,
     fix_encoding: bool = False,
+    clean_controls: bool = False,
     line_dedup: bool = False,
     host_template: "DataFrame | None" = None,
     host_template_min_docs: int = 3,
@@ -186,6 +187,13 @@ def build_training_pipeline(
     being dropped (or worse, kept as a near-dup-invisible variant).
     Span payloads are left untouched, like ``pii_scrub``.
 
+    ``clean_controls``: control/format-character scrub of the
+    assembled text (``corpus_hygiene.clean_control_chars_col`` —
+    CRLF/CR -> LF, C0/C1 controls and zero-width chars deleted,
+    unicode spaces -> ASCII space), applied AFTER ``fix_encoding``
+    (repair-before-normalize) and before every score/filter. Another
+    pure Column projection; zero scans, zero shuffles added.
+
     ``near_dup_keep``: "min_id" (default, historical) or "quality" —
     which member of a near-dup pair/cluster survives. "quality" keeps
     the highest-quality member (the already-computed ``quality``
@@ -250,6 +258,15 @@ def build_training_pipeline(
         )
 
         text = fix_mojibake_col(text)
+    if clean_controls:
+        # AFTER the mojibake repair (repair-before-normalize: the
+        # repair chain needs raw NBSP continuation bytes this scrub
+        # rewrites); a pure Column projection like the other two
+        from html_to_document_spark.operators.corpus_hygiene import (
+            clean_control_chars_col,
+        )
+
+        text = clean_control_chars_col(text)
     if pii_scrub:
         from html_to_document_spark.operators.corpus_hygiene import (
             pii_scrub_col,

@@ -119,6 +119,7 @@ def run_stream_pipeline(
     lm_model: dict | None = None,
     lm_max_ppl: float | None = None,
     fix_encoding: bool = False,
+    clean_controls: bool = False,
     text_join: str = "space",
     line_dedup: bool = False,
 ):
@@ -163,6 +164,14 @@ def run_stream_pipeline(
         )
 
         text = fix_mojibake_col(text)
+    if clean_controls:
+        # batch parity: build_training_pipeline(clean_controls=True);
+        # stateless projection, same repair-before-normalize ordering
+        from html_to_document_spark.operators.corpus_hygiene import (
+            clean_control_chars_col,
+        )
+
+        text = clean_control_chars_col(text)
     if pii_scrub:
         from html_to_document_spark.operators.corpus_hygiene import (
             pii_scrub_col,

@@ -430,3 +430,75 @@ def test_remove_host_template_newline_sep_untouched_bytes(spark):
     assert out[2] == ("x", 1)
     assert out[3] == ("y", 1)
     assert out[4] == ("z", 1)
+
+
+def test_clean_control_chars(spark):
+    from html_to_document_spark.operators.corpus_hygiene import (
+        clean_control_chars,
+    )
+
+    rows = [
+        # ZWSP/SHY deleted, NBSP -> space, BEL deleted, CRLF -> LF
+        (1, " A\u200bB\u00adC\u00a0D\x07E\r\nF"),
+        (2, "plain ascii stays byte-for-byte"),
+        # C1 control (NEL), BOM, word joiner deleted; ideographic
+        # space -> ASCII space; tab and LF survive
+        (3, "x\x85y\ufeffz\u2060w a\u3000b\tc\nd"),
+        # ZWNJ/ZWJ are meaningful and must SURVIVE
+        (4, "e\u200cf\u200dg"),
+        # lone CR normalizes to LF
+        (5, "p\rq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text, r.had_control)
+        for r in clean_control_chars(df).collect()
+    }
+    assert out[1] == (" ABC DE\nF", True)
+    assert out[2] == ("plain ascii stays byte-for-byte", False)
+    assert out[3] == ("xyzw a b\tc\nd", True)
+    assert out[4] == ("e\u200cf\u200dg", False)
+    assert out[5] == ("p\nq", True)
+    # zero-shuffle, zero-Python plan
+    plan = (
+        clean_control_chars(df)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_clean_control_chars_duckdb_dialect_parity(spark):
+    # the SAME pattern strings must behave identically in DuckDB's
+    # RE2 — this is the property the oracle gate relies on
+    import duckdb
+
+    from html_to_document_spark.operators.corpus_hygiene import (
+        CTRL_DELETE_RE,
+        CTRL_SPACE_RE,
+        clean_control_chars_col,
+    )
+
+    samples = [
+        " A\u200bB\u00adC\u00a0D\x07E\r\nF",
+        "x\x85y\ufeffz\u2060w a\u3000b\tc\nd",
+        "e\u200cf\u200dg",
+        "p\rq",
+        "ascii only",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got_spark = [
+        r.c for r in df.select(
+            clean_control_chars_col("text").alias("c")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "select regexp_replace(regexp_replace(regexp_replace("
+            "?, '\\r\\n?', chr(10), 'g'), ?, '', 'g'), ?, ' ', 'g')",
+            [s, CTRL_DELETE_RE, CTRL_SPACE_RE],
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert got_spark == got_duck

@@ -489,3 +489,33 @@ def test_pipeline_host_template(spark):
         build_training_pipeline(
             docs, num_partitions=2, host_template=hosts
         )
+
+
+def test_pipeline_clean_controls(spark):
+    """clean_controls=True scrubs control/zero-width chars from the
+    assembled text after the mojibake repair and before scoring."""
+    base = generate_corpus(spark, 12, seed=37, giant_frac=0.0)
+    marker = "zz\u200bqq\u00a0ww\x07ee"  # ZWSP + NBSP + BEL
+    dirty = base.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(
+                    s["kind"] == "text",
+                    F.concat(s["text"], F.lit(" " + marker)),
+                ).otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    out = build_training_pipeline(
+        dirty, num_partitions=4, min_quality=0.0, clean_controls=True
+    ).collect()
+    assert out, "pipeline dropped everything"
+    joined = " ".join(r.text for r in out)
+    assert "zzqq ww" in joined and "zzqq wwee" in joined
+    assert "\u200b" not in joined and "\x07" not in joined
+    assert "\u00a0" not in joined

@@ -502,3 +502,38 @@ def test_stream_pipeline_line_dedup_parity(spark, tmp_path):
     with pytest.raises(ValueError, match="newline"):
         run_stream_pipeline(spark, in_path, str(tmp_path / "o2"),
                             str(tmp_path / "c2"), line_dedup=True)
+
+
+def test_stream_pipeline_clean_controls(spark, tmp_path):
+    """Streaming hygiene parity: control/zero-width chars scrubbed in
+    the sink output (same projection as batch clean_controls)."""
+    from html_to_document_spark.streaming.stateful import run_stream_pipeline
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    marker = "zz\u200bqq\u00a0ww\x07ee"  # ZWSP + NBSP + BEL
+    corpus = generate_corpus(spark, 10, seed=41, giant_frac=0.0)
+    corpus = corpus.withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(
+                    s["kind"] == "text",
+                    F.concat(s["text"], F.lit(" " + marker)),
+                ).otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    )
+    corpus.write.parquet(in_path)
+    run_stream_pipeline(spark, in_path, out_path, ckpt,
+                        min_quality=0.0, clean_controls=True)
+    texts = [r.text for r in spark.read.parquet(out_path).collect()]
+    assert texts
+    assert any("zzqq ww" in t and "wwee" in t for t in texts)
+    assert all("\u200b" not in t and "\x07" not in t for t in texts)
