@@ -1247,13 +1247,26 @@ def q_semantic_dedup(spark, sf_dir):
         eps=0.99,
         cluster_cap=None,
     )
+    # r5 continuation: the row also gates semantic ordering for
+    # packing (operators/ordering.py::semantic_order — the In-Context
+    # Pretraining cluster-then-order recipe): icp_pos is each kept
+    # row's rank within its cluster by (centroid_sim desc, id asc),
+    # computed over the FULL mirrored union (so kept rows keep the
+    # gaps their removed mirrors leave); the oracle recomputes it as
+    # a row_number over its own assignment CTE before the removal
+    # filter.
+    from html_to_document_spark.operators.ordering import semantic_order
+
+    order = semantic_order(
+        emb.unionByName(mirror), _sem_centroids()
+    ).select("vec_id", F.col("pos").cast("long").alias("icp_pos"))
     # embeddings projected away: float arrays hash differently across
-    # engines; the gate checks (id, cluster, centroid_sim)
+    # engines; the gate checks (id, cluster, centroid_sim, icp_pos)
     return out.select(
         "vec_id",
         F.col("cluster").cast("int").alias("cluster"),
         "centroid_sim",
-    )
+    ).join(order, "vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2916,7 +2929,13 @@ def oracle_sql() -> dict[str, str]:
             "i -> cast(a.embedding[i] as double) "
             "* cast(b.embedding[i] as double))) "
             "/ (a.nrm * b.nrm)) * 10000 + 0.5) / 10000.0 >= 0.99) "
-            "select vec_id, cluster, centroid_sim from assigned "
+            # icp_pos (semantic_order): rank over ALL assigned rows —
+            # the subquery forces the window BEFORE the removal filter
+            "select vec_id, cluster, centroid_sim, icp_pos from ("
+            "select vec_id, cluster, centroid_sim, "
+            "row_number() over (partition by cluster "
+            "order by centroid_sim desc, vec_id asc) as icp_pos "
+            "from assigned) "
             "where vec_id not in (select vec_id from removed)"
         ),
         "pdf_extract": (
