@@ -2655,14 +2655,36 @@ def oracle_sql() -> dict[str, str]:
             "from idx"
         ),
         "corpus_stats": (
+            # r5-cont datasheet columns: whitespace-token totals and
+            # the mean heuristic quality — the mean sums EXACT
+            # integers (quality*1e4 as bigint, 4-decimal-quantized per
+            # doc) so no order-sensitive float summation enters
+            "with q as (select lang, text, "
+            "len(string_split_regex(trim(text), '\\s+')) as n_words, "
+            "cast(round(floor((0.5 * least("
+            "len(string_split_regex(trim(text), '\\s+')) / 20.0, 1.0) "
+            "+ 0.3 * least(floor(len(regexp_extract_all(lower(text), "
+            "'\\b(the|and|of|to|is)\\b')) * 1.0 / greatest("
+            "len(string_split_regex(trim(text), '\\s+')), 1) "
+            "* 10000 + 0.5) / 10000.0 * 5, 1.0) "
+            "+ 0.2 * (1 - least(floor(len(regexp_extract_all(text, "
+            "'[^\\w\\s]')) * 1.0 / greatest(length(text), 1) "
+            "* 10000 + 0.5) / 10000.0 * 10, 1.0))) "
+            "* 10000 + 0.5) / 10000.0 * 10000) as bigint) as q_int "
+            "from documents) "
             "select lang, count(*) as n_docs, "
             "cast(sum(length(text)) as bigint) as total_chars, "
             "floor(quantile_cont(length(text), 0.5) * 10000 + 0.5) / 10000.0 "
             "as p50_chars, "
             "floor(quantile_cont(length(text), 0.9) * 10000 + 0.5) / 10000.0 "
             "as p90_chars, "
-            "cast(max(length(text)) as bigint) as max_chars "
-            "from documents group by lang"
+            "cast(max(length(text)) as bigint) as max_chars, "
+            "cast(sum(n_words) as bigint) as total_words, "
+            "floor(quantile_cont(n_words, 0.5) * 10000 + 0.5) / 10000.0 "
+            "as p50_words, "
+            "floor(sum(q_int) / (count(*) * 10000.0) * 10000 + 0.5) "
+            "/ 10000.0 as mean_quality "
+            "from q group by lang"
         ),
         "dedup_exact_groups": (
             "with u as (select doc_id, text from documents "

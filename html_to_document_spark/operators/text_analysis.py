@@ -199,19 +199,34 @@ def repetition_stats(df: "DataFrame", text_col: str = "text") -> "DataFrame":
 
 
 def corpus_stats(df: "DataFrame", text_col: str = "text") -> "DataFrame":
-    """Per-language corpus profile: doc counts and EXACT length
-    percentiles (exact `percentile`, not approx, so the result is
-    engine-portable; at 100 TB switch to percentile_approx and drop the
-    oracle row to rows-only)."""
+    """Per-language corpus profile (the "datasheet" aggregate every
+    published corpus ships): doc counts, EXACT length percentiles
+    (exact `percentile`, not approx, so the result is
+    engine-portable; at 100 TB switch to percentile_approx and drop
+    the oracle row to rows-only), whitespace-token totals, and the
+    mean heuristic quality.
+
+    ``mean_quality`` is engine-reproducible by construction: per-doc
+    quality is 4-decimal-quantized (:func:`r4`), so the aggregate sums
+    EXACT integers (quality*10⁴ as long — no order-sensitive float
+    summation) and divides once at the end."""
     from pyspark.sql import functions as F
 
-    n = F.length(F.col(text_col))
+    c = F.col(text_col)
+    n = F.length(c)
+    q_int = F.round(quality_col(c) * 10000).cast("long")
     return df.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(n).cast("long").alias("total_chars"),
         r4(F.expr(f"percentile(length({text_col}), 0.5)")).alias("p50_chars"),
         r4(F.expr(f"percentile(length({text_col}), 0.9)")).alias("p90_chars"),
         F.max(n).cast("long").alias("max_chars"),
+        F.sum(_word_count(c)).cast("long").alias("total_words"),
+        r4(F.expr(
+            f"percentile(size(split(trim({text_col}), '\\\\s+')), 0.5)"
+        )).alias("p50_words"),
+        r4(F.sum(q_int) / (F.count("*") * F.lit(10000.0)))
+        .alias("mean_quality"),
     )
 
 

@@ -98,6 +98,27 @@ def test_corpus_stats(spark):
     assert rows["en"].n_docs == 2 and rows["en"].total_chars == 6
     assert rows["en"].p50_chars == 3.0  # exact interpolated median of {2,4}
     assert rows["de"].max_chars == 1
+    # datasheet columns (r5-cont): single-word docs -> 1 token each
+    assert rows["en"].total_words == 2 and rows["en"].p50_words == 1.0
+    assert rows["de"].total_words == 1
+
+    # mean_quality: exact integer-sum mean of the 4-decimal per-doc
+    # quality — verified against quality_score on a mixed corpus
+    from html_to_document_spark.operators.text_analysis import quality_score
+
+    df2 = spark.createDataFrame(
+        [(1, "the cat and the dog is of note to all", "en"),
+         (2, "x! y? z.", "en"),
+         (3, "wort und das ist mehr", "de")],
+        "doc_id long, text string, lang string",
+    )
+    per_doc = {r.doc_id: r.quality for r in quality_score(df2).collect()}
+    want_en = round(
+        ((per_doc[1] + per_doc[2]) * 10000) / (2 * 10000.0), 4
+    )
+    got = {r.lang: r.mean_quality for r in corpus_stats(df2).collect()}
+    assert abs(got["en"] - want_en) < 5e-5
+    assert got["de"] == per_doc[3]
 
 
 def test_top_ngram_stats(spark):
