@@ -551,7 +551,51 @@ def q_bloom_incremental(spark, sf_dir):
     near_arm = incremental_near_dedup(
         new2, hist2, threshold=0.85, exact_verify=True
     ).select(F.lit("near").alias("arm"), "doc_id", "text")
-    return bloom_arm.unionByName(near_arm)
+
+    # novelty-report arm (r5-cont, snapshot_novelty): a third plant on
+    # the same salted-phrase construction — doc_id%9==0 rows carry the
+    # EXACT 4x history text (digest hit; every %11 residue exists in
+    # history since 7k mod 11 cycles all residues), %4==0 rows the 6x
+    # twin (identical shingle set -> est=1.0 near match, counted near
+    # only when not exact), everything else is salted-novel. Counts
+    # per doc_id%3 group serialize into the row's (arm, doc_id, text)
+    # schema; the oracle recomputes them from the construction.
+    from html_to_document_spark.operators.incremental import (
+        snapshot_novelty,
+    )
+
+    new3 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("g"),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat_ws(" ", phrase, phrase, phrase, phrase),
+        )
+        .when(
+            F.col("doc_id") % 4 == 0,
+            F.concat_ws(" ", phrase, phrase, phrase,
+                        phrase, phrase, phrase),
+        )
+        .otherwise(
+            F.concat(F.col("text"), F.lit(" uniq"),
+                     F.col("doc_id").cast("string"))
+        ).alias("text"),
+    )
+    nov = snapshot_novelty(
+        new3, hist2, group_col="g", near=True,
+        threshold=0.85, exact_verify=True,
+    )
+    nov_arm = nov.select(
+        F.lit("novelty").alias("arm"),
+        F.col("group_key").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("new="), F.col("n_new"),
+            F.lit(";exact="), F.col("n_exact_dup"),
+            F.lit(";near="), F.col("n_near_dup"),
+            F.lit(";novel="), F.col("n_novel"),
+        ).alias("text"),
+    )
+    return bloom_arm.unionByName(near_arm).unionByName(nov_arm)
 
 
 def q_fingerprint(spark, sf_dir):
@@ -2578,6 +2622,21 @@ def oracle_sql() -> dict[str, str]:
             "select 'near' as arm, doc_id, "
             "text || ' uniq' || cast(doc_id as varchar) as text "
             "from documents where doc_id % 7 <> 0 and doc_id % 4 <> 0"
+            # novelty arm: counts straight from the plant arithmetic
+            # (%9==0 exact, else %4==0 near, else novel; grouped by %3)
+            "union all "
+            "select 'novelty' as arm, g as doc_id, "
+            "'new=' || cast(n_new as varchar) || "
+            "';exact=' || cast(n_exact as varchar) || "
+            "';near=' || cast(n_near as varchar) || "
+            "';novel=' || cast(n_novel as varchar) as text from ("
+            "select doc_id % 3 as g, count(*) as n_new, "
+            "sum(case when doc_id % 9 = 0 then 1 else 0 end) as n_exact, "
+            "sum(case when doc_id % 9 <> 0 and doc_id % 4 = 0 "
+            "then 1 else 0 end) as n_near, "
+            "sum(case when doc_id % 9 <> 0 and doc_id % 4 <> 0 "
+            "then 1 else 0 end) as n_novel "
+            "from documents where doc_id % 7 <> 0 group by 1)"
         ),
         "rep_topgram_stats": (
             "select * from ("

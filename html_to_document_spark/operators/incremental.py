@@ -59,6 +59,7 @@ __all__ = [
     "incremental_dedup",
     "incremental_near_pairs",
     "incremental_near_dedup",
+    "snapshot_novelty",
 ]
 
 
@@ -486,3 +487,76 @@ def incremental_near_dedup(
         F.col("new_id").alias(id_col)
     ).distinct()
     return new_df.join(flagged, id_col, "left_anti")
+
+
+def snapshot_novelty(
+    new_df: "DataFrame",
+    history_df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: "str | None" = None,
+    near: bool = False,
+    **near_kwargs,
+) -> "DataFrame":
+    """Novelty report of a new crawl snapshot against history — the
+    crawl-ops question behind every incremental ingest ("how much of
+    this snapshot is actually new?"; CommonCrawl publishes exactly
+    this overlap profile per snapshot). One row per ``group_col``
+    value (a host, a language, a shard — or one 'all' row when None):
+
+    - ``n_new``: snapshot docs in the group
+    - ``n_exact_dup``: text digest already present in history
+    - ``n_near_dup``: near-duplicate of history at the MinHash band
+      join's threshold (``near=True``; exact dups are NOT re-counted)
+    - ``n_novel``: the remainder
+    - ``novelty_rate``: r4(n_novel / n_new)
+
+    100 TB shape: the exact arm joins 8-byte digests (text never
+    shuffles; history digests are distinct-reduced map-side first);
+    the near arm reuses :func:`incremental_near_pairs` — the
+    asymmetric band join whose history side never self-joins; both
+    flag frames are id-keyed left joins onto the snapshot projection
+    and the report is one map-side-combinable count aggregate."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.text_analysis import r4
+
+    grp = (
+        F.col(group_col) if group_col is not None else F.lit("all")
+    ).alias("group_key")
+    base = new_df.select(F.col(id_col).alias("_nid"), grp,
+                         F.xxhash64(F.col(text_col)).alias("_hd"))
+
+    hist_digests = history_df.select(
+        F.xxhash64(F.col(text_col)).alias("_hd")
+    ).distinct().withColumn("_exact", F.lit(True))
+    flagged = base.join(hist_digests, "_hd", "left").select(
+        "_nid", "group_key",
+        F.coalesce("_exact", F.lit(False)).alias("_exact"),
+    )
+
+    if near:
+        matched = incremental_near_pairs(
+            new_df, history_df, text_col, id_col, **near_kwargs
+        ).select(F.col("new_id").alias("_nid")).distinct().withColumn(
+            "_nearhit", F.lit(True)
+        )
+        flagged = flagged.join(matched, "_nid", "left").select(
+            "_nid", "group_key", "_exact",
+            (F.coalesce("_nearhit", F.lit(False)) & ~F.col("_exact"))
+            .alias("_near"),
+        )
+    else:
+        flagged = flagged.withColumn("_near", F.lit(False))
+
+    return flagged.groupBy("group_key").agg(
+        F.count("*").cast("long").alias("n_new"),
+        F.sum(F.col("_exact").cast("long")).alias("n_exact_dup"),
+        F.sum(F.col("_near").cast("long")).alias("n_near_dup"),
+        F.sum(
+            (~F.col("_exact") & ~F.col("_near")).cast("long")
+        ).alias("n_novel"),
+    ).select(
+        "*",
+        r4(F.col("n_novel") / F.col("n_new")).alias("novelty_rate"),
+    )

@@ -145,3 +145,67 @@ def test_merge_bloom_indexes_equals_union_build(spark, hist_df):
     # idempotent: re-merging a snapshot changes nothing
     again = merge_bloom_indexes(merged, build_bloom_index(a, **kw))
     assert {r["bucket"]: r["bloom"] for r in again.collect()} == f
+
+
+def test_snapshot_novelty_exact_only(spark):
+    from html_to_document_spark.operators.incremental import (
+        snapshot_novelty,
+    )
+
+    hist = spark.createDataFrame(
+        [(100, "alpha text"), (101, "beta text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha text", "a"),   # exact dup of history
+            (2, "fresh one", "a"),
+            (3, "beta text", "b"),    # exact dup
+            (4, "fresh two", "b"),
+            (5, "fresh three", "b"),
+        ],
+        "doc_id long, text string, host string",
+    )
+    out = {
+        r.group_key: r
+        for r in snapshot_novelty(new, hist, group_col="host").collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a.n_new, a.n_exact_dup, a.n_near_dup, a.n_novel) == (2, 1, 0, 1)
+    assert a.novelty_rate == 0.5
+    assert (b.n_new, b.n_exact_dup, b.n_near_dup, b.n_novel) == (3, 1, 0, 2)
+    assert b.novelty_rate == 0.6667
+    # ungrouped: one 'all' row
+    allrow = snapshot_novelty(new, hist).collect()
+    assert len(allrow) == 1 and allrow[0].group_key == "all"
+    assert allrow[0].n_new == 5 and allrow[0].n_exact_dup == 2
+
+
+def test_snapshot_novelty_near_excludes_exact(spark):
+    from html_to_document_spark.operators.incremental import (
+        snapshot_novelty,
+    )
+
+    # history phrase repeated 4x; near-dup = same phrase repeated 6x
+    # (identical 3-gram shingle set -> est 1.0, the provable band);
+    # exact dup = the identical 4x text (near-matched too, but must be
+    # counted as exact only)
+    p = " ".join(f"w{i}" for i in range(10))
+    hist = spark.createDataFrame(
+        [(100, " ".join([p] * 4))], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, " ".join([p] * 4)),      # exact
+            (2, " ".join([p] * 6)),      # near only
+            (3, "totally different words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    row = snapshot_novelty(
+        new, hist, near=True, threshold=0.85, exact_verify=True
+    ).collect()[0]
+    assert (row.n_new, row.n_exact_dup, row.n_near_dup, row.n_novel) == (
+        3, 1, 1, 1,
+    )
+    assert row.novelty_rate == 0.3333
