@@ -610,11 +610,31 @@ def q_token_fingerprint(spark, sf_dir):
 
     r5 continuation: link_stats (the former standalone row) joins in
     the same way, freeing its slot for bm25_topk — all three are
-    per-doc projections over the same documents slice."""
+    per-doc projections over the same documents slice.
+
+    r5 continuation: readability_scores joins in likewise (Flesch
+    reading ease over a constructed 3-sentence variant — the table
+    text has no sentence terminators, so the variant adds them); the
+    oracle replays the vowel-group/sentence-split counts and the
+    fixed-order double formula."""
+    from html_to_document_spark.operators.text_analysis import (
+        readability_scores,
+    )
+
+    rd = readability_scores(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(". "), F.col("source"),
+                F.lit(" tail words here! done"),
+            ).alias("text"),
+        )
+    ).select("doc_id", "n_sentences", "n_syllables", "flesch")
     return (
         q_token_stats(spark, sf_dir)
         .join(q_fingerprint(spark, sf_dir), "doc_id")
         .join(q_link_stats(spark, sf_dir), "doc_id")
+        .join(rd, "doc_id")
     )
 
 
@@ -2369,10 +2389,27 @@ def oracle_sql() -> dict[str, str]:
             # link_stats merged in (r5-cont): doc text contains no
             # href= patterns, so the constructed page has exactly 3
             # links: 2 duplicate relative + 1 absolute
+            # readability merged in (r5-cont): 3-sentence variant;
+            # the flesch formula replays Spark's exact double order
+            # (206.835 - 1.015*(w/s)) - 84.6*(y/w)
+            "), rd as (select doc_id, text || '. ' || source || "
+            "' tail words here! done' as rt from documents"
+            "), rda as (select doc_id, "
+            "cast(greatest(len(list_filter(string_split_regex(rt, "
+            "'[.!?]+'), s -> trim(s) <> '')), 1) as bigint) "
+            "as n_sentences, "
+            "cast(len(regexp_extract_all(lower(rt), '[aeiouy]+')) "
+            "as bigint) as n_syllables, "
+            "greatest(len(string_split_regex(trim(rt), '\\s+')), 1) as w "
+            "from rd"
             ") select t.*, f.fp, cast(3 as bigint) as n_links, "
             "cast(2 as bigint) as n_unique_links, "
-            "cast(1 as bigint) as n_absolute_links "
-            "from t join f using (doc_id)"
+            "cast(1 as bigint) as n_absolute_links, "
+            "rda.n_sentences, rda.n_syllables, "
+            "floor((206.835 - 1.015 * (rda.w * 1.0 / rda.n_sentences) "
+            "- 84.6 * (rda.n_syllables * 1.0 / rda.w)) * 10000 + 0.5) "
+            "/ 10000.0 as flesch "
+            "from t join f using (doc_id) join rda using (doc_id)"
         ),
         "substring_dedup_ranges": (
             "with v as (select doc_id, case when doc_id % 4 = 1 or "

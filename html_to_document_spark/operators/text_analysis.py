@@ -372,3 +372,43 @@ def char_entropy(
         r4(ent).alias("char_entropy"),
         ((ent >= min_bits) & (ent <= max_bits)).alias("entropy_keep"),
     )
+
+
+def readability_scores(df: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Flesch Reading Ease + its components — the classic readability
+    measure educational-quality curation uses as a cheap proxy (the
+    FineWeb-Edu family scores "educational value"; readability is the
+    zero-model member of that family). Heuristic and English-centric
+    by definition: sentences are [.!?]+ runs, syllables are vowel
+    GROUPS ([aeiouy]+) — the standard approximation.
+
+    Returns ``df`` plus n_sentences / n_syllables (longs) and
+    ``flesch`` = r4(206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words)). Fixed-order double arithmetic over exact
+    integer counts, so any engine reproduces the value bit-for-bit;
+    sentence/word counts are floored at 1 (an empty doc scores as one
+    empty sentence rather than dividing by zero).
+
+    100 TB shape: a pure Column projection — zero shuffle, zero
+    Python."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    sentences = F.greatest(
+        F.size(F.filter(F.split(c, "[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    )
+    words = F.greatest(_word_count(c), F.lit(1))
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    return df.select(
+        "*",
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        r4(
+            F.lit(206.835)
+            - F.lit(1.015) * (words / sentences)
+            - F.lit(84.6) * (syllables / words)
+        ).alias("flesch"),
+    )

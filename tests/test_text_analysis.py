@@ -133,3 +133,35 @@ def test_top_ngram_stats(spark):
     assert rows[1].top_gram_char_frac == 0.8077  # 3*7 chars of 26
     # single-word doc: the "gram" degenerates to the word itself
     assert rows[2].top_gram == "single" and rows[2].top_gram_count == 1
+
+
+def test_readability_scores(spark):
+    from html_to_document_spark.operators.text_analysis import (
+        readability_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran! Did it?"),
+            (2, "word"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in readability_scores(df).collect()}
+    r1 = rows[1]
+    assert r1.n_sentences == 3
+    # vowel groups: the/cat/sat/the/dog/ran/did/it -> 1 each = 8
+    assert r1.n_syllables == 8
+    # words=8: 206.835 - 1.015*(8/3) - 84.6*(8/8)
+    want = round(206.835 - 1.015 * (8 / 3) - 84.6 * 1.0, 4)
+    assert abs(r1.flesch - want) < 1e-9
+    # single word, no terminator: 1 sentence, 1 syllable
+    assert rows[2].n_sentences == 1 and rows[2].n_syllables == 1
+    # empty doc: floors keep the formula finite
+    assert rows[3].n_sentences == 1 and rows[3].n_syllables == 0
+    plan = (
+        readability_scores(df)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
