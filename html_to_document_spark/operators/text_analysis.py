@@ -374,6 +374,27 @@ def char_entropy(
     )
 
 
+def flesch_col(c) -> "Column":
+    """:func:`readability_scores`'s Flesch reading ease as a single
+    Column expression (the projection-not-join shape the pipelines
+    fold into their existing filter stage)."""
+    from pyspark.sql import functions as F
+
+    sentences = F.greatest(
+        F.size(F.filter(F.split(c, "[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    )
+    words = F.greatest(_word_count(c), F.lit(1))
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    return r4(
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words)
+    )
+
+
 def readability_scores(df: "DataFrame", text_col: str = "text") -> "DataFrame":
     """Flesch Reading Ease + its components — the classic readability
     measure educational-quality curation uses as a cheap proxy (the
@@ -406,9 +427,5 @@ def readability_scores(df: "DataFrame", text_col: str = "text") -> "DataFrame":
         "*",
         sentences.cast("long").alias("n_sentences"),
         syllables.cast("long").alias("n_syllables"),
-        r4(
-            F.lit(206.835)
-            - F.lit(1.015) * (words / sentences)
-            - F.lit(84.6) * (syllables / words)
-        ).alias("flesch"),
+        flesch_col(c).alias("flesch"),
     )

@@ -110,6 +110,7 @@ def build_training_pipeline(
     blocklist: tuple | None = None,
     blocklist_max_fraction: float = 0.0,
     entropy_band: "tuple[float, float] | None" = None,
+    flesch_band: "tuple[float, float] | None" = None,
     text_join: str = "space",
     lm_model: dict | None = None,
     lm_max_ppl: float | None = None,
@@ -160,6 +161,10 @@ def build_training_pipeline(
     page rule — drop docs whose blocklisted-word fraction exceeds the
     threshold (0.0 = the published any-hit rule). A codegen'd InSet
     probe folded into the same filter stage as the other projections.
+
+    ``flesch_band``: (min, max) band-pass on the Flesch reading-ease
+    score (``text_analysis.flesch_col``) — another pure projection;
+    see ``entropy_band`` for the placement rationale.
 
     ``entropy_band``: (min_bits, max_bits) band-pass on character
     Shannon entropy (``text_analysis.char_entropy_col``) — drops
@@ -385,6 +390,20 @@ def build_training_pipeline(
         lo, hi = entropy_band
         ent = char_entropy_col(F.col("text"))
         corpus = corpus.filter((ent >= lo) & (ent <= hi))
+
+    if flesch_band is not None:
+        # readability band-pass (text_analysis.readability_scores'
+        # formula as a projection): drops keyword-stuffed fragments
+        # (implausibly high ease) and run-on machine text (very low /
+        # negative) — the zero-model educational-quality proxy. Same
+        # zero-scan placement as entropy_band.
+        from html_to_document_spark.operators.text_analysis import (
+            flesch_col,
+        )
+
+        flo, fhi = flesch_band
+        fl = flesch_col(F.col("text"))
+        corpus = corpus.filter((fl >= flo) & (fl <= fhi))
 
     if lm_model is not None:
         # CCNet-style perplexity cut (operators/lm_filter.py): the

@@ -519,3 +519,27 @@ def test_pipeline_clean_controls(spark):
     assert "zzqq ww" in joined and "zzqq wwee" in joined
     assert "\u200b" not in joined and "\x07" not in joined
     assert "\u00a0" not in joined
+
+
+def test_pipeline_flesch_band(spark):
+    """flesch_band drops docs outside the readability band, as a pure
+    projection folded in with the other quality filters."""
+    from html_to_document_spark.operators.text_analysis import flesch_col
+
+    docs = generate_corpus(spark, 20, seed=43, giant_frac=0.0)
+    base = build_training_pipeline(docs, num_partitions=2, min_quality=0.0)
+    scores = {
+        r.doc_id: r.fl
+        for r in base.select(
+            "doc_id", flesch_col(F.col("text")).alias("fl")
+        ).collect()
+    }
+    assert scores, "empty baseline"
+    cut = sorted(scores.values())[len(scores) // 2]
+    banded = build_training_pipeline(
+        docs, num_partitions=2, min_quality=0.0,
+        flesch_band=(cut, 10_000.0),
+    )
+    kept = {r.doc_id for r in banded.collect()}
+    want = {d for d, s in scores.items() if s >= cut}
+    assert kept == want and 0 < len(kept) < len(scores)
