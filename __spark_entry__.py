@@ -2041,9 +2041,15 @@ def q_serialize_typed(spark, sf_dir):
     """Z1 typed serializer as a distributed operator: extract spans from
     constructed HTML, serialize back, return the reconstructed HTML.
     Inputs are canonical-by-construction (single-word columns), so the
-    oracle can state the exact typed output string."""
+    oracle can state the exact typed output string.
+
+    r5 continuation: an md_out column gates the Markdown sibling
+    (core/markdown.py::serialize_markdown — the LLM-training export
+    format) over the same spans; the oracle states the exact GFM
+    string (heading, list items, paragraph) from the construction."""
     import pandas as pd
     from html_to_document_spark.core.extract import ExtractOptions, extract_document
+    from html_to_document_spark.core.markdown import serialize_markdown
     from html_to_document_spark.core.serializer import serialize_spans
 
     d = _docs(spark, sf_dir).select(
@@ -2059,17 +2065,16 @@ def q_serialize_typed(spark, sf_dir):
 
     def fn(batches):
         for pdf in batches:
+            spans = [extract_document(h, opts) for h in pdf["html"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "html_out": [
-                        serialize_spans(extract_document(h, opts))
-                        for h in pdf["html"]
-                    ],
+                    "html_out": [serialize_spans(s) for s in spans],
+                    "md_out": [serialize_markdown(s) for s in spans],
                 }
             )
 
-    return d.mapInPandas(fn, "doc_id long, html_out string")
+    return d.mapInPandas(fn, "doc_id long, html_out string, md_out string")
 
 
 def q_training_pipeline(spark, sf_dir):
@@ -3561,10 +3566,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "serialize_typed": (
             # extract∘serialize is the identity on this canonical input,
-            # so the oracle is the constructed HTML itself
+            # so the oracle is the constructed HTML itself; the Markdown
+            # sibling's exact GFM string likewise falls out of the
+            # construction (r5-cont)
             "select doc_id, '<h2>' || lang || '</h2><ul><li>' || source "
             "|| '</li><li>x</li></ul><p>' || lang || ' tail</p>' "
-            "as html_out from documents"
+            "as html_out, "
+            "'## ' || lang || chr(10) || chr(10) || "
+            "'- ' || source || chr(10) || '- x' || chr(10) || chr(10) || "
+            "lang || ' tail' as md_out "
+            "from documents"
         ),
         "interleaved_stats": """
 WITH sized AS (
