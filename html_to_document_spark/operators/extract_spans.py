@@ -498,3 +498,51 @@ def ensure_parallelism(
     if df.rdd.getNumPartitions() >= target:
         return df
     return salted_repartition(df, target, salt_seed)
+
+
+def to_markdown(
+    df: "DataFrame",
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    out_col: str = "markdown",
+) -> "DataFrame":
+    """(id, spans[with meta]) -> (id, markdown): the distributed
+    Markdown export (core/markdown.py::serialize_markdown — the
+    LLM-training text format). Spans must carry the extraction meta
+    (``ExtractOptions(with_meta=True)``) for headings/lists/tables to
+    keep their structure; without meta every text span exports as a
+    paragraph.
+
+    One Arrow-batched mapInPandas projection — no shuffle; the
+    serializer is pure per-document Python over the span array."""
+    import pandas as pd  # noqa: F811
+
+    from html_to_document_spark.core.markdown import serialize_markdown
+
+    def tup(s: dict):
+        # Arrow hands struct rows as dicts and map fields as
+        # (key, value) tuple lists — normalize meta back to a dict
+        meta = s.get("meta")
+        base = (s["kind"], s["text"], s["media_ref"], s.get("offset"))
+        if meta is None:
+            return base
+        return base + (dict(meta),)
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: [
+                        serialize_markdown(
+                            [] if spans is None
+                            else [tup(s) for s in spans]
+                        )
+                        for spans in pdf[spans_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, spans_col).mapInPandas(
+        fn, f"{id_col} {dict(df.dtypes)[id_col]}, {out_col} string"
+    )

@@ -61,3 +61,27 @@ def test_deterministic_and_empty():
     assert serialize_markdown([]) == ""
     spans = extract_document("<h1>t</h1><p>p</p>", OPTS)
     assert serialize_markdown(spans) == serialize_markdown(list(spans))
+
+
+def test_to_markdown_distributed(spark):
+    from html_to_document_spark.operators.extract_spans import (
+        extract_spans_from_html,
+        to_markdown,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "<h2>Ti</h2><ul><li>a</li><li>b</li></ul><p>tail</p>"),
+            ("d2", "<p>just text</p>"),
+            ("d3", ""),
+        ],
+        "doc_id string, html string",
+    )
+    spans = extract_spans_from_html(df, options=OPTS)
+    got = {r.doc_id: r.markdown for r in to_markdown(spans).collect()}
+    assert got["d1"] == "## Ti\n\n- a\n- b\n\ntail"
+    assert got["d2"] == "just text"
+    assert got["d3"] == ""
+    # parity with the local serializer over the same extraction
+    assert got["d1"] == serialize_markdown(extract_document(
+        "<h2>Ti</h2><ul><li>a</li><li>b</li></ul><p>tail</p>", OPTS))
