@@ -1414,13 +1414,19 @@ def q_interleaved_stats(spark, sf_dir):
         hot_media_refs,
         interleaved_keep_col,
         interleaved_stats,
+        span_lang_stats,
     )
 
     sp = _docs(spark, sf_dir).select(
         "doc_id", _interleaved_spans_expr().alias("spans")
     )
     hot = hot_media_refs(sp, min_docs=8)
-    stats = interleaved_stats(sp).withColumn("spans2", F.col("spans"))
+    # r5-cont: span-level language profile (span_lang_stats — the
+    # block-level mixed-language signal) rides the same row; the
+    # oracle replays the per-slice lang vote + plurality pick in SQL
+    stats = span_lang_stats(interleaved_stats(sp)).withColumn(
+        "spans2", F.col("spans")
+    )
     after = drop_hot_media(
         stats, hot, spans_col="spans2", renumber_offsets=False
     )
@@ -1445,6 +1451,10 @@ def q_interleaved_stats(spark, sf_dir):
         )
         .cast("int")
         .alias("keep"),
+        "main_span_lang",
+        "main_span_lang_n",
+        "n_span_langs",
+        "span_lang_frac",
     )
 
 
@@ -3636,6 +3646,30 @@ WITH sized AS (
   SELECT doc_id, CAST(count(*) AS INT) AS n_hot_images
   FROM g WHERE kind = 'image' AND ref IN (SELECT ref FROM hot)
   GROUP BY doc_id
+), langv AS (
+  SELECT doc_id, CASE
+    WHEN greatest(se, ss, sf, sd) = 0 THEN 'und'
+    WHEN se = greatest(se, ss, sf, sd) THEN 'en'
+    WHEN ss = greatest(se, ss, sf, sd) THEN 'es'
+    WHEN sf = greatest(se, ss, sf, sd) THEN 'fr'
+    ELSE 'de' END AS v
+  FROM (SELECT doc_id,
+    len(regexp_extract_all(lower(stext), '\\b(the|and|of|to|is)\\b')) AS se,
+    len(regexp_extract_all(lower(stext), '\\b(el|la|de|que|los)\\b')) AS ss,
+    len(regexp_extract_all(lower(stext), '\\b(le|la|les|et|des)\\b')) AS sf,
+    len(regexp_extract_all(lower(stext), '\\b(der|die|und|das|ist)\\b')) AS sd
+    FROM g WHERE kind = 'text')
+), lvc AS (
+  SELECT doc_id, v, count(*) AS n FROM langv GROUP BY doc_id, v
+), lpick AS (
+  SELECT doc_id, v AS main_span_lang, CAST(n AS INT) AS main_span_lang_n,
+    CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS n_span_langs,
+    floor(n * 1.0 / sum(n) OVER (PARTITION BY doc_id) * 10000 + 0.5)
+      / 10000.0 AS span_lang_frac,
+    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC,
+      CASE v WHEN 'en' THEN 0 WHEN 'es' THEN 1 WHEN 'fr' THEN 2
+             WHEN 'de' THEN 3 ELSE 4 END) AS rn
+  FROM lvc
 )
 SELECT CAST(a.doc_id AS BIGINT) AS doc_id, a.n_spans, a.n_text, a.n_images,
   a.text_chars, coalesce(r.max_image_run, 0) AS max_image_run,
@@ -3643,8 +3677,10 @@ SELECT CAST(a.doc_id AS BIGINT) AS doc_id, a.n_spans, a.n_text, a.n_images,
   CAST((a.text_chars >= 150 AND a.n_images <= 6 AND a.n_images >= 0
         AND (CAST(a.n_images AS DOUBLE) / a.n_spans) <= 0.4
         AND coalesce(r.max_image_run, 0) <= 1
-        AND a.leading_images <= 0) AS INT) AS keep
+        AND a.leading_images <= 0) AS INT) AS keep,
+  l.main_span_lang, l.main_span_lang_n, l.n_span_langs, l.span_lang_frac
 FROM agg a LEFT JOIN runs r USING (doc_id) LEFT JOIN hotcnt h USING (doc_id)
+JOIN (SELECT * FROM lpick WHERE rn = 1) l USING (doc_id)
 """,
         # Composed training pipeline (VERDICT r5 #5): the oracle
         # recomputes every stage from the planted corpus — text

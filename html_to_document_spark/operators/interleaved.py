@@ -49,6 +49,7 @@ if TYPE_CHECKING:  # pragma: no cover
 __all__ = [
     "interleaved_stats",
     "interleaved_keep_col",
+    "span_lang_stats",
     "hot_media_refs",
     "drop_hot_media",
     "transform_span_text",
@@ -396,3 +397,80 @@ def curate_interleaved(
     if not with_stats:
         out = out.select(*df.columns)
     return out
+
+
+def span_lang_stats(
+    df: "DataFrame", spans_col: str = "spans"
+) -> "DataFrame":
+    """Per-document SPAN-LEVEL language profile — the mixed-language
+    detection multimodal pipelines run per block (a page whose text
+    spans disagree on language is usually navigation chrome, scraped
+    embeds, or template filler around a small foreign core; MMC4/
+    OBELICS filter on block-level consistency, not just a doc-level
+    vote). Appends:
+
+    - ``main_span_lang`` — the plurality language across text spans
+      (``text_analysis.lang_pred_col`` per span; ties break in profile
+      order en/es/fr/de then 'und', the doc-level operator's rule);
+      'und' when the doc has no text spans.
+    - ``main_span_lang_n`` / ``n_span_langs`` — the plurality count
+      and how many distinct languages the text spans voted for.
+    - ``span_lang_frac`` — plurality count / text-span count, r4
+      (1.0 = every block agrees; 0.0 only for empty docs).
+
+    One shuffle-free Column projection: the per-span vote is the same
+    when-chain the doc-level lang-ID compiles, applied inside a
+    ``transform`` over the (filtered) spans array; per-language counts
+    are fixed-universe array filters, and the plurality pick is a
+    struct ``array_max`` — zero Python, zero shuffle, no explode."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.text_analysis import (
+        LANG_PROFILES,
+        lang_pred_col,
+        r4,
+    )
+
+    spans = F.coalesce(
+        F.col(spans_col),
+        F.array().cast(df.schema[spans_col].dataType.simpleString()),
+    )
+    votes = F.transform(
+        F.filter(spans, lambda s: s["kind"] == "text"),
+        lambda s: lang_pred_col(F.coalesce(s["text"], F.lit(""))),
+    )
+    langs = list(LANG_PROFILES) + ["und"]
+
+    def count_of(lang):
+        # NB: a `lambda x, lang=lang:` default-capture reads as a
+        # 2-arg (element, index) lambda to F.filter — hence the factory
+        return F.size(F.filter(votes, lambda x: x == lang))
+
+    counts = {lang: count_of(lang) for lang in langs}
+    scored = F.array(
+        *[
+            F.struct(
+                counts[lang].alias("n"),
+                F.lit(-i).alias("negi"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(scored)
+    n_votes = F.size(votes)
+    n_langs = sum(
+        (counts[lang] > 0).cast("int") for lang in langs
+    )
+    return df.withColumns(
+        {
+            "main_span_lang": F.when(n_votes > 0, best["lang"])
+            .otherwise(F.lit("und")),
+            "main_span_lang_n": F.when(n_votes > 0, best["n"])
+            .otherwise(F.lit(0)).cast("int"),
+            "n_span_langs": n_langs.cast("int"),
+            "span_lang_frac": F.when(
+                n_votes > 0, r4(best["n"] / n_votes)
+            ).otherwise(F.lit(0.0)),
+        }
+    )

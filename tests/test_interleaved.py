@@ -389,3 +389,44 @@ def test_span_scrub_null_spans_flag_false(spark):
     assert out[2]["was_redacted"] is True
     kept = pii_scrub_spans(df).filter(~F.col("was_redacted")).count()
     assert kept == 1  # doc 1 survives the negated filter
+
+
+def test_span_lang_stats(spark):
+    from html_to_document_spark.operators.interleaved import span_lang_stats
+
+    def t(text):
+        return ("text", text, None)
+
+    rows = [
+        # 2 en spans + 1 es span -> en plurality, 2 langs, frac 2/3
+        (1, [t("the cat and the dog"), ("image", None, "m://x"),
+             t("el perro de la casa"), t("of the house is big")]),
+        # all spans agree
+        (2, [t("the cat and the dog"), t("of the house is big")]),
+        # gibberish -> und
+        (3, [t("xyzzy plugh")]),
+        # no text spans at all
+        (4, [("image", None, "m://y")]),
+        (5, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<"
+        "kind:string,text:string,media_ref:string>>",
+    )
+    out = {r.doc_id: r for r in span_lang_stats(df).collect()}
+    assert out[1].main_span_lang == "en"
+    assert out[1].main_span_lang_n == 2 and out[1].n_span_langs == 2
+    assert out[1].span_lang_frac == 0.6667
+    assert out[2].main_span_lang == "en" and out[2].span_lang_frac == 1.0
+    assert out[3].main_span_lang == "und" and out[3].n_span_langs == 1
+    assert out[4].main_span_lang == "und"
+    assert out[4].main_span_lang_n == 0 and out[4].span_lang_frac == 0.0
+    assert out[5].main_span_lang == "und" and out[5].n_span_langs == 0
+    # shuffle-free, Python-free plan
+    plan = (
+        span_lang_stats(df)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEval" not in plan and "BatchEval" not in plan
