@@ -397,10 +397,17 @@ def q_lang_quality(spark, sf_dir):
     XLM-R alpha-sampling) over the lang column at alpha=0.5 — the
     W-free algebraic form frac(k) = min_j(n_j^.5) / n_k^.5 has no
     order-sensitive sum, and both engines evaluate it through the
-    same libm pow, so the doubles hash-match bit for bit."""
+    same libm pow, so the doubles hash-match bit for bit.
+
+    r5 continuation: also gates stratified_sample (mixture.py, the
+    exact-k-per-stratum eval-holdout): keep_sample marks the 40
+    smallest (md5('s5c8'||id), id) per documents.lang — the
+    histogram + boundary-bucket algorithm must equal the oracle's
+    naive per-stratum row_number window."""
     from html_to_document_spark.operators.mixture import (
         hash_split_col,
         select_token_budget,
+        stratified_sample,
         temperature_fraction_col,
     )
 
@@ -421,7 +428,15 @@ def q_lang_quality(spark, sf_dir):
         group_col="lang",
         alpha=0.5,
     ).select("doc_id", "temp_keep_frac")
-    return base.join(tf, "doc_id")
+    sampled = stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "lang", k=40, salt="s5c8",
+    ).select("doc_id", F.lit(True).alias("keep_sample"))
+    return (
+        base.join(tf, "doc_id")
+        .join(sampled, "doc_id", "left")
+        .withColumn("keep_sample", F.coalesce("keep_sample", F.lit(False)))
+    )
 
 
 def q_dsir_weight(spark, sf_dir):
@@ -2451,6 +2466,9 @@ def oracle_sql() -> dict[str, str]:
             # alpha=0.5 over the lang column — the W-free algebraic
             # form (min_j n_j^.5 / n_k^.5) needs no order-sensitive
             # sum; both engines hit the same libm pow
+            # keep_sample (r5-cont, stratified_sample): the naive
+            # exact-k-per-stratum formulation the operator must equal
+            "select lqq3.*, ks.keep_sample from ("
             "select lqq2.*, tf.temp_keep_frac from ("
             # split_assign (r5-cont): deterministic md5-prefix
             # train/val/test split — the SQL expression is generated
@@ -2505,6 +2523,11 @@ def oracle_sql() -> dict[str, str]:
             "as temp_keep_frac "
             "from documents d join lc using (lang)"
             ") tf using (doc_id)"
+            ") lqq3 join ("
+            "select doc_id, (row_number() over (partition by lang "
+            "order by md5('s5c8' || cast(doc_id as varchar)), doc_id) "
+            "<= 40) as keep_sample from documents"
+            ") ks using (doc_id)"
         ),
         # DSIR raw-gram mode (operators/dsir.py): identical planted
         # corpus, target-slice gram counts, <unk> mapping, add-alpha

@@ -356,6 +356,7 @@ def curate_interleaved(
     scrub_pii: bool = False,
     hot_media_min_docs: "int | None" = None,
     keep: "dict | None" = None,
+    min_span_lang_frac: "float | None" = None,
     renumber_offsets: bool = True,
     with_stats: bool = True,
 ) -> "DataFrame":
@@ -370,7 +371,9 @@ def curate_interleaved(
     the logo pass adds exactly one exchange (the per-ref doc-frequency
     count) and a broadcast back. ``keep`` is the
     ``interleaved_keep_col`` kwargs (None = keep everything);
-    ``hot_media_min_docs`` None skips the logo pass."""
+    ``hot_media_min_docs`` None skips the logo pass;
+    ``min_span_lang_frac`` additionally requires block-level language
+    agreement (``span_lang_stats``) at or above the bar."""
     # hot-media detection reads ONLY media_ref, which no text scrub
     # touches — detect on the RAW input so the hot-set collect (a
     # driver action) never evaluates the scrub regexes; otherwise the
@@ -392,6 +395,15 @@ def curate_interleaved(
             renumber_offsets=renumber_offsets,
         )
     out = interleaved_stats(out, spans_col)
+    if min_span_lang_frac is not None:
+        # block-level language consistency (span_lang_stats): a page
+        # whose spans disagree on language below the bar is chrome /
+        # scraped embeds; runs on the scrubbed spans like the stats
+        from pyspark.sql import functions as F
+
+        out = span_lang_stats(out, spans_col).filter(
+            F.col("span_lang_frac") >= min_span_lang_frac
+        )
     if keep is not None:
         out = out.filter(interleaved_keep_col(**keep))
     if not with_stats:

@@ -388,3 +388,71 @@ def shuffle_shard(
         )
         .drop("_digest", "_sub", "_off")
     )
+
+
+def stratified_sample(
+    df: "DataFrame",
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    sub_hex: int = 4,
+) -> "DataFrame":
+    """EXACTLY ``min(k, |stratum|)`` rows per ``strata_col`` value —
+    the eval-holdout construction ("k docs per language / per host
+    for human review") where :func:`hash_split_col` gives fractions
+    and :func:`cap_domain_share <html_to_document_spark.operators.\
+url_filter.cap_domain_share>`'s hash mode gives ≈caps, but audits
+    need an exact, reproducible k. Selection order is the md5 digest
+    (ties by id): deterministic, append/repartition-stable, and
+    derivable from ANY engine — the naive formulation is
+    ``row_number() over (partition by stratum order by digest, id)
+    <= k``, which is exactly what the gate pins.
+
+    100 TB shape: NO per-stratum global window. The digest's first
+    ``sub_hex`` hex chars split each stratum into sub-buckets whose
+    counts aggregate map-side (≤ strata × 16^sub_hex short rows to
+    the driver); a driver walk classifies each sub-bucket keep-all /
+    drop-all, and ONLY the single boundary bucket per stratum pays a
+    rank window (~stratum_size/16^sub_hex rows). The corpus's only
+    other touch is the broadcast spec join."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    if not 1 <= sub_hex <= 8:
+        raise ValueError("sub_hex must be in 1..8")
+    if k == 0:
+        return df.limit(0)
+
+    digest = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    keyed = df.withColumn("_digest", digest).withColumn(
+        "_sub", F.substring("_digest", 1, sub_hex)
+    )
+    counts = keyed.groupBy(strata_col, "_sub").count().collect()
+    counts.sort(key=lambda r: (
+        (r[strata_col] is None, r[strata_col]), r["_sub"]
+    ))
+    spec, cum, cur = [], 0, object()
+    for r in counts:
+        if r[strata_col] != cur:
+            cur, cum = r[strata_col], 0
+        quota = min(r["count"], max(0, k - cum))
+        cum += r["count"]
+        if quota > 0:
+            spec.append((cur, r["_sub"], int(quota), quota == r["count"]))
+    spec_df = keyed.sparkSession.createDataFrame(
+        spec,
+        f"{strata_col} string, _sub string, _quota long, _full boolean",
+    )
+    joined = keyed.join(F.broadcast(spec_df), [strata_col, "_sub"])
+    full = joined.filter(F.col("_full"))
+    w = Window.partitionBy(strata_col, "_sub").orderBy("_digest", id_col)
+    partial = (
+        joined.filter(~F.col("_full"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn")
+    )
+    return full.unionByName(partial).select(*df.columns)

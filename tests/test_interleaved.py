@@ -430,3 +430,32 @@ def test_span_lang_stats(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEval" not in plan and "BatchEval" not in plan
+
+
+def test_curate_interleaved_span_lang_gate(spark):
+    from html_to_document_spark.operators.interleaved import (
+        curate_interleaved,
+    )
+
+    def t(text):
+        return ("text", text, None, 0)
+
+    rows = [
+        # consistent english page
+        (1, [t("the cat and the dog"), t("of the house is big")]),
+        # half english / half spanish -> frac 0.5, dropped at 0.75
+        (2, [t("the cat and the dog"), t("el perro de la casa")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    kept = {
+        r.doc_id
+        for r in curate_interleaved(df, min_span_lang_frac=0.75).collect()
+    }
+    assert kept == {1}
+    # without the gate both survive
+    both = {r.doc_id for r in curate_interleaved(df).collect()}
+    assert both == {1, 2}

@@ -333,3 +333,70 @@ def test_shuffle_shard_single_shard_and_validation(spark):
         shuffle_shard(df, n_shards=0)
     with _pytest.raises(ValueError):
         shuffle_shard(df, sub_hex=0)
+
+
+def test_stratified_sample_exact_k_and_naive_parity(spark):
+    import hashlib
+
+    from html_to_document_spark.operators.mixture import stratified_sample
+
+    rows = [(i, ["en", "es", "fr"][i % 3]) for i in range(90)]
+    rows += [(1000 + i, "de") for i in range(2)]  # stratum smaller than k
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    got = stratified_sample(df, "lang", k=7, salt="s").collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert {k_: len(v) for k_, v in by_lang.items()} == {
+        "en": 7, "es": 7, "fr": 7, "de": 2,
+    }
+
+    # naive formulation parity: k smallest (md5('s'||id), id) per lang
+    want = {}
+    for did, lang in rows:
+        want.setdefault(lang, []).append(
+            (hashlib.md5(f"s{did}".encode()).hexdigest(), did)
+        )
+    for lang, lst in want.items():
+        lst.sort()
+        assert {d for _, d in lst[:7]} == by_lang[lang]
+
+    # deterministic under repartitioning
+    again = stratified_sample(df.repartition(13), "lang", k=7, salt="s")
+    assert {(r.doc_id, r.lang) for r in again.collect()} == {
+        (r.doc_id, r.lang) for r in got
+    }
+
+
+def test_stratified_sample_boundary_splits_bucket(spark):
+    # sub_hex=1 forces multi-row sub-buckets so the boundary-bucket
+    # window path actually runs (quota < count for some bucket)
+    import hashlib
+
+    from html_to_document_spark.operators.mixture import stratified_sample
+
+    rows = [(i, "en") for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sorted(
+        r.doc_id
+        for r in stratified_sample(df, "lang", k=10, salt="q",
+                                   sub_hex=1).collect()
+    )
+    lst = sorted(
+        (hashlib.md5(f"q{d}".encode()).hexdigest(), d) for d, _ in rows
+    )
+    assert got == sorted(d for _, d in lst[:10])
+
+
+def test_stratified_sample_guards(spark):
+    import pytest
+
+    from html_to_document_spark.operators.mixture import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", k=-1)
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", k=1, sub_hex=0)
+    assert stratified_sample(df, "lang", k=0).count() == 0
