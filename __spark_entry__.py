@@ -984,8 +984,10 @@ def q_url_filter_blocked(spark, sf_dir):
         ).alias("canon_key"),
     ).join(canon_kept, "doc_id", "left")
 
+    from html_to_document_spark.operators.url_filter import url_features
+
     out = (
-        capped.withColumn("_host", host_col("url"))
+        url_features(capped).withColumn("_host", host_col("url"))
         .join(pr, F.col("_host") == pr["node"], "left")
         .join(ind, F.col("_host") == ind["node"], "left")
         .join(ht, F.col("_host") == ht["node"], "left")
@@ -1016,6 +1018,10 @@ def q_url_filter_blocked(spark, sf_dir):
         "noindex", "canon_key",
         F.coalesce(F.col("_canon_keep"), F.lit(False))
         .alias("keep_canon"),
+        # r5-cont: url_features (spam/quality URL-shape signals) —
+        # the oracle states each from the construction arithmetic
+        "url_host_depth", "url_path_depth", "url_n_params",
+        "url_digit_ratio",
     )
 
 
@@ -2840,7 +2846,21 @@ def oracle_sql() -> dict[str, str]:
             # planted on doc_id%11, the declared canonical (junk
             # params stripped by normalization) on doc_id%7; the
             # mirror-collapse keeper is min-doc_id per canonical key.
-            "select c.*, row_number() over "
+            # r5-cont: url_features arms — host label depth / path
+            # depth / param count / host digit ratio, each stated
+            # from the construction arithmetic (k=4 hosts are
+            # 'ok<d>.example.org': one digit of 15 chars -> 0.0667)
+            "select c.*, "
+            "cast(case when c.doc_id % 5 = 0 then 3 "
+            "when c.doc_id % 5 = 2 then 4 "
+            "when c.doc_id % 5 = 4 then 3 else 2 end as int) "
+            "as url_host_depth, "
+            "cast(case when c.doc_id % 5 = 0 then 2 else 1 end as int) "
+            "as url_path_depth, "
+            "cast(3 as int) as url_n_params, "
+            "cast(case when c.doc_id % 5 = 4 then 0.0667 else 0.0 end "
+            "as double) as url_digit_ratio, "
+            "row_number() over "
             "(partition by canon_key order by doc_id) = 1 "
             "as keep_canon from ("
             "select b.*, b.doc_id % 11 = 0 as noindex, "

@@ -302,3 +302,65 @@ def normalize_url_col(url_col: "Column | str") -> "Column":
         scheme.isNull() | host.isNull() | (host == ""),
         F.lit(None).cast("string"),
     ).otherwise(F.concat(scheme, F.lit("://"), host, path, qpart))
+
+
+def url_features(df: "DataFrame", url_col: str = "url") -> "DataFrame":
+    """Append URL shape features — the spam/quality signals URL-level
+    classifiers key on (RefinedWeb filters URLs before fetch; Dolma's
+    URL heuristics and classic webspam features use exactly these):
+
+    - ``url_host_depth`` — dot-separated host labels (deep subdomain
+      chains are a spam-farm signature)
+    - ``url_path_depth`` / ``url_path_len`` — non-empty path segments
+      and raw path length (calendar/faceted-navigation traps run deep)
+    - ``url_n_params`` — query parameters (session/tracking bloat)
+    - ``url_has_fragment`` / ``url_is_https``
+    - ``url_digit_ratio`` — digit fraction of the host, r4 (DGA hosts
+      and IP-literal hosts score high)
+    - ``url_host_hyphens`` — hyphen count in the host (keyword-stuffed
+      domains)
+
+    A pure JVM Column projection (try_parse_url + split/filter/regex):
+    zero Python, zero shuffle. NULL/unparsable URLs yield NULL host
+    features and 0 counts — never an error row."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.text_analysis import r4
+
+    u = F.col(url_col)
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    path = F.try_parse_url(u, F.lit("PATH"))
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    return df.withColumns(
+        {
+            "url_host_depth": F.size(F.split(host, "\\.")).cast("int"),
+            "url_path_depth": F.size(
+                F.filter(
+                    F.split(F.coalesce(path, F.lit("")), "/"),
+                    lambda x: x != "",
+                )
+            ).cast("int"),
+            "url_path_len": F.length(F.coalesce(path, F.lit("")))
+            .cast("int"),
+            "url_n_params": F.size(
+                F.filter(
+                    F.split(F.coalesce(query, F.lit("")), "&"),
+                    lambda x: x != "",
+                )
+            ).cast("int"),
+            "url_has_fragment": F.try_parse_url(
+                u, F.lit("REF")
+            ).isNotNull(),
+            "url_is_https": F.lower(
+                F.try_parse_url(u, F.lit("PROTOCOL"))
+            ) == "https",
+            "url_digit_ratio": r4(
+                F.length(F.regexp_replace(host, "[^0-9]", ""))
+                / F.greatest(F.length(host), F.lit(1))
+            ),
+            "url_host_hyphens": (
+                F.length(host)
+                - F.length(F.regexp_replace(host, "-", ""))
+            ).cast("int"),
+        }
+    )

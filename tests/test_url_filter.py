@@ -199,3 +199,40 @@ def test_normalize_url(spark):
         text_col="norm_url",
     )
     assert {r.doc_id for r in kept.collect()} == {1, 3}
+
+
+def test_url_features(spark):
+    from html_to_document_spark.operators.url_filter import url_features
+
+    rows = [
+        (1, "https://a.b.example.com/x/y/z.html?p=1&q=2#frag"),
+        (2, "http://spam-01-deals.biz/"),
+        (3, "http://192.168.0.1/admin"),
+        (4, "http://example.org"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in url_features(df).collect()}
+    r1 = out[1]
+    assert r1.url_host_depth == 4
+    assert r1.url_path_depth == 3 and r1.url_path_len == len("/x/y/z.html")
+    assert r1.url_n_params == 2
+    assert r1.url_has_fragment is True and r1.url_is_https is True
+    assert r1.url_digit_ratio == 0.0 and r1.url_host_hyphens == 0
+    r2 = out[2]
+    assert r2.url_host_hyphens == 2
+    assert r2.url_digit_ratio == round(2 / len("spam-01-deals.biz"), 4)
+    assert r2.url_is_https is False and r2.url_n_params == 0
+    r3 = out[3]
+    # IP-literal host: 8 digits of 11 chars
+    assert r3.url_digit_ratio == round(8 / 11, 4)
+    assert r3.url_path_depth == 1
+    r4_ = out[4]
+    assert r4_.url_path_depth == 0 and r4_.url_n_params == 0
+    assert r4_.url_has_fragment is False
+    # NULL url: host features NULL, counts 0, no error
+    assert out[5].url_host_depth is None
+    assert out[5].url_path_depth == 0 and out[5].url_n_params == 0
+    # shuffle-free, Python-free
+    plan = url_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
