@@ -426,7 +426,11 @@ url_filter.cap_domain_share>`'s hash mode gives ≈caps, but audits
     if k == 0:
         return df.limit(0)
 
-    digest = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    # NULL-safe digest: concat(NULL) would NULL the digest and _sub,
+    # silently ejecting NULL-id rows from the sample (review r5c8 #1)
+    digest = F.md5(F.concat(
+        F.lit(salt), F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    ))
     keyed = df.withColumn("_digest", digest).withColumn(
         "_sub", F.substring("_digest", 1, sub_hex)
     )
@@ -442,11 +446,28 @@ url_filter.cap_domain_share>`'s hash mode gives ≈caps, but audits
         cum += r["count"]
         if quota > 0:
             spec.append((cur, r["_sub"], int(quota), quota == r["count"]))
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType,
+    )
+
     spec_df = keyed.sparkSession.createDataFrame(
         spec,
-        f"{strata_col} string, _sub string, _quota long, _full boolean",
+        StructType([
+            # the source column's own type, so non-string strata work
+            StructField("_sk", df.schema[strata_col].dataType, True),
+            StructField("_ss", StringType(), False),
+            StructField("_quota", LongType(), False),
+            StructField("_full", BooleanType(), False),
+        ]),
     )
-    joined = keyed.join(F.broadcast(spec_df), [strata_col, "_sub"])
+    # null-SAFE stratum equality: a plain equi-join can never match a
+    # NULL stratum, which would silently drop that whole population
+    # from the audit sample (review r5c8 #1 — confirmed by repro)
+    joined = keyed.join(
+        F.broadcast(spec_df),
+        keyed[strata_col].eqNullSafe(F.col("_sk"))
+        & (F.col("_sub") == F.col("_ss")),
+    )
     full = joined.filter(F.col("_full"))
     w = Window.partitionBy(strata_col, "_sub").orderBy("_digest", id_col)
     partial = (

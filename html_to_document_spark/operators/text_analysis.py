@@ -374,20 +374,35 @@ def char_entropy(
     )
 
 
+def _sentence_count(c) -> "Column":
+    """[.!?]+-run sentence count, floored at 1 (shared by flesch_col
+    and readability_scores so the two surfaces cannot drift)."""
+    from pyspark.sql import functions as F
+
+    return F.greatest(
+        F.size(F.filter(F.split(c, "[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    )
+
+
+def _syllable_count(c) -> "Column":
+    """Vowel-group syllable estimate (the standard approximation)."""
+    from pyspark.sql import functions as F
+
+    return F.size(
+        F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), F.lit(0))
+    )
+
+
 def flesch_col(c) -> "Column":
     """:func:`readability_scores`'s Flesch reading ease as a single
     Column expression (the projection-not-join shape the pipelines
     fold into their existing filter stage)."""
     from pyspark.sql import functions as F
 
-    sentences = F.greatest(
-        F.size(F.filter(F.split(c, "[.!?]+"), lambda s: F.trim(s) != "")),
-        F.lit(1),
-    )
+    sentences = _sentence_count(c)
     words = F.greatest(_word_count(c), F.lit(1))
-    syllables = F.size(
-        F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), F.lit(0))
-    )
+    syllables = _syllable_count(c)
     return r4(
         F.lit(206.835)
         - F.lit(1.015) * (words / sentences)
@@ -415,17 +430,9 @@ def readability_scores(df: "DataFrame", text_col: str = "text") -> "DataFrame":
     from pyspark.sql import functions as F
 
     c = F.col(text_col)
-    sentences = F.greatest(
-        F.size(F.filter(F.split(c, "[.!?]+"), lambda s: F.trim(s) != "")),
-        F.lit(1),
-    )
-    words = F.greatest(_word_count(c), F.lit(1))
-    syllables = F.size(
-        F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), F.lit(0))
-    )
     return df.select(
         "*",
-        sentences.cast("long").alias("n_sentences"),
-        syllables.cast("long").alias("n_syllables"),
+        _sentence_count(c).cast("long").alias("n_sentences"),
+        _syllable_count(c).cast("long").alias("n_syllables"),
         flesch_col(c).alias("flesch"),
     )

@@ -328,7 +328,7 @@ def url_features(df: "DataFrame", url_col: str = "url") -> "DataFrame":
     from html_to_document_spark.operators.text_analysis import r4
 
     u = F.col(url_col)
-    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    host = host_col(u)
     path = F.try_parse_url(u, F.lit("PATH"))
     query = F.try_parse_url(u, F.lit("QUERY"))
     return df.withColumns(

@@ -142,6 +142,11 @@ def build_crawl_pipeline(
 
     host_template = None
     if host_template_min_docs is not None:
+        if host_template_min_docs < 1:
+            raise ValueError(
+                f"host_template_min_docs must be >= 1, "
+                f"got {host_template_min_docs}"
+            )
         # per-SITE boilerplate removal (corpus_hygiene.
         # remove_host_template_lines): the crawl knows each doc's
         # host from its URL; the (doc_id, host) frame is a pure
@@ -168,7 +173,10 @@ def build_crawl_pipeline(
         c4_clean=c4_clean,
         text_join=text_join,
         host_template=host_template,
-        host_template_min_docs=host_template_min_docs or 3,
+        host_template_min_docs=(
+            host_template_min_docs
+            if host_template_min_docs is not None else 3
+        ),
         line_dedup=line_dedup,
     )
 

@@ -400,3 +400,44 @@ def test_stratified_sample_guards(spark):
     with pytest.raises(ValueError):
         stratified_sample(df, "lang", k=1, sub_hex=0)
     assert stratified_sample(df, "lang", k=0).count() == 0
+
+
+def test_stratified_sample_null_stratum_and_null_id(spark):
+    # review r5c8 #1: NULL strata and NULL ids must participate
+    import hashlib
+
+    from html_to_document_spark.operators.mixture import stratified_sample
+
+    rows = [(i, "en") for i in range(10)] + [
+        (100 + i, None) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_sample(df, "lang", k=3, salt="s").collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by["en"]) == 3
+    assert len(by[None]) == 3  # NULL stratum sampled like any other
+    lst = sorted(
+        (hashlib.md5(f"s{d}".encode()).hexdigest(), d)
+        for d in range(100, 105)
+    )
+    assert by[None] == {d for _, d in lst[:3]}
+    # NULL id: digest coalesces to md5(salt), row still sampleable
+    df2 = spark.createDataFrame(
+        [(None, "en"), (1, "en")], "doc_id long, lang string"
+    )
+    assert stratified_sample(df2, "lang", k=2).count() == 2
+
+
+def test_stratified_sample_integer_stratum(spark):
+    from html_to_document_spark.operators.mixture import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], "doc_id long, bucket int"
+    )
+    got = stratified_sample(df, "bucket", k=4).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.bucket, set()).add(r.doc_id)
+    assert {k_: len(v) for k_, v in by.items()} == {0: 4, 1: 4}
