@@ -681,6 +681,10 @@ def q_substring_dedup_ranges(spark, sf_dir):
         exact_substring_ranges,
     )
 
+    from html_to_document_spark.operators.substring_dedup import (
+        dup_gram_stats,
+    )
+
     tail = " " + " ".join(f"shb{i}" for i in range(30))
     d = _docs(spark, sf_dir).select(
         "doc_id",
@@ -689,8 +693,16 @@ def q_substring_dedup_ranges(spark, sf_dir):
             F.concat(F.col("text"), F.lit(tail)),
         ).otherwise(F.col("text")).alias("text"),
     )
-    return exact_substring_ranges(d, n=20).select(
+    marked = exact_substring_ranges(d, n=20).select(
         "doc_id", F.col("pos").cast("int").alias("pos")
+    )
+    # r5-cont9: the row also gates dup_gram_stats (Dolma-style per-doc
+    # duplicate n-gram mass TAGGER) on the same planted corpus — every
+    # marked doc's window counts and cross-doc dup fraction ride along
+    # (constant per doc; the oracle recomputes them from raw grams)
+    stats = dup_gram_stats(d, n=20)
+    return marked.join(stats, "doc_id").select(
+        "doc_id", "pos", "n_windows", "n_dup_windows", "dup_frac"
     )
 
 
@@ -772,11 +784,36 @@ def _docs_with_planted_dups(spark, sf_dir):
 
 
 def q_dedup_exact_groups(spark, sf_dir):
-    df = _docs_with_planted_dups(spark, sf_dir)
-    return df.groupBy(F.col("text").alias("dup_text")).agg(
+    """Exact-dup groups over the mirror-planted corpus; the row also
+    gates (r5-cont9) SoftDedup reweighting (He et al. 2024) and the
+    newest-keeper recency rule. soft_dedup_weights runs the REAL
+    digest-count join at alpha=1 (weight = 1.0/n, FP-exact on both
+    engines — JVM Math.pow is only 1-ulp-accurate, measured, so the
+    gate deliberately uses the exact-division alpha); w_min/w_max per
+    group pin that EVERY member carried its own group's count.
+    exact_dedup_latest runs on a planted recency ts = doc_id % 97
+    (10^7 % 97 = 76 ≠ 0, so a doc and its mirror never tie; natural
+    cross-doc duplicate texts exercise the smallest-id tie-break);
+    its one surviving doc per text joins back as newest_id."""
+    from html_to_document_spark.operators.dedup import (
+        exact_dedup_latest,
+        soft_dedup_weights,
+    )
+
+    df = _docs_with_planted_dups(spark, sf_dir).withColumn(
+        "ts", (F.col("doc_id") % 97).cast("long")
+    )
+    sw = soft_dedup_weights(df, alpha=1.0)
+    groups = sw.groupBy(F.col("text").alias("dup_text")).agg(
         F.min("doc_id").alias("keeper_id"),
         F.count("*").cast("long").alias("n_dups"),
+        F.min("soft_weight").alias("w_min"),
+        F.max("soft_weight").alias("w_max"),
     )
+    newest = exact_dedup_latest(df, ts_col="ts").select(
+        F.col("text").alias("dup_text"), F.col("doc_id").alias("newest_id")
+    )
+    return groups.join(newest, "dup_text")
 
 
 def q_url_filter_blocked(spark, sf_dir):
@@ -2463,7 +2500,20 @@ def oracle_sql() -> dict[str, str]:
             "), k as (select gram, count(*) as c, "
             "min(struct_pack(doc_id := doc_id, pos := pos)) as keep "
             "from o group by gram"
-            ") select o.doc_id, o.pos from o join k using (gram) "
+            # r5-cont9 arms: dup_gram_stats recomputed from raw grams —
+            # distinct docs per gram, then per-doc window / cross-doc
+            # dup-window counts and the exact-integer-division fraction
+            "), nd as (select gram, count(distinct doc_id) as ndocs "
+            "from o group by gram"
+            "), pd as (select o.doc_id, "
+            "cast(count(*) as bigint) as n_windows, "
+            "cast(sum(case when nd.ndocs >= 2 then 1 else 0 end) "
+            "as bigint) as n_dup_windows "
+            "from o join nd using (gram) group by o.doc_id"
+            ") select o.doc_id, o.pos, pd.n_windows, pd.n_dup_windows, "
+            "cast(pd.n_dup_windows as double) / "
+            "cast(pd.n_windows as double) as dup_frac "
+            "from o join k using (gram) join pd on o.doc_id = pd.doc_id "
             "where k.c > 1 and not (o.doc_id = k.keep.doc_id "
             "and o.pos = k.keep.pos)"
         ),
@@ -2827,10 +2877,21 @@ def oracle_sql() -> dict[str, str]:
             "from q group by lang"
         ),
         "dedup_exact_groups": (
-            "with u as (select doc_id, text from documents "
-            "union all select doc_id + 10000000, text from documents) "
-            "select text as dup_text, min(doc_id) as keeper_id, "
-            "count(*) as n_dups from u group by text"
+            # r5-cont9 arms: w_min/w_max = the SoftDedup alpha=1 weight
+            # (1.0/n, FP-exact division — identical per member, so
+            # group min = max = it, and a misattached count on ANY
+            # member would split them); newest_id = argmax(ts) with
+            # ties to the smallest id, ts = doc_id % 97 as planted.
+            "with u as (select doc_id, text, doc_id % 97 as ts "
+            "from (select doc_id, text from documents "
+            "union all select doc_id + 10000000, text from documents)), "
+            "m as (select text as mt, max(ts) as mx from u group by text) "
+            "select u.text as dup_text, min(u.doc_id) as keeper_id, "
+            "count(*) as n_dups, "
+            "cast(1.0 as double) / cast(count(*) as double) as w_min, "
+            "cast(1.0 as double) / cast(count(*) as double) as w_max, "
+            "min(case when u.ts = m.mx then u.doc_id end) as newest_id "
+            "from u join m on u.text = m.mt group by u.text"
         ),
         "url_filter_blocked": (
             # ground truth of the URL construction: k in (0,1) hits

@@ -161,6 +161,84 @@ def exact_dedup_normalized(
     )
 
 
+def soft_dedup_weights(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    normalize: bool = False,
+) -> "DataFrame":
+    """SoftDedup-style duplicate reweighting (He et al. 2024,
+    "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
+    Language Model Pre-training"): keep EVERY copy but assign each row
+    the sampling weight ``n**(-alpha)``, where ``n`` is the corpus-wide
+    occurrence count of its (optionally normalized) text. ``alpha=1``
+    makes each duplicate group contribute total expected mass 1 — the
+    expectation-equivalent of hard dedup without discarding any
+    variant's context — and ``alpha`` in (0, 1) down-weights softly
+    (the paper's tempered "commonness" reweighting).
+
+    Returns the input plus ``dup_count`` (long) and ``soft_weight``
+    (double). ``alpha == 1.0`` computes ``1.0 / n`` exactly; other
+    alphas go through ``pow(n, -alpha)`` (one libm call on an exact
+    integer input, reproducible across engines — the
+    ``temperature_fractions`` contract).
+
+    100 TB shape: one groupBy on the 64-bit digest (8-byte shuffle
+    keys, never text; collision contract as :func:`exact_dedup`) plus
+    a digest equi-join of the count frame back onto the corpus. A
+    boilerplate digest duplicated millions of times is ONE hot probe
+    key that AQE's skew join splits — the build side holds exactly one
+    row per digest. No corpus window, no broadcast of the
+    ~n_distinct-row count frame, and unlike :func:`exact_dedup` no
+    row_number over a hot digest partition."""
+    from pyspark.sql import functions as F
+
+    key = normalized_text_col(F.col(text_col)) if normalize else F.col(text_col)
+    digest = F.xxhash64(key)
+    counts = df.groupBy(digest.alias("_sd_digest")).agg(
+        F.count("*").alias("dup_count")
+    )
+    weight = (
+        F.lit(1.0) / F.col("dup_count")
+        if alpha == 1.0
+        else F.pow(F.col("dup_count").cast("double"), F.lit(-float(alpha)))
+    )
+    return (
+        df.withColumn("_sd_digest", digest)
+        .join(counts, "_sd_digest")
+        .withColumn("soft_weight", weight)
+        .drop("_sd_digest")
+    )
+
+
+def exact_dedup_latest(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+) -> "DataFrame":
+    """Keep the NEWEST copy per exact text — the snapshot-recency rule
+    (a recrawl's capture supersedes older ones; CommonCrawl-style
+    multi-snapshot ingestion keeps the latest fetch), with ties broken
+    to the smallest ``id_col`` so the keeper is deterministic under any
+    partitioning. Same single digest-keyed shuffle shape as
+    :func:`exact_dedup`; pair with :func:`exact_dedup` (min-id) or
+    ``dedup_clusters(quality_col=...)`` (quality) when a different
+    keeper priority is wanted."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.xxhash64(F.col(text_col))).orderBy(
+        F.col(ts_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def word_shingles(col, n: int = 3, max_words: int | None = None) -> "Column":
     """Distinct word n-grams as an array column (pure JVM exprs).
 

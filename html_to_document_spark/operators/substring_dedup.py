@@ -40,7 +40,11 @@ from typing import TYPE_CHECKING
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame
 
-__all__ = ["exact_substring_ranges", "exact_substring_dedup"]
+__all__ = [
+    "exact_substring_ranges",
+    "exact_substring_dedup",
+    "dup_gram_stats",
+]
 
 
 def _gram_occurrences(df: "DataFrame", text_col: str, id_col: str, n: int):
@@ -70,6 +74,75 @@ def _gram_occurrences(df: "DataFrame", text_col: str, id_col: str, n: int):
             ).otherwise(F.array().cast("array<struct<pos:int,gh:long>>"))
         ).alias("g"),
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+
+
+def dup_gram_stats(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+) -> "DataFrame":
+    """Per-document duplicate n-gram mass — the Dolma dedup TAGGER
+    shape (Soldaini et al. 2024 tag attributes rather than rewrite):
+    for each document, how many of its word ``n``-gram windows carry a
+    gram that also occurs in at least one OTHER document, as a count
+    and a fraction. Unlike :func:`exact_substring_ranges` this is a
+    pure signal (no keeper exclusion, no rewrite): feed ``dup_frac``
+    to a quality filter or a soft reweighter instead of destructively
+    removing text.
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_frac); documents
+    shorter than ``n`` words report 0 windows and dup_frac 0.0. The
+    fraction is one double division of two exact integers —
+    engine-reproducible.
+
+    100 TB shape: the gram explode emits (doc_id, pos, 8-byte hash) —
+    text never shuffles (collision contract as ``exact_dedup``).
+    Cross-doc detection needs DISTINCT-doc counts per gram, computed
+    as two map-side-combinable aggs (distinct (doc, hash), then count
+    per hash) rather than a count_distinct; the per-occurrence join
+    against that one-row-per-hash build side is AQE-skew-safe under a
+    boilerplate gram shared by millions of docs."""
+    from pyspark.sql import functions as F
+
+    grams = _gram_occurrences(df, text_col, id_col, n)
+    # distinct docs per gram: dedupe (doc, hash) first so the per-hash
+    # count is exact without a count_distinct shuffle of raw pairs
+    ndocs = (
+        grams.select("doc_id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("_nd"))
+    )
+    per_doc = (
+        grams.join(ndocs, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+        .withColumn(
+            "dup_frac",
+            F.when(
+                F.col("n_windows") > 0,
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
 
 
 def exact_substring_ranges(

@@ -421,3 +421,49 @@ def test_dedup_clusters_quality_keeper(spark):
         assert out[did].is_representative
     reps = {d for d, r in out.items() if r.is_representative}
     assert reps == {100, 1, 102, 3, 4}
+
+
+def test_soft_dedup_weights(spark, docs):
+    from html_to_document_spark.operators.dedup import soft_dedup_weights
+
+    out = soft_dedup_weights(docs)  # alpha=1: weight = 1/n exactly
+    assert out.count() == 5  # reweighting drops nothing
+    w = {r.doc_id: (r.dup_count, r.soft_weight) for r in out.collect()}
+    assert w[1] == (2, 0.5) and w[2] == (2, 0.5)
+    assert w[3] == (1, 1.0) and w[4] == (1, 1.0) and w[5] == (1, 1.0)
+    # a duplicate group's total expected mass is 1 at alpha=1
+    assert sum(v[1] for k, v in w.items() if k in (1, 2)) == 1.0
+    # tempered alpha goes through pow(n, -alpha); JVM Math.pow is only
+    # 1-ulp-accurate (measured: pow(2,-0.5) is one ulp BELOW Python /
+    # correctly-rounded libm), so compare approximately — gate rows
+    # must r4-round any non-integral-alpha weight for this reason
+    w2 = {
+        r.doc_id: r.soft_weight
+        for r in soft_dedup_weights(docs, alpha=0.5).collect()
+    }
+    assert abs(w2[1] - 2.0 ** -0.5) < 1e-14 and w2[4] == 1.0
+
+
+def test_soft_dedup_weights_normalized(spark):
+    from html_to_document_spark.operators.dedup import soft_dedup_weights
+
+    d = spark.createDataFrame(
+        [(1, "A  b "), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.dup_count
+        for r in soft_dedup_weights(d, normalize=True).collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 1}
+
+
+def test_exact_dedup_latest(spark):
+    from html_to_document_spark.operators.dedup import exact_dedup_latest
+
+    d = spark.createDataFrame(
+        [(1, "x", 5), (2, "x", 9), (3, "x", 9), (4, "y", 1)],
+        "doc_id long, text string, ts long",
+    )
+    kept = {r.doc_id for r in exact_dedup_latest(d).collect()}
+    # newest ts wins; the 2-vs-3 tie breaks to the smaller id
+    assert kept == {2, 4}

@@ -170,3 +170,45 @@ def test_fixpoint_detects_pass_that_only_empties_docs(spark):
     one = {r.doc_id: r.text
            for r in exact_substring_dedup(df, n=3).collect()}
     assert one["z"] == "D E F"  # the single-pass residue, documented
+
+
+def test_dup_gram_stats_cross_doc_mass(spark):
+    from html_to_document_spark.operators.substring_dedup import (
+        dup_gram_stats,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6"),
+            (2, "z0 w1 w2 w3 w4 q9"),  # shares exactly one 4-gram with 1
+            (3, "u1 u2 u3"),  # shorter than n: zero windows
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_frac)
+        for r in dup_gram_stats(d, n=4).collect()
+    }
+    assert out[1] == (3, 1, 1.0 / 3.0)
+    assert out[2] == (3, 1, 1.0 / 3.0)
+    assert out[3] == (0, 0, 0.0)
+
+
+def test_dup_gram_stats_within_doc_repeats_dont_count(spark):
+    from html_to_document_spark.operators.substring_dedup import (
+        dup_gram_stats,
+    )
+
+    # the bigram "r1 r2" repeats inside doc 1 but exists in no OTHER
+    # doc — cross-doc mass must read 0 (the tagger is the cross-doc
+    # complement of gopher_repetition's within-doc signals)
+    d = spark.createDataFrame(
+        [(1, "r1 r2 r1 r2 r1 r2"), (2, "s1 s2 s3")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in dup_gram_stats(d, n=2).collect()
+    }
+    assert out[1] == (5, 0)
+    assert out[2] == (2, 0)
