@@ -742,15 +742,41 @@ def q_rep_topgram_stats(spark, sf_dir):
     — exactly; the shard assignment reuses the hash_split boundary
     literals, so the SQL mirror is generated from the same source."""
     from html_to_document_spark.operators.mixture import shuffle_shard
+    from html_to_document_spark.operators.retrieval import tfidf_keywords
 
     sh = shuffle_shard(
         _docs(spark, sf_dir).select("doc_id"),
         n_shards=4, salt="s5r5", sub_hex=2,
     )
+    # r5-cont9: tf-idf keyword arm (retrieval.tfidf_keywords, the
+    # smooth-idf sklearn form) over the PLAIN documents text at k=3,
+    # min_word_len=4, max_df_frac=0.3 — folded per doc as the
+    # rank-ordered comma-join of terms plus the top-1 r4 score; docs
+    # whose every term got corpus-stopword-pruned (or is too short)
+    # read '' / 0.0
+    kw = tfidf_keywords(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        k=3, min_word_len=4, max_df_frac=0.3,
+    )
+    kwagg = kw.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "term"))),
+                lambda s: s["term"],
+            ),
+            ",",
+        ).alias("kw_top"),
+        F.max(F.when(F.col("rank") == 1, F.col("score"))).alias(
+            "kw_score"
+        ),
+    )
     return (
         q_repetition_stats(spark, sf_dir)
         .join(q_top_ngram_stats(spark, sf_dir), "doc_id")
         .join(sh, "doc_id")
+        .join(kwagg, "doc_id", "left")
+        .withColumn("kw_top", F.coalesce("kw_top", F.lit("")))
+        .withColumn("kw_score", F.coalesce("kw_score", F.lit(0.0)))
     )
 
 
@@ -2770,6 +2796,14 @@ def oracle_sql() -> dict[str, str]:
             "from documents where doc_id % 7 <> 0 group by 1)"
         ),
         "rep_topgram_stats": (
+            # r5-cont9 outer wrap: tf-idf keyword arm — smooth-idf
+            # (ln((N+1)/(df+1)) + 1) * tf recomputed from the plain
+            # documents text at min_word_len=4, max_df_frac=0.3; the
+            # per-doc fold is the rank-ordered comma-join of the top-3
+            # terms plus the top-1 r4 score, '' / 0.0 when every term
+            # was corpus-stopword-pruned
+            "select * replace (coalesce(kw_top, '') as kw_top, "
+            "coalesce(kw_score, cast(0.0 as double)) as kw_score) from ("
             "select * from ("
             "with d as (select doc_id, text || chr(10) || source || chr(10) "
             "|| source || chr(10) || 'unique-' || cast(doc_id as varchar) "
@@ -2818,7 +2852,27 @@ def oracle_sql() -> dict[str, str]:
             )
             + " as int) order by md5('s5r5' || cast(doc_id as varchar)),"
             " doc_id) - 1 as bigint) as shard_pos from documents"
-            ") sh using (doc_id)"
+            ") sh using (doc_id) left join ("
+            "with tk as (select doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '' and len(x) >= 4)) as term from documents), "
+            "tfq as (select doc_id, term, count(*) as tf from tk "
+            "group by doc_id, term), "
+            "nn as (select cast(count(*) as double) as n from documents), "
+            "dfq as (select term, cast(count(*) as double) as dfv "
+            "from tfq group by term), "
+            "sc as (select tfq.doc_id, tfq.term, "
+            "floor((ln((n + 1.0) / (dfv + 1.0)) + 1.0) "
+            "* cast(tf as double) * 10000 + 0.5) / 10000.0 as score "
+            "from tfq join dfq using (term) cross join nn "
+            "where dfv / n <= cast(0.3 as double)), "
+            "rk as (select doc_id, term, score, row_number() over ("
+            "partition by doc_id order by score desc, term asc) as rnk "
+            "from sc) "
+            "select doc_id, string_agg(term, ',' order by rnk) as kw_top, "
+            "max(case when rnk = 1 then score end) as kw_score "
+            "from rk where rnk <= 3 group by doc_id"
+            ") kw using (doc_id))"
         ),
         # context-window chunker (r5, packing.chunk_token_windows):
         # the oracle re-slices the filtered token list at the same

@@ -51,6 +51,7 @@ __all__ = [
     "bm25_topk",
     "bm25_score_multi",
     "bm25_topk_multi",
+    "tfidf_keywords",
 ]
 
 
@@ -181,6 +182,87 @@ def bm25_topk(
         df, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def tfidf_keywords(
+    df: "DataFrame",
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_word_len: int = 3,
+    max_df_frac: float = 0.5,
+) -> "DataFrame":
+    """Per-document top-k keywords by tf-idf (Salton & Buckley 1988;
+    the smooth-idf form scikit-learn ships: ``idf = ln((N + 1) /
+    (df + 1)) + 1``) — corpus datasheet topic tags, cheap domain
+    labels for mixture balancing, and dedup-cluster naming.
+
+    Tokens shorter than ``min_word_len`` chars and terms appearing in
+    more than ``max_df_frac`` of documents (corpus-level stopwords —
+    adaptive, no hand list) are excluded. Returns (id_col, term, tf,
+    score, rank) with ``rank`` 1..k per document ordered by
+    (r4-rounded score desc, term asc) — a deterministic cut on every
+    engine; ``score`` is tf·idf over exact integer (tf, df, N) inputs,
+    one ln + one multiply, the bm25 cross-engine contract.
+
+    100 TB shape: the corpus shuffles twice on small keys — once to
+    (doc, term) partial counts (a doc's tokens sit in one input row,
+    so the map-side combine collapses them to distinct terms per doc
+    before the exchange), once re-keyed by term for the df join.
+    Unlike bm25 the vocabulary is UNBOUNDED, so the df frame is a
+    plain equi-join (never a broadcast — a web-corpus vocab is
+    billions of terms); a stop-grade hot term is one skewed probe key
+    AQE splits against the one-row-per-term build side. Only the
+    single-row N broadcasts. The rank window partitions by doc over
+    each doc's distinct filtered terms (bounded by doc length, never
+    corpus size)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .text_analysis import r4
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            _tokens(F.col(text_col)),
+            lambda x: F.length(x) >= min_word_len,
+        ).alias("_toks"),
+    )
+    tf = (
+        toks.select(id_col, F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("_n"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    j = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("_df") / F.col("_n") <= F.lit(float(max_df_frac)))
+    )
+    idf = F.log((F.col("_n") + F.lit(1.0)) / (F.col("_df") + F.lit(1.0))) + F.lit(
+        1.0
+    )
+    scored = j.select(
+        F.col(id_col),
+        "term",
+        "tf",
+        r4(idf * F.col("tf").cast("double")).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", F.col("rank").cast("int"))
+    )
 
 
 def bm25_score_multi(

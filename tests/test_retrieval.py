@@ -146,3 +146,49 @@ def test_multi_empty_query_raises(spark):
     df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
     with pytest.raises(ValueError):
         bm25_score_multi(df, {"bad": ["", "  "]})
+
+
+def test_tfidf_keywords_hand_case(spark):
+    import math
+
+    from html_to_document_spark.operators.retrieval import tfidf_keywords
+
+    def pr4(x):
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    d = spark.createDataFrame(
+        [
+            (1, "apple apple banana kiwi a"),
+            (2, "banana kiwi kiwi melon bb"),
+            (3, "melon melon apple zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(d, k=2, max_df_frac=0.7).collect()
+    rows = {(r.doc_id, r.rank): (r.term, r.tf, r.score) for r in out}
+    idf2 = math.log(4.0 / 3.0) + 1.0  # df=2, N=3 -> ln(4/3)+1
+    idf1 = math.log(2.0) + 1.0  # df=1 -> ln(4/2)+1
+    assert rows[(3, 1)] == ("melon", 2, pr4(2 * idf2))
+    assert rows[(3, 2)] == ("zebra", 1, pr4(idf1))
+    assert rows[(1, 1)] == ("apple", 2, pr4(2 * idf2))
+    # banana/kiwi tie at idf2 -> term asc picks banana
+    assert rows[(1, 2)] == ("banana", 1, pr4(idf2))
+    assert rows[(2, 1)] == ("kiwi", 2, pr4(2 * idf2))
+    # min_word_len dropped "a" and "bb" everywhere
+    assert not any(r.term in ("a", "bb") for r in out)
+
+
+def test_tfidf_keywords_corpus_stopword_prune(spark):
+    from html_to_document_spark.operators.retrieval import tfidf_keywords
+
+    d = spark.createDataFrame(
+        [
+            (1, "apple apple banana kiwi"),
+            (2, "banana kiwi kiwi melon"),
+            (3, "melon melon apple zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    # df/N <= 0.5 excludes every term in 2 of 3 docs: only zebra stays
+    only = tfidf_keywords(d, k=3, max_df_frac=0.5).collect()
+    assert {(r.doc_id, r.term) for r in only} == {(3, "zebra")}
