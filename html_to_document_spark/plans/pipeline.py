@@ -97,6 +97,8 @@ def build_training_pipeline(
     near_dup_threshold: float = 0.85,
     near_dup_mode: str = "pairs",
     near_dup_keep: str = "min_id",
+    exact_dedup_mode: str = "drop",
+    soft_dedup_alpha: float = 1.0,
     paragraph_dedup: str | None = None,
     materialize: Union[str, Callable] = "persist",
     cache_registry: list | None = None,
@@ -234,7 +236,18 @@ def build_training_pipeline(
     within-doc pass and before the corpus-level one, so site nav /
     cookie banners vanish before any scoring. Docs missing from the
     frame (NULL host after the left join) pass through untouched.
-    Requires ``text_join="newline"``."""
+    Requires ``text_join="newline"``.
+
+    ``exact_dedup_mode``: "drop" (default, historical — hard exact
+    dedup, min-id keeper) or "soft" — SoftDedup reweighting
+    (``operators.dedup.soft_dedup_weights``, He et al. 2024): every
+    copy SURVIVES carrying ``dup_count`` and ``soft_weight`` =
+    n**(-``soft_dedup_alpha``) columns for the trainer's sampler.
+    Soft mode returns after the spam/decontamination stages and SKIPS
+    near-dup removal entirely: every kept copy would resurface as an
+    est=1.0 LSH pair and be anti-joined away, silently restoring hard
+    dedup — the paper's pipeline reweights INSTEAD of removing. Same
+    materialize point, same single digest shuffle."""
     from pyspark.sql import functions as F
 
     spans = extract_spans_balanced(
@@ -419,7 +432,18 @@ def build_training_pipeline(
     # exact dedup (one shuffle on the 64-bit digest), then cut lineage:
     # everything below (LSH signature build + band self-join + final
     # anti-join) re-reads this one materialized corpus
-    corpus = _materialize(exact_dedup(corpus), materialize)
+    if exact_dedup_mode not in ("drop", "soft"):
+        raise ValueError(f"unknown exact_dedup_mode: {exact_dedup_mode!r}")
+    if exact_dedup_mode == "soft":
+        from html_to_document_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+
+        corpus = _materialize(
+            soft_dedup_weights(corpus, alpha=soft_dedup_alpha), materialize
+        )
+    else:
+        corpus = _materialize(exact_dedup(corpus), materialize)
     if cache_registry is not None and materialize == "persist":
         cache_registry.append(corpus)
 
@@ -465,6 +489,19 @@ def build_training_pipeline(
             )
         corpus = corpus.join(
             contaminated.select("doc_id"), "doc_id", "left_anti"
+        )
+
+    if exact_dedup_mode == "soft":
+        # reweight-instead-of-remove: near-dup removal would anti-join
+        # away every copy soft mode deliberately kept (each exact
+        # group resurfaces as est=1.0 LSH pairs), silently restoring
+        # hard dedup — so the weighted corpus returns here, after the
+        # spam / decontamination stages (those remove outright in the
+        # paper's pipeline too)
+        return corpus.select(
+            "doc_id", "text", "lang_pred", "quality",
+            "dup_count", "soft_weight",
+            F.from_json("_spans_json", spans_type).alias("spans"),
         )
 
     if near_dup_keep not in ("min_id", "quality"):

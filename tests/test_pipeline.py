@@ -543,3 +543,55 @@ def test_pipeline_flesch_band(spark):
     kept = {r.doc_id for r in banded.collect()}
     want = {d for d, s in scores.items() if s >= cut}
     assert kept == want and 0 < len(kept) < len(scores)
+
+
+def test_pipeline_soft_dedup_mode(spark):
+    """exact_dedup_mode='soft' keeps every exact copy, attaches
+    dup_count/soft_weight, and skips near-dup removal (which would
+    silently restore hard dedup by anti-joining the kept copies)."""
+    from html_to_document_spark.sources.synthetic import generate_corpus
+
+    base = generate_corpus(spark, 40, seed=13, giant_frac=0.0)
+    dups = base.filter(F.col("doc_id") < "doc-000000000008").select(
+        F.concat(F.lit("dup-"), "doc_id").alias("doc_id"), "spans"
+    )
+    docs = base.unionByName(dups)
+
+    out = build_training_pipeline(
+        docs, num_partitions=4, min_quality=0.0, exact_dedup_mode="soft"
+    ).cache()
+    rows = out.collect()
+    assert {"dup_count", "soft_weight"} <= set(out.columns)
+    ids = {r.doc_id for r in rows}
+    w = {r.doc_id: (r.dup_count, r.soft_weight) for r in rows}
+
+    dup_ids = [i for i in ids if i.startswith("dup-")]
+    assert dup_ids  # the planted copies SURVIVE in soft mode
+    for d in dup_ids:
+        twin = d[len("dup-"):]
+        # a doc and its exact copy share text, hence filters agree
+        assert twin in ids
+        assert w[d] == (2, 0.5) and w[twin] == (2, 0.5)
+    singles = [
+        i for i in ids
+        if not i.startswith("dup-") and ("dup-" + i) not in ids
+    ]
+    assert singles and all(w[s] == (1, 1.0) for s in singles)
+
+    # hard mode on the same input removes the copies
+    hard = build_training_pipeline(
+        docs, num_partitions=4, min_quality=0.0
+    )
+    assert not any(
+        r.doc_id.startswith("dup-") for r in hard.select("doc_id").collect()
+    )
+
+
+def test_pipeline_soft_dedup_rejects_unknown_mode(spark):
+    import pytest as _pytest
+
+    from html_to_document_spark.sources.synthetic import generate_corpus
+
+    docs = generate_corpus(spark, 4, seed=3, giant_frac=0.0)
+    with _pytest.raises(ValueError, match="exact_dedup_mode"):
+        build_training_pipeline(docs, exact_dedup_mode="nope").collect()
