@@ -39,6 +39,7 @@ def build_crawl_pipeline(
     min_host_rank: float = 0.0,
     respect_noindex: bool = False,
     dedup_canonical: bool = False,
+    min_published: str | None = None,
     max_docs_per_domain: int | None = None,
     options: ExtractOptions = DEFAULT_OPTIONS,
     num_partitions: int = 64,
@@ -118,6 +119,15 @@ def build_crawl_pipeline(
             docs = html_head.drop_noindex(docs)
         if dedup_canonical:
             docs = html_head.canonical_dedup(docs)
+    if min_published is not None:
+        # recency filter (operators/page_meta.py): drop pages whose
+        # declared article:published_time is provably before the
+        # 'yyyy-MM-dd' cutoff — BEFORE parsing, same rationale as the
+        # head directives. Undated pages and binary PDF records (NULL
+        # html) survive: no date is absence of evidence, not a drop.
+        from html_to_document_spark.operators.page_meta import drop_stale
+
+        docs = drop_stale(docs, min_published)
     if max_docs_per_domain is not None:
         # RefinedWeb/Dolma corpus-balance rule, applied BEFORE parsing
         # so an over-represented host's excess pages never pay for

@@ -235,3 +235,41 @@ def test_crawl_pipeline_robots_filter(spark, tmp_path):
     site2 = {f"urn:uuid:r{i:03d}" for i in range(40)
              if i % 4 == 2 and i % 10 != 0}
     assert ids & carved and ids & site2
+
+
+def test_crawl_pipeline_recency_filter(spark, tmp_path):
+    """min_published= drops pages whose declared
+    article:published_time is provably before the cutoff, BEFORE
+    parsing; undated pages and binary PDF records survive."""
+    from html_to_document_spark.sources.pdf_synth import make_pdf
+
+    words = ("the and for with this that from have good text page "
+             "world data clear words about more here only when").split()
+
+    def page(i, day):
+        meta = (f'<meta property="article:published_time" '
+                f'content="{day}T12:00:00Z">') if day else ""
+        body = " ".join(words[(i + j) % len(words)] for j in range(60))
+        return f"<html><head>{meta}</head><h1>Doc {i}</h1><p>{body}</p>"
+
+    recs = [
+        _record("old1", "site0.example.com", page(0, "2019-06-01")),
+        _record("new1", "site1.example.com", page(1, "2021-02-03")),
+        _record("edge", "site2.example.com", page(2, "2020-01-01")),
+        _record("nodt", "site3.example.com", page(3, None)),
+    ]
+    recs.append(_pdf_crawl_record(
+        "pdfk", "site1.example.com",
+        make_pdf([["pdf records have no html head so they must "
+                   "survive the recency stage untouched"]])))
+    (tmp_path / "dated.warc").write_bytes(b"".join(recs))
+
+    out = build_crawl_pipeline(
+        spark, str(tmp_path), min_published="2020-01-01",
+        num_partitions=4, min_quality=0.0, pii_scrub=False,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert "urn:uuid:old1" not in ids          # provably stale
+    assert {"urn:uuid:new1", "urn:uuid:edge",  # on/after cutoff
+            "urn:uuid:nodt",                   # undated: kept
+            "urn:uuid:pdfk"} <= ids            # NULL html: kept
