@@ -376,6 +376,128 @@ def q_quality_score(spark, sf_dir):
     )
 
 
+def _synth_page_html_col():
+    """Deterministic per-doc crawl-HTML head for the page_meta gate
+    (doc_id % 5 arms): 0 = full head (lang + title + attr-first
+    description + og:title + og:image + ISO published_time); 1 =
+    reversed-attr description, quoted 'EN-US' lang subtag, garbage
+    date; 2 = de lang, bare-date published_time; 3 = whitespace-only
+    title, no lang; 4 = no og:title, no lang. _page_meta_oracle_sql
+    builds the IDENTICAL string in DuckDB — keep the two in lockstep."""
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    lang = (
+        F.when(m == 0, F.lit(' lang="en"'))
+        .when(m == 1, F.lit(" lang='EN-US'"))
+        .when(m == 2, F.lit(' lang="de"'))
+        .otherwise(F.lit(""))
+    )
+    title = F.when(m == 3, F.lit("<title>   </title>")).otherwise(
+        F.concat(F.lit("<title> Doc &amp; "), sid, F.lit(" &lt;x&gt; </title>"))
+    )
+    desc = (
+        F.when(m == 0, F.concat(
+            F.lit('<meta name="description" content="desc '), sid, F.lit('">')))
+        .when(m == 1, F.concat(
+            F.lit('<meta content="rdesc '), sid, F.lit('" name="description">')))
+        .otherwise(F.lit(""))
+    )
+    ogt = F.when(m != 4, F.concat(
+        F.lit('<meta property="og:title" content="og '), sid, F.lit('">')
+    )).otherwise(F.lit(""))
+    ogi = F.when(m == 0, F.concat(
+        F.lit('<meta content="http://img/'), sid, F.lit('.png" property="og:image">')
+    )).otherwise(F.lit(""))
+    pub = (
+        F.when(m == 0, F.concat(
+            F.lit('<meta property="article:published_time" content="202'),
+            (F.col("doc_id") % 4).cast("string"), F.lit("-03-1"),
+            (F.col("doc_id") % 9).cast("string"), F.lit('T08:30:00Z">')))
+        .when(m == 1, F.lit(
+            '<meta property="article:published_time" content="yesterday">'))
+        .when(m == 2, F.concat(
+            F.lit('<meta property="article:published_time" content="2019-12-2'),
+            (F.col("doc_id") % 10).cast("string"), F.lit('">')))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        F.lit("<html"), lang, F.lit("><head>"),
+        title, desc, ogt, ogi, pub, F.lit("</head>"),
+    )
+
+
+def _page_meta_oracle_sql() -> str:
+    """DuckDB subquery mirroring _synth_page_html_col + page_meta_cols:
+    the SAME html string is synthesized in SQL and the SAME regex
+    pattern strings (meta_patterns / _TITLE / _HTML_LANG are imported,
+    not retyped) extract from it — the oracle pins the cross-engine
+    regex dialect, not just the construction's ground truth."""
+    from html_to_document_spark.operators.page_meta import (
+        _ENTITIES, _HTML_LANG, _ISO_DATE_PREFIX, _TITLE, meta_patterns,
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def meta(name: str, attr: str = "name") -> str:
+        a, b = meta_patterns(name, attr)
+        return (
+            f"coalesce(nullif(regexp_extract(html, {lit(a)}, 1), ''), "
+            f"nullif(regexp_extract(html, {lit(b)}, 1), ''))"
+        )
+
+    title = f"nullif(trim(regexp_extract(html, {lit(_TITLE)}, 1)), '')"
+    for ent, ch in _ENTITIES:
+        title = f"replace({title}, {lit(ent)}, {lit(ch)})"
+    pub = meta("article:published_time", attr="property")
+    sid = "cast(doc_id as varchar)"
+    html = (
+        "'<html' || case doc_id % 5"
+        " when 0 then ' lang=\"en\"'"
+        " when 1 then ' lang=''EN-US'''"
+        " when 2 then ' lang=\"de\"'"
+        " else '' end || '><head>'"
+        " || case when doc_id % 5 = 3 then '<title>   </title>'"
+        f" else '<title> Doc &amp; ' || {sid} || ' &lt;x&gt; </title>' end"
+        " || case doc_id % 5"
+        f" when 0 then '<meta name=\"description\" content=\"desc ' || {sid} || '\">'"
+        f" when 1 then '<meta content=\"rdesc ' || {sid} || '\" name=\"description\">'"
+        " else '' end"
+        " || case when doc_id % 5 <> 4"
+        f" then '<meta property=\"og:title\" content=\"og ' || {sid} || '\">'"
+        " else '' end"
+        " || case when doc_id % 5 = 0"
+        f" then '<meta content=\"http://img/' || {sid} || '.png\" property=\"og:image\">'"
+        " else '' end"
+        " || case doc_id % 5"
+        " when 0 then '<meta property=\"article:published_time\" content=\"202'"
+        f" || cast(doc_id % 4 as varchar) || '-03-1'"
+        f" || cast(doc_id % 9 as varchar) || 'T08:30:00Z\">'"
+        " when 1 then '<meta property=\"article:published_time\""
+        " content=\"yesterday\">'"
+        " when 2 then '<meta property=\"article:published_time\""
+        " content=\"2019-12-2' || cast(doc_id % 10 as varchar) || '\">'"
+        " else '' end"
+        " || '</head>'"
+    )
+    return (
+        f"with h as (select doc_id, {html} as html from documents), "
+        "pt as (select doc_id, "
+        f"{pub} as published_time from h) "
+        "select h.doc_id, "
+        f"{title} as page_title, "
+        f"{meta('description')} as meta_description, "
+        f"{meta('og:title', 'property')} as og_title, "
+        f"{meta('og:image', 'property')} as og_image, "
+        "case when regexp_matches(substr(pt.published_time, 1, 10), "
+        f"{lit(_ISO_DATE_PREFIX)}) then substr(pt.published_time, 1, 10) "
+        "end as published_date, "
+        f"lower(nullif(regexp_extract(html, {lit(_HTML_LANG)}, 1), '')) "
+        "as declared_lang "
+        "from h join pt using (doc_id)"
+    )
+
+
 def q_lang_quality(spark, sf_dir):
     """lang_id + quality_score merged into one gate row (r4-cont) —
     both are per-doc projections of the same table, so a doc_id join
@@ -403,7 +525,17 @@ def q_lang_quality(spark, sf_dir):
     exact-k-per-stratum eval-holdout): keep_sample marks the 40
     smallest (md5('s5c8'||id), id) per documents.lang — the
     histogram + boundary-bucket algorithm must equal the oracle's
-    naive per-stratum row_number window."""
+    naive per-stratum row_number window.
+
+    r5 continuation: also gates page_meta (operators/page_meta.py —
+    title decode, meta/OpenGraph content in both attribute orders,
+    ISO published-date prefix, declared-lang subtag) over a
+    deterministic per-doc synthesized crawl head
+    (_synth_page_html_col), plus lang_mismatch_col against this row's
+    own lang_pred — the CCNet declared-vs-detected spam signal. The
+    oracle (_page_meta_oracle_sql) synthesizes the IDENTICAL html and
+    runs the IDENTICAL regex pattern strings, pinning the
+    cross-engine regex dialect."""
     from html_to_document_spark.operators.mixture import (
         hash_split_col,
         select_token_budget,
@@ -432,10 +564,27 @@ def q_lang_quality(spark, sf_dir):
         _docs(spark, sf_dir).select("doc_id", "lang"),
         "lang", k=40, salt="s5c8",
     ).select("doc_id", F.lit(True).alias("keep_sample"))
+    from html_to_document_spark.operators.page_meta import (
+        lang_mismatch_col,
+        page_meta_cols,
+    )
+
+    pm = _docs(spark, sf_dir).select(
+        "doc_id", _synth_page_html_col().alias("html")
+    )
+    pm = pm.select(
+        "doc_id",
+        *[c.alias(n) for n, c in page_meta_cols("html").items()],
+    )
     return (
         base.join(tf, "doc_id")
         .join(sampled, "doc_id", "left")
         .withColumn("keep_sample", F.coalesce("keep_sample", F.lit(False)))
+        .join(pm, "doc_id")
+        .withColumn(
+            "lang_mismatch",
+            lang_mismatch_col(F.col("declared_lang"), F.col("lang_pred")),
+        )
     )
 
 
@@ -2550,6 +2699,17 @@ def oracle_sql() -> dict[str, str]:
             # sum; both engines hit the same libm pow
             # keep_sample (r5-cont, stratified_sample): the naive
             # exact-k-per-stratum formulation the operator must equal
+            # page_meta (r5-cont): identical synthesized html +
+            # identical regex strings recomputed in DuckDB; the
+            # mismatch flag mirrors lang_mismatch_col's
+            # absence-never-flags semantics against lang_pred
+            "select o.*, pm.page_title, pm.meta_description, "
+            "pm.og_title, pm.og_image, pm.published_date, "
+            "pm.declared_lang, "
+            "case when pm.declared_lang is not null "
+            "and o.lang_pred is not null "
+            "then pm.declared_lang <> o.lang_pred "
+            "else false end as lang_mismatch from ("
             "select lqq3.*, ks.keep_sample from ("
             "select lqq2.*, tf.temp_keep_frac from ("
             # split_assign (r5-cont): deterministic md5-prefix
@@ -2610,6 +2770,7 @@ def oracle_sql() -> dict[str, str]:
             "order by md5('s5c8' || cast(doc_id as varchar)), doc_id) "
             "<= 40) as keep_sample from documents"
             ") ks using (doc_id)"
+            ") o join (" + _page_meta_oracle_sql() + ") pm using (doc_id)"
         ),
         # DSIR raw-gram mode (operators/dsir.py): identical planted
         # corpus, target-slice gram counts, <unk> mapping, add-alpha
