@@ -1641,12 +1641,20 @@ def q_interleaved_stats(spark, sf_dir):
     (n_hot_images = images dropped), and the keep rule — all computed
     over a spans table synthesized in-query so the DuckDB oracle can
     rebuild the identical arrays and recompute every stat in SQL
-    (gaps-and-islands for runs)."""
+    (gaps-and-islands for runs).
+
+    r5 continuation: the row also gates render_interleaved — the
+    multimodal training render (image spans -> '<image>' sentinels in
+    sequence order, per-image 64-token patch cost, whitespace token
+    accounting): mm_text / mm_refs (space-joined, order-preserving) /
+    mm_text_tokens / mm_tokens recomputed by the oracle from the same
+    synthesized arrays (ordered string_agg + per-span token counts)."""
     from html_to_document_spark.operators.interleaved import (
         drop_hot_media,
         hot_media_refs,
         interleaved_keep_col,
         interleaved_stats,
+        render_interleaved,
         span_lang_stats,
     )
 
@@ -1663,6 +1671,7 @@ def q_interleaved_stats(spark, sf_dir):
     after = drop_hot_media(
         stats, hot, spans_col="spans2", renumber_offsets=False
     )
+    after = render_interleaved(after)  # over the ORIGINAL spans col
     n_img_after = F.size(
         F.filter(F.col("spans2"), lambda s: s["kind"] == "image")
     )
@@ -1688,6 +1697,10 @@ def q_interleaved_stats(spark, sf_dir):
         "main_span_lang_n",
         "n_span_langs",
         "span_lang_frac",
+        "mm_text",
+        F.array_join("mm_media_refs", " ").alias("mm_refs"),
+        "mm_text_tokens",
+        "mm_tokens",
     )
 
 
@@ -3978,6 +3991,20 @@ WITH sized AS (
     len(regexp_extract_all(lower(stext), '\\b(le|la|les|et|des)\\b')) AS sf,
     len(regexp_extract_all(lower(stext), '\\b(der|die|und|das|ist)\\b')) AS sd
     FROM g WHERE kind = 'text')
+), mmt AS (
+  SELECT doc_id, array_to_string(list_transform(spans, s ->
+    CASE WHEN s.kind = 'image' THEN '<image>'
+         ELSE coalesce(s.text, '') END), ' ') AS mm_text
+  FROM built
+), mma AS (
+  SELECT doc_id,
+    coalesce(string_agg(ref, ' ' ORDER BY ord)
+             FILTER (WHERE kind = 'image'), '') AS mm_refs,
+    CAST(coalesce(sum(CASE WHEN kind <> 'image' THEN
+      CASE WHEN trim(coalesce(stext, '')) = '' THEN 0
+        ELSE len(string_split_regex(trim(stext), '\\s+')) END
+      ELSE 0 END), 0) AS BIGINT) AS mm_text_tokens
+  FROM g GROUP BY doc_id
 ), lvc AS (
   SELECT doc_id, v, count(*) AS n FROM langv GROUP BY doc_id, v
 ), lpick AS (
@@ -3997,9 +4024,12 @@ SELECT CAST(a.doc_id AS BIGINT) AS doc_id, a.n_spans, a.n_text, a.n_images,
         AND (CAST(a.n_images AS DOUBLE) / a.n_spans) <= 0.4
         AND coalesce(r.max_image_run, 0) <= 1
         AND a.leading_images <= 0) AS INT) AS keep,
-  l.main_span_lang, l.main_span_lang_n, l.n_span_langs, l.span_lang_frac
+  l.main_span_lang, l.main_span_lang_n, l.n_span_langs, l.span_lang_frac,
+  mmt.mm_text, mma.mm_refs, mma.mm_text_tokens,
+  CAST(mma.mm_text_tokens + a.n_images * 64 AS BIGINT) AS mm_tokens
 FROM agg a LEFT JOIN runs r USING (doc_id) LEFT JOIN hotcnt h USING (doc_id)
 JOIN (SELECT * FROM lpick WHERE rn = 1) l USING (doc_id)
+JOIN mmt USING (doc_id) JOIN mma USING (doc_id)
 """,
         # Composed training pipeline (VERDICT r5 #5): the oracle
         # recomputes every stage from the planted corpus — text

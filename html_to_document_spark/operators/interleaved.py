@@ -56,6 +56,8 @@ __all__ = [
     "pii_scrub_spans",
     "fix_mojibake_spans",
     "curate_interleaved",
+    "render_interleaved",
+    "pack_interleaved",
 ]
 
 # A hot set larger than this is a sizing error (min_docs too low for the
@@ -485,4 +487,103 @@ def span_lang_stats(
                 n_votes > 0, r4(best["n"] / n_votes)
             ).otherwise(F.lit(0.0)),
         }
+    )
+
+
+def render_interleaved(
+    df: "DataFrame",
+    spans_col: str = "spans",
+    image_token: str = "<image>",
+    image_token_cost: int = 64,
+    sep: str = " ",
+    prefix: str = "mm",
+) -> "DataFrame":
+    """Interleaved spans -> the multimodal TRAINING render (the
+    MMC4/OBELICS sequence shape): text spans keep their text, every
+    image span becomes the ``image_token`` sentinel at its interleave
+    position, and the whole document linearizes in array order (the
+    extractor emits spans offset-ordered) into one string plus the
+    token accounting a context-window packer needs —
+
+    - ``{prefix}_text``: sentinel-interleaved document string,
+    - ``{prefix}_media_refs``: the image refs IN SEQUENCE ORDER (the
+      sentinel at position i binds to ref i — the contract multimodal
+      collators rely on),
+    - ``{prefix}_text_tokens``: whitespace tokens across text spans
+      (empty/NULL-text spans count 0),
+    - ``{prefix}_tokens``: text tokens + n_images x
+      ``image_token_cost`` (the fixed per-image patch-token budget,
+      e.g. 64 for a 448px ViT at patch 14 pooled 2x2).
+
+    One shuffle-free array-HOF projection (transform / filter /
+    aggregate — JVM codegen, no explode); NULL spans render NULL with
+    0 tokens, never a crash."""
+    spans = F.col(spans_col)
+    is_txt = lambda s: s["kind"] != "image"  # noqa: E731
+
+    def tok_n(s) -> "Column":
+        t = F.trim(F.coalesce(s["text"], F.lit("")))
+        return F.when(t == "", F.lit(0)).otherwise(
+            F.size(F.split(t, r"\s+"))
+        ).cast("long")
+
+    rendered = F.array_join(
+        F.transform(
+            spans,
+            lambda s: F.when(
+                _is_image(s), F.lit(image_token)
+            ).otherwise(F.coalesce(s["text"], F.lit(""))),
+        ),
+        sep,
+    )
+    refs = F.transform(
+        F.filter(spans, _is_image), lambda s: s["media_ref"]
+    )
+    text_tokens = F.aggregate(
+        F.filter(spans, is_txt),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + tok_n(s),
+    )
+    n_images = F.size(F.filter(spans, _is_image)).cast("long")
+    return df.withColumns(
+        {
+            f"{prefix}_text": rendered,
+            f"{prefix}_media_refs": refs,
+            f"{prefix}_text_tokens": F.coalesce(text_tokens, F.lit(0)),
+            f"{prefix}_tokens": F.coalesce(
+                text_tokens + n_images * F.lit(image_token_cost),
+                F.lit(0),
+            ),
+        }
+    )
+
+
+def pack_interleaved(
+    df: "DataFrame",
+    budget: int,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    image_token_cost: int = 64,
+    num_partitions: "int | None" = None,
+    **render_kw,
+) -> "DataFrame":
+    """Render + bin-pack interleaved documents into ``budget``-sized
+    multimodal context windows: :func:`render_interleaved` charges
+    each image its fixed patch-token cost, then
+    :func:`packing.pack_sequences` first-fit-decreasing packs on the
+    combined count — so a 10-image page and a text wall compete for
+    the same window budget, the way the collator will actually spend
+    it. Returns the packer's (doc_id, bin_id, n_tokens, oversize)."""
+    from .packing import pack_sequences
+
+    rendered = render_interleaved(
+        df, spans_col=spans_col, image_token_cost=image_token_cost,
+        **render_kw,
+    )
+    return pack_sequences(
+        rendered,
+        budget,
+        id_col=id_col,
+        tokens_col=f"{render_kw.get('prefix', 'mm')}_tokens",
+        num_partitions=num_partitions,
     )

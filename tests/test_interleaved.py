@@ -459,3 +459,68 @@ def test_curate_interleaved_span_lang_gate(spark):
     # without the gate both survive
     both = {r.doc_id for r in curate_interleaved(df).collect()}
     assert both == {1, 2}
+
+
+def test_render_interleaved(spark):
+    from html_to_document_spark.operators.interleaved import (
+        render_interleaved,
+    )
+
+    df = mk(
+        spark,
+        [
+            ("d0", [t("one two", 0), img("m://a", 1), t("three", 2),
+                    img("m://b", 3)]),
+            ("d1", [t("  ", 0), t(None, 1), t("solo", 2)]),
+            ("d2", None),  # failed extraction upstream
+        ],
+    )
+    out = {r["doc_id"]: r
+           for r in render_interleaved(df, image_token_cost=10).collect()}
+    r0 = out["d0"]
+    assert r0["mm_text"] == "one two <image> three <image>"
+    assert r0["mm_media_refs"] == ["m://a", "m://b"]
+    assert r0["mm_text_tokens"] == 3
+    assert r0["mm_tokens"] == 3 + 2 * 10
+    # whitespace-only and NULL text spans count 0 tokens; the render
+    # keeps their (empty) slots in sequence order
+    r1 = out["d1"]
+    assert r1["mm_text_tokens"] == 1 and r1["mm_tokens"] == 1
+    assert r1["mm_media_refs"] == []
+    # NULL spans: NULL render, 0 tokens, never a crash
+    r2 = out["d2"]
+    assert r2["mm_text"] is None and r2["mm_tokens"] == 0
+
+
+def test_render_interleaved_shuffle_free(spark):
+    from html_to_document_spark.operators.interleaved import (
+        render_interleaved,
+    )
+
+    df = mk(spark, [("d0", [t("a b", 0), img("m://x", 1)])])
+    plan = render_interleaved(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure JVM array HOFs
+
+
+def test_pack_interleaved(spark):
+    from html_to_document_spark.operators.interleaved import (
+        pack_interleaved,
+    )
+
+    # 12 docs x (5 text tokens + 1 image @ 15) = 20 mm tokens each;
+    # budget 40 -> 2 docs per bin, 6 bins, nothing oversize
+    rows = [
+        (f"d{i}", [t("a b c d e", 0), img(f"m://{i}", 1)])
+        for i in range(12)
+    ]
+    out = pack_interleaved(
+        mk(spark, rows), budget=40, image_token_cost=15,
+        num_partitions=2,
+    ).collect()
+    assert len(out) == 12
+    assert all(r["n_tokens"] == 20 and not r["oversize"] for r in out)
+    fills = {}
+    for r in out:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+    assert len(fills) == 6 and all(v == 40 for v in fills.values())
