@@ -1837,15 +1837,26 @@ def q_media_catalog(spark, sf_dir):
 def q_jaccard_verify(spark, sf_dir):
     """Exact word-set Jaccard verification over a deterministic pair
     set (every even doc vs its successor) — the exact verifier the
-    MinHash/SimHash sketches estimate, run on surfaced candidates."""
-    from html_to_document_spark.operators.dedup import verify_pairs_jaccard
+    MinHash/SimHash sketches estimate, run on surfaced candidates.
+
+    r5 continuation: the row also gates the CHARACTER-level exact
+    verifier (verify_pairs_edit — normalized Levenshtein similarity,
+    the code-dedup companion check): Spark's F.levenshtein vs DuckDB's
+    levenshtein over the same pair set, a two-independent-
+    implementations gate on the classic DP recurrence."""
+    from html_to_document_spark.operators.dedup import (
+        verify_pairs_edit,
+        verify_pairs_jaccard,
+    )
 
     docs = _docs(spark, sf_dir)
     pairs = docs.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + 1).alias("id_b"),
     )
-    return verify_pairs_jaccard(docs, pairs, threshold=0.0)
+    jac = verify_pairs_jaccard(docs, pairs, threshold=0.0)
+    edit = verify_pairs_edit(docs, pairs, threshold=-1.0)
+    return jac.join(edit, ["id_a", "id_b"])
 
 
 def q_dedup_exact_normalized(spark, sf_dir):
@@ -2131,6 +2142,23 @@ def q_gopher_rules(spark, sf_dir):
 _MOJI_SUFFIX = " naÃ¯ve Ã© â€” â‚¬9 Â½ â€œqâ€" + "\x9d"  # U+009D: cp1252-hole byte, escaped
 _MOJI_FIXED = " naïve é — €9 ½ “q”"
 
+# NFC plant (r5 continuation, unicode_normalize_udf): decomposed
+# accents (e+U+0301, A+U+030A, o+U+0308), the U+212B ANGSTROM singleton
+# fold, combining-mark canonical REORDERING (dot-above U+0307 typed
+# before dot-below U+0323 — NFC swaps them), and a U+FB01 ligature that
+# must SURVIVE (compatibility folds are NFKC-only). Table text is
+# ASCII (NFC-identity), so only the suffix transforms; the oracle runs
+# DuckDB's own nfc_normalize over the same dirty suffix — two
+# independent Unicode implementations pinned against each other.
+_NFC_SUFFIX = (  # escapes, NOT literals: editors must not re-normalize
+    " cafe\u0301 A\u030angstro\u0308m \u212b q\u0307\u0323 \ufb01n"
+)
+_NFC_SUFFIX_SQL = (
+    "' cafe' || chr(769) || ' A' || chr(778) || 'ngstro' || chr(776) "
+    "|| 'm ' || chr(8491) || ' q' || chr(775) || chr(803) || ' ' || "
+    "chr(64257) || 'n'"
+)
+
 # control/format-char plant (r5, clean_control_chars_col): ZWSP, soft
 # hyphen, NBSP, BEL, CRLF, ideographic space — the table text is
 # ASCII-identity under the scrub, so the oracle replays the SAME
@@ -2174,11 +2202,19 @@ def q_pii_scrub(spark, sf_dir):
     scrub (clean_control_chars_col) over a planted ZWSP/SHY/NBSP/BEL/
     CRLF/ideographic-space suffix; the oracle replays the operator's
     IDENTICAL RE2∩Java pattern strings in DuckDB regexp_replace (a
-    cross-engine dialect gate, not a ground-truth plant)."""
+    cross-engine dialect gate, not a ground-truth plant).
+
+    r5 continuation: an nfc_text column gates Unicode NFC
+    normalization (corpus_hygiene.unicode_normalize_udf — the
+    ftfy/CCNet repair-then-normalize step) over a planted decomposed
+    suffix (combining accents, the U+212B singleton, canonical mark
+    reordering, an NFKC-only ligature that must survive); the oracle
+    recomputes via DuckDB's independent nfc_normalize."""
     from html_to_document_spark.operators.corpus_hygiene import (
         clean_control_chars_col,
         fix_mojibake_col,
         pii_scrub,
+        unicode_normalize_udf,
     )
 
     base = _docs(spark, sf_dir)
@@ -2201,6 +2237,9 @@ def q_pii_scrub(spark, sf_dir):
         clean_control_chars_col(
             F.concat(F.col("text"), F.lit(_CTRL_SUFFIX))
         ).alias("ctrl_clean"),
+        unicode_normalize_udf("NFC")(
+            F.concat(F.col("text"), F.lit(_NFC_SUFFIX))
+        ).alias("nfc_text"),
     )
     return pii_scrub(docs).join(fixed, "doc_id")
 
@@ -3508,17 +3547,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jaccard_verify": (
             "with w as ("
-            "  select doc_id, "
+            "  select doc_id, text, "
             "  list_distinct(regexp_split_to_array(trim(text), '\\s+')) "
             "    as ws from documents"
             "), p as ("
             "  select a.doc_id as id_a, b.doc_id as id_b, a.ws as wa, "
-            "  b.ws as wb from w a join w b on b.doc_id = a.doc_id + 1 "
+            "  b.ws as wb, a.text as ta, b.text as tb "
+            "  from w a join w b on b.doc_id = a.doc_id + 1 "
             "  where a.doc_id % 2 = 0"
             ") select id_a, id_b, "
             "floor((cast(len(list_intersect(wa, wb)) as double) / "
             "cast(len(list_distinct(list_concat(wa, wb))) as double)) "
-            "* 10000 + 0.5) / 10000.0 as jaccard from p"
+            "* 10000 + 0.5) / 10000.0 as jaccard, "
+            # character-level companion: DuckDB's levenshtein replays
+            # Spark's — two independent DP implementations must agree
+            "floor((case when greatest(length(ta), length(tb)) = 0 "
+            "then 1.0 else 1.0 - cast(levenshtein(ta, tb) as double) / "
+            "cast(greatest(length(ta), length(tb)) as double) end) "
+            "* 10000 + 0.5) / 10000.0 as edit_sim from p"
         ),
         "dedup_minhash_pairs": (
             # exact all-pairs word-set Jaccard >= 0.9 on the planted
@@ -3892,7 +3938,10 @@ def oracle_sql() -> dict[str, str]:
             # control-scrub plant: DuckDB replays the operator's own
             # pattern strings over the reconstructed dirty suffix
             + _ctrl_clean_sql("orig || " + _CTRL_SUFFIX_SQL)
-            + " as ctrl_clean "
+            + " as ctrl_clean, "
+            # NFC plant: DuckDB's own normalizer over the same dirty
+            # suffix (table text is ASCII = NFC-identity)
+            + f"nfc_normalize(orig || {_NFC_SUFFIX_SQL}) as nfc_text "
             "from s"
         ),
         "lineage_counts": (

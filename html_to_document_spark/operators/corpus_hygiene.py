@@ -668,3 +668,71 @@ def clean_control_chars(
         cleaned.alias(text_col),
         (cleaned != F.col(text_col)).alias("had_control"),
     )
+
+
+# Unicode normalization forms accepted by unicode_normalize_udf
+NORMAL_FORMS = ("NFC", "NFKC", "NFD", "NFKD")
+
+
+def unicode_normalize_udf(form: str = "NFC"):
+    """Arrow-batched Unicode-normalization UDF; applying it to a text
+    Column yields the normalized Column. Spark exposes no JVM Unicode
+    normalizer, so this is the documented pandas-UDF exception — a
+    stateless vectorized projection (pandas ``Series.str.normalize``,
+    NULL-preserving), zero shuffle, no state.
+
+    NFC is the crawl-pipeline default (ftfy and CCNet both normalize
+    AFTER encoding repair — composed accents, singleton folds like
+    U+212B ANGSTROM SIGN -> U+00C5, canonical combining-mark
+    reordering). NFKC additionally folds compatibility forms
+    (ligatures, fullwidth digits) — the aggressive variant some
+    tokenizer stacks want; NFD/NFKD are the decomposed duals.
+
+    Cross-engine oracle: DuckDB ``nfc_normalize`` recomputes the NFC
+    form, so the gate pins two independent Unicode implementations
+    (CPython unicodedata vs DuckDB's) against each other.
+
+    100 TB shape: a pure per-row projection — no shuffle, no driver
+    state; the only cost is the Arrow batch hop, paid exactly where
+    the JVM genuinely lacks the primitive.
+    """
+    import pandas as pd  # noqa: F401 (signature typing)
+    from pyspark.sql import functions as F
+
+    if form not in NORMAL_FORMS:
+        raise ValueError(
+            f"unknown normalization form {form!r}; expected one of "
+            f"{NORMAL_FORMS}"
+        )
+
+    @F.pandas_udf("string")
+    def _norm(s):
+        return s.str.normalize(form)
+
+    return _norm
+
+
+def unicode_normalize(
+    df: "DataFrame", text_col: str = "text", form: str = "NFC"
+) -> "DataFrame":
+    """Normalize ``text_col`` to ``form`` and add ``was_denormalized``
+    (true when normalization changed the text — i.e. the page carried
+    decomposed/compatibility sequences). The UDF evaluates once: the
+    raw column is aliased first and the flag compares materialized
+    outputs, not two UDF invocations."""
+    from pyspark.sql import functions as F
+
+    keep = [c for c in df.columns if c != text_col]
+    staged = df.select(
+        *keep,
+        F.col(text_col).alias("_raw_txt"),
+        unicode_normalize_udf(form)(F.col(text_col)).alias(text_col),
+    )
+    return staged.select(
+        *keep,
+        text_col,
+        (
+            F.col(text_col).isNotNull()
+            & (F.col(text_col) != F.col("_raw_txt"))
+        ).alias("was_denormalized"),
+    )

@@ -131,6 +131,68 @@ def verify_pairs_jaccard(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def edit_similarity_col(a, b) -> "Column":
+    """Normalized Levenshtein similarity ``1 - dist / max(len)`` —
+    the character-level exact verifier (code-dedup pipelines, e.g.
+    The Stack's near-dedup ablations, pair it with token-level
+    Jaccard: edit similarity catches small in-place edits that
+    reorder-insensitive set Jaccard over-scores). Both-empty pairs
+    score 1.0. Pure JVM expression (``F.levenshtein``), and DuckDB
+    implements the identical classic edit distance, so the value is
+    oracle-checkable cross-engine."""
+    from pyspark.sql import functions as F
+
+    denom = F.greatest(F.length(a), F.length(b))
+    return F.when(denom == F.lit(0), F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(a, b).cast("double") / denom.cast("double")
+    )
+
+
+def verify_pairs_edit(
+    corpus: "DataFrame",
+    pairs: "DataFrame",
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int | None = None,
+) -> "DataFrame":
+    """Exact-verify candidate near-dup pairs at CHARACTER level: keep
+    pairs whose normalized Levenshtein similarity
+    (:func:`edit_similarity_col`) clears the threshold. Returns
+    (id_a, id_b, edit_sim), rounded to 4 decimals like the Jaccard
+    verifier.
+
+    100 TB shape: identical pair-join shape to
+    :func:`verify_pairs_jaccard` — only texts of docs that appear in
+    the (LSH-surfaced, small) pair set are joined, the corpus never
+    self-joins. Levenshtein is O(len_a x len_b) PER PAIR, so for
+    web-scale documents set ``max_chars`` to verify a bounded prefix
+    (the standard bounded-verify tradeoff; prefix similarity upper-
+    bounds nothing in general, so pick it >= the sketch's shingle
+    horizon)."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.text_analysis import r4
+
+    t = corpus.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vt"))
+    if max_chars is not None:
+        t = t.select("_vid", F.substring("_vt", 1, max_chars).alias("_vt"))
+    out = (
+        pairs.join(t.withColumnRenamed("_vid", "id_a")
+                    .withColumnRenamed("_vt", "_ta"), "id_a")
+        .join(t.withColumnRenamed("_vid", "id_b")
+               .withColumnRenamed("_vt", "_tb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            r4(edit_similarity_col(F.col("_ta"), F.col("_tb"))).alias(
+                "edit_sim"
+            ),
+        )
+    )
+    return out.filter(F.col("edit_sim") >= threshold)
+
+
 def normalized_text_col(col) -> "Column":
     """Canonical text for fuzzy-exact dedup: lowercase, whitespace runs
     collapsed, edges trimmed. Catches the most common web-duplicate

@@ -117,6 +117,7 @@ def build_training_pipeline(
     lm_model: dict | None = None,
     lm_max_ppl: float | None = None,
     fix_encoding: bool = False,
+    unicode_form: str | None = None,
     clean_controls: bool = False,
     line_dedup: bool = False,
     host_template: "DataFrame | None" = None,
@@ -193,6 +194,13 @@ def build_training_pipeline(
     mojibaked crawl segment is scored like its clean twin instead of
     being dropped (or worse, kept as a near-dup-invisible variant).
     Span payloads are left untouched, like ``pii_scrub``.
+
+    ``unicode_form``: Unicode-normalize the assembled text (usually
+    "NFC"; "NFKC" for compatibility folding) AFTER ``fix_encoding``
+    and before every score/filter — ftfy's fix-then-normalize order.
+    The one Arrow-batched hop in the projection chain
+    (``corpus_hygiene.unicode_normalize_udf``); still zero scans,
+    zero shuffles added.
 
     ``clean_controls``: control/format-character scrub of the
     assembled text (``corpus_hygiene.clean_control_chars_col`` —
@@ -276,6 +284,17 @@ def build_training_pipeline(
         )
 
         text = fix_mojibake_col(text)
+    if unicode_form is not None:
+        # AFTER the mojibake repair (ftfy's fix-then-normalize order:
+        # the repair chain must see raw digraph bytes) and BEFORE the
+        # control scrub / scoring, so every downstream signal reads
+        # canonically-composed text. The one Arrow hop in the
+        # projection chain — Spark has no JVM Unicode normalizer.
+        from html_to_document_spark.operators.corpus_hygiene import (
+            unicode_normalize_udf,
+        )
+
+        text = unicode_normalize_udf(unicode_form)(text)
     if clean_controls:
         # AFTER the mojibake repair (repair-before-normalize: the
         # repair chain needs raw NBSP continuation bytes this scrub

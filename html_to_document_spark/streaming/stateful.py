@@ -119,6 +119,7 @@ def run_stream_pipeline(
     lm_model: dict | None = None,
     lm_max_ppl: float | None = None,
     fix_encoding: bool = False,
+    unicode_form: str | None = None,
     clean_controls: bool = False,
     text_join: str = "space",
     line_dedup: bool = False,
@@ -164,6 +165,15 @@ def run_stream_pipeline(
         )
 
         text = fix_mojibake_col(text)
+    if unicode_form is not None:
+        # batch parity: build_training_pipeline(unicode_form=...) —
+        # a stateless Arrow-batched projection, streams as-is; same
+        # fix-then-normalize ordering as the batch pipeline
+        from html_to_document_spark.operators.corpus_hygiene import (
+            unicode_normalize_udf,
+        )
+
+        text = unicode_normalize_udf(unicode_form)(text)
     if clean_controls:
         # batch parity: build_training_pipeline(clean_controls=True);
         # stateless projection, same repair-before-normalize ordering

@@ -502,3 +502,83 @@ def test_clean_control_chars_duckdb_dialect_parity(spark):
         for s in samples
     ]
     assert got_spark == got_duck
+
+
+def test_unicode_normalize_nfc(spark):
+    from html_to_document_spark.operators.corpus_hygiene import (
+        unicode_normalize,
+    )
+
+    rows = [
+        # decomposed accents compose
+        (0, "café Ångström"),
+        # singleton fold + canonical mark reordering
+        (1, "Å q̣̇"),
+        # NFKC-only ligature must SURVIVE under NFC
+        (2, "ﬁn"),
+        # already-NFC text is identity
+        (3, "plain ascii"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["was_denormalized"])
+        for r in unicode_normalize(df).collect()
+    }
+    assert out[0] == ("café Ångström", True)
+    assert out[1] == ("Å q̣̇", True)
+    assert out[2] == ("ﬁn", False)
+    assert out[3] == ("plain ascii", False)
+    assert out[4] == (None, False)
+
+
+def test_unicode_normalize_nfkc_folds_compat(spark):
+    from html_to_document_spark.operators.corpus_hygiene import (
+        unicode_normalize,
+    )
+
+    # ligature and fullwidth digits fold under NFKC only
+    df = spark.createDataFrame(
+        [(0, "ﬁn １２")], "doc_id int, text string"
+    )
+    (row,) = unicode_normalize(df, form="NFKC").collect()
+    assert row["text"] == "fin 12"
+    assert row["was_denormalized"] is True
+
+
+def test_unicode_normalize_rejects_unknown_form():
+    import pytest
+
+    from html_to_document_spark.operators.corpus_hygiene import (
+        unicode_normalize_udf,
+    )
+
+    with pytest.raises(ValueError, match="normalization form"):
+        unicode_normalize_udf("NFX")
+
+
+def test_unicode_normalize_duckdb_parity(spark):
+    """The gate's argument at unit scale: DuckDB's nfc_normalize and
+    CPython's unicodedata agree over the planted repertoire."""
+    import duckdb
+
+    from html_to_document_spark.operators.corpus_hygiene import (
+        unicode_normalize,
+    )
+
+    texts = [
+        "café Ångström Å q̣̇ ﬁn",
+        "ṩ ṩ",  # s-dot NFC singleton vs raw marks
+        "plain",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"] for r in unicode_normalize(df).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        assert got[i] == con.execute(
+            "select nfc_normalize(?)", [t]
+        ).fetchone()[0]

@@ -467,3 +467,88 @@ def test_exact_dedup_latest(spark):
     kept = {r.doc_id for r in exact_dedup_latest(d).collect()}
     # newest ts wins; the 2-vs-3 tie breaks to the smaller id
     assert kept == {2, 4}
+
+
+def test_edit_similarity_hand_values(spark):
+    from html_to_document_spark.operators.dedup import verify_pairs_edit
+
+    docs = spark.createDataFrame(
+        [
+            (0, "kitten"),
+            (1, "sitting"),
+            (2, ""),
+            (3, ""),
+            (4, "abcd"),
+            (5, "abcd"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_sim"]
+        for r in verify_pairs_edit(docs, pairs, threshold=-1.0).collect()
+    }
+    # levenshtein(kitten, sitting) = 3, max len 7 -> 1 - 3/7 = 0.5714
+    assert got[(0, 1)] == 0.5714
+    assert got[(2, 3)] == 1.0  # both empty: defined as identical
+    assert got[(4, 5)] == 1.0
+
+
+def test_edit_similarity_threshold_and_prefix_cap(spark):
+    from html_to_document_spark.operators.dedup import verify_pairs_edit
+
+    # identical 10-char prefix, divergent tails: full-text similarity
+    # is low, but the max_chars=10 bounded verify reads 1.0
+    docs = spark.createDataFrame(
+        [
+            (0, "same-head " + "x" * 30),
+            (1, "same-head " + "y" * 30),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    full = verify_pairs_edit(docs, pairs, threshold=0.9).collect()
+    assert full == []  # 30/40 of the chars differ
+    capped = verify_pairs_edit(
+        docs, pairs, threshold=0.9, max_chars=10
+    ).collect()
+    assert len(capped) == 1 and capped[0]["edit_sim"] == 1.0
+
+
+def test_edit_similarity_duckdb_parity(spark):
+    """Spark's F.levenshtein vs DuckDB's levenshtein on assorted
+    word-pair mutations — the two independent DP implementations the
+    jaccard_verify gate row now pins at corpus scale."""
+    import duckdb
+
+    from html_to_document_spark.operators.dedup import verify_pairs_edit
+
+    texts = [
+        ("alpha beta gamma", "alpha beta gamma"),
+        ("alpha beta gamma", "alpha bets gamma"),
+        ("the quick brown fox", "quick brown foxes"),
+        ("", "nonempty"),
+        ("transposed ab", "transposed ba"),
+    ]
+    rows, pairs = [], []
+    for i, (a, b) in enumerate(texts):
+        rows += [(2 * i, a), (2 * i + 1, b)]
+        pairs.append((2 * i, 2 * i + 1))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_sim"]
+        for r in verify_pairs_edit(docs, pdf, threshold=-1.0).collect()
+    }
+    con = duckdb.connect()
+    for i, (a, b) in enumerate(texts):
+        want = con.execute(
+            "select floor((case when greatest(length(?), length(?)) = 0 "
+            "then 1.0 else 1.0 - cast(levenshtein(?, ?) as double) / "
+            "cast(greatest(length(?), length(?)) as double) end) "
+            "* 10000 + 0.5) / 10000.0",
+            [a, b, a, b, a, b],
+        ).fetchone()[0]
+        assert got[(2 * i, 2 * i + 1)] == want

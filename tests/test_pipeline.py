@@ -251,6 +251,39 @@ def test_pipeline_fix_encoding_repairs_before_scoring(spark):
     assert "Ã©" not in joined
 
 
+def test_pipeline_unicode_form_composes_after_repair(spark):
+    """unicode_form='NFC' normalizes the assembled text AFTER the
+    mojibake repair (ftfy's fix-then-normalize order): a doc that is
+    BOTH mojibaked and decomposed comes out repaired and composed."""
+    base = generate_corpus(spark, 12, seed=33, giant_frac=0.0)
+    moji = "café".encode("utf-8").decode("cp1252")  # composed é, corrupted
+    decomp = "A\u030angstro\u0308m"  # decomposed marks, clean encoding
+    corrupted = base.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(
+                    s["kind"] == "text",
+                    F.concat(s["text"], F.lit(" " + moji + " " + decomp)),
+                ).otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    out = build_training_pipeline(
+        corrupted, num_partitions=4, min_quality=0.0,
+        fix_encoding=True, unicode_form="NFC",
+    ).collect()
+    assert out, "pipeline dropped everything"
+    joined = " ".join(r.text for r in out)
+    assert "café" in joined and "Ångström" in joined
+    assert "Ã©" not in joined
+    assert "́" not in joined and "̊" not in joined
+
+
 def test_pipeline_quality_keeper(spark):
     """near_dup_keep='quality': the survivor of a near-dup pair is the
     higher-QUALITY member, not the lower id. Planted pair: the junky
