@@ -370,6 +370,53 @@ def minhash_signature(
     )
 
 
+def optimal_lsh_params(
+    threshold: float,
+    num_perm: int = 64,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> "tuple[int, int]":
+    """Pick the (bands, rows_per_band) pair that minimizes the weighted
+    false-positive/false-negative mass of the LSH S-curve for a target
+    Jaccard ``threshold`` — the standard banding-parameter optimization
+    from Mining of Massive Datasets ch. 3 (the collision probability of
+    a pair at similarity s under (b, r) banding is 1 - (1 - s^r)^b;
+    FP mass integrates it below the threshold, FN mass integrates its
+    complement above). Driver-side pure math — call once, feed the
+    result to :func:`minhash_lsh_pairs` (``bands=b``) with a signature
+    of ``b * r`` hashes.
+
+    Weights tune the tradeoff: raising ``fn_weight`` favors MORE bands
+    (recall — candidates a band must catch), raising ``fp_weight``
+    favors LONGER bands (precision — junk pairs the exact verifier
+    would otherwise pay for). Only pairs with b*r <= num_perm are
+    considered; ties resolve to the first-found minimum under
+    ascending (b, r) enumeration, deterministically."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_perm < 1:
+        raise ValueError(f"num_perm must be >= 1, got {num_perm}")
+
+    def _integrate(f, lo, hi, n=256):
+        # midpoint rule; the integrand is smooth and bounded in [0, 1]
+        dx = (hi - lo) / n
+        return sum(f(lo + (i + 0.5) * dx) for i in range(n)) * dx
+
+    best, best_err = (1, 1), None
+    for b in range(1, num_perm + 1):
+        for r in range(1, num_perm // b + 1):
+            fp = _integrate(
+                lambda s: 1.0 - (1.0 - s**r) ** b, 0.0, threshold
+            )
+            fn = _integrate(
+                lambda s: (1.0 - s**r) ** b, threshold, 1.0
+            )
+            err = fp_weight * fp + fn_weight * fn
+            if best_err is None or err < best_err:
+                best, best_err = (b, r), err
+    return best
+
+
 def banded_frame(sigs: "DataFrame", bands: int, rows_per_band: int):
     """(_id, band_id, band_hash) rows from an (_id, minhash) frame —
     the LSH band projection shared by the batch self-join

@@ -67,3 +67,55 @@ def read_spans(spark: "SparkSession", target: str) -> "DataFrame":
     if _iceberg_available(spark):
         return spark.read.format("iceberg").load(target)
     return spark.read.parquet(target)
+
+
+def export_jsonl(
+    df: "DataFrame",
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    meta_cols: tuple | list = (),
+    compression: str | None = None,
+    num_shards: int | None = None,
+) -> None:
+    """Write the corpus as JSONL shards — one ``{"id": ..., "text":
+    ..., <meta>...}`` object per line, the standard LLM training-data
+    delivery format (public corpus releases — Dolma, RedPajama, The
+    Pile — all ship JSONL or compressed JSONL shards).
+
+    Pure JVM plan: ``to_json(struct(...))`` + the text sink — zero
+    Python, zero extra shuffles (one optional round-robin repartition
+    when ``num_shards`` is set: training loaders want a fixed shard
+    count with roughly uniform sizes, and the repartition carries the
+    already-final rows exactly once). ``compression`` ("gzip",
+    "zstd", ...) rides the text writer's codec option; key order in
+    the JSON objects is the struct's field order (id, text, then
+    ``meta_cols`` in the given order), deterministically."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        *[F.col(c) for c in meta_cols],
+    ]
+    out = df.select(F.to_json(F.struct(*cols)).alias("value"))
+    if num_shards is not None:
+        out = out.repartition(num_shards)
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def read_jsonl(
+    spark: "SparkSession", path: str, schema: str | None = None
+) -> "DataFrame":
+    """Read JSONL shards written by :func:`export_jsonl` (or any
+    line-delimited JSON corpus). With ``schema`` (DDL string) the scan
+    skips inference — at 100 TB an inference pass is a full extra
+    read of the corpus, so production callers should always pass
+    it."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

@@ -552,3 +552,63 @@ def test_edit_similarity_duckdb_parity(spark):
             [a, b, a, b, a, b],
         ).fetchone()[0]
         assert got[(2 * i, 2 * i + 1)] == want
+
+
+def test_optimal_lsh_params_properties():
+    from html_to_document_spark.operators.dedup import optimal_lsh_params
+
+    # budget respected, inflection tracks the threshold
+    for thr in (0.5, 0.7, 0.85, 0.95):
+        b, r = optimal_lsh_params(thr, num_perm=64)
+        assert 1 <= b * r <= 64
+        inflection = (1.0 / b) ** (1.0 / r)
+        assert abs(inflection - thr) < 0.2, (thr, b, r, inflection)
+    # higher threshold -> longer bands (more rows per band)
+    _, r_low = optimal_lsh_params(0.5, num_perm=64)
+    _, r_high = optimal_lsh_params(0.95, num_perm=64)
+    assert r_high >= r_low
+    # recall-heavy weighting -> at least as many bands as precision-heavy
+    b_recall, _ = optimal_lsh_params(0.8, 64, fp_weight=0.1, fn_weight=0.9)
+    b_prec, _ = optimal_lsh_params(0.8, 64, fp_weight=0.9, fn_weight=0.1)
+    assert b_recall >= b_prec
+
+
+def test_optimal_lsh_params_matches_brute_scurve():
+    """The chosen pair beats (or ties) every other in-budget pair on
+    the same weighted S-curve error, recomputed independently here
+    with a different integration grid."""
+    from html_to_document_spark.operators.dedup import optimal_lsh_params
+
+    thr, perm = 0.8, 32
+    chosen = optimal_lsh_params(thr, perm)
+
+    def err(b, r, n=2000):
+        dx1 = thr / n
+        fp = sum(
+            1.0 - (1.0 - (dx1 * (i + 0.5)) ** r) ** b for i in range(n)
+        ) * dx1
+        dx2 = (1.0 - thr) / n
+        fn = sum(
+            (1.0 - (thr + dx2 * (i + 0.5)) ** r) ** b for i in range(n)
+        ) * dx2
+        return 0.5 * fp + 0.5 * fn
+
+    best = min(
+        ((b, r) for b in range(1, perm + 1)
+         for r in range(1, perm // b + 1)),
+        key=lambda br: err(*br),
+    )
+    assert abs(err(*chosen) - err(*best)) < 1e-3, (chosen, best)
+
+
+def test_optimal_lsh_params_rejects_bad_inputs():
+    import pytest
+
+    from html_to_document_spark.operators.dedup import optimal_lsh_params
+
+    with pytest.raises(ValueError):
+        optimal_lsh_params(0.0)
+    with pytest.raises(ValueError):
+        optimal_lsh_params(1.0)
+    with pytest.raises(ValueError):
+        optimal_lsh_params(0.5, num_perm=0)
