@@ -72,15 +72,29 @@ def q_extract_paragraph(spark, sf_dir):
 
 
 def q_extract_multi_block(spark, sf_dir):
+    """r5 continuation: the row also gates readability-style class/id
+    pruning (ExtractOptions.drop_class_re + UNLIKELY_CLASS_RE) — two
+    planted boilerplate subtrees (a classed sidebar div wrapping a
+    block, an id-matched comment paragraph) must vanish WITHOUT
+    shifting any surviving span or offset, so the pre-existing oracle
+    is unchanged and any pruning/offset bug hash-fails the row."""
+    from html_to_document_spark.core.extract import UNLIKELY_CLASS_RE
+
     html = F.concat(
         F.lit("<h1>"), F.col("source"), F.lit("</h1>"),
+        F.lit('<div class="sidebar"><p>BOILER-'),
+        F.col("doc_id").cast("string"), F.lit("</p></div>"),
         F.lit('<nav><a href="/x">menu</a></nav>'),
         F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<p id="comment-9">BOILER-TAIL</p>'),
         F.lit("<script>var x=1;</script>"),
         F.lit('<img src="media://'), F.col("doc_id").cast("string"), F.lit('">'),
         F.lit("<hr>"),
     )
-    return _extract_exploded(_with_html(_docs(spark, sf_dir), html))
+    return _extract_exploded(
+        _with_html(_docs(spark, sf_dir), html),
+        ExtractOptions(drop_class_re=UNLIKELY_CLASS_RE),
+    )
 
 
 def q_extract_table_linearize(spark, sf_dir):

@@ -44,6 +44,30 @@ from html_to_document_spark.core.minify import minify_tokens
 
 _STYLE_SCAN_RE = _re.compile(r"<\s*style", _re.IGNORECASE)
 
+# readability/trafilatura-style boilerplate class/id pattern (main-
+# content extraction: subtrees whose class or id names them as site
+# furniture are pruned before chunking). Own list in the spirit of
+# Arc90 readability's unlikelyCandidates — tuned to crawl furniture
+# that default DROP_TAGS (nav/header...) cannot catch because sites
+# ship it in plain <div>s.
+UNLIKELY_CLASS_RE = (
+    r"breadcrumb|comment|cookie|disqus|masthead|menu|pagination|pager|"
+    r"popup|promo|related|share|shoutbox|sidebar|social|sponsor|"
+    r"subscribe|widget|advert|banner"
+)
+
+
+def _compiled_drop_re(pattern: str) -> "_re.Pattern":
+    """Per-pattern compile memo: ExtractOptions carries the regex as a
+    (picklable) string; executors compile once per distinct pattern."""
+    pat = _DROP_RE_CACHE.get(pattern)
+    if pat is None:
+        pat = _DROP_RE_CACHE[pattern] = _re.compile(pattern, _re.IGNORECASE)
+    return pat
+
+
+_DROP_RE_CACHE: dict = {}
+
 TEXT, IMAGE, TABLE, PAGEBREAK = "text", "image", "table", "pagebreak"
 
 # always-dropped boilerplate/metadata tags (generalized strip-scripts
@@ -100,6 +124,12 @@ class ExtractOptions:
     # metadata-bearing output (T7/T9/L6/L10 parity): each span carries a
     # map with source tag, heading/list level, first href, image alt
     with_meta: bool = False
+    # readability-style "unlikely candidates" pruning: a regex matched
+    # (case-insensitively) against each element's class + id attribute
+    # values; a hit suppresses the whole subtree, exactly like
+    # display:none. None (default) disables. UNLIKELY_CLASS_RE is a
+    # ready-made pattern for the classic crawl boilerplate classes.
+    drop_class_re: str | None = None
     # execution strategy: "stream" (fused single-pass walker, default)
     # or "tree" (the executable specification) — the A/B knob for
     # attributing perf deltas; both produce identical spans
@@ -219,7 +249,7 @@ class _Walker:
     __slots__ = (
         "opts", "sheet", "spans", "chunk", "a_depth", "link_chars",
         "meta_mode", "chunk_meta", "chunk_href", "chunk_tag_n",
-        "_kind_map",
+        "_kind_map", "_drop_re",
     )
 
     def __init__(self, opts: ExtractOptions, sheet: _css.Stylesheet | None):
@@ -238,6 +268,10 @@ class _Walker:
         self._kind_map = (
             dict(_DEFAULT_KIND_MAP) if opts is DEFAULT_OPTIONS
             else _build_kind_map(opts)
+        )
+        self._drop_re = (
+            _compiled_drop_re(opts.drop_class_re)
+            if opts.drop_class_re else None
         )
 
     # ---- chunk management -------------------------------------------------
@@ -293,6 +327,15 @@ class _Walker:
         return "inline"
 
     def _hidden(self, tag: str, attrs: dict | None) -> bool:
+        if attrs is not None and self._drop_re is not None:
+            # readability-style pruning rides the same subtree-
+            # suppression path as display:none
+            blob = (attrs.get("class") or "")
+            aid = attrs.get("id")
+            if aid:
+                blob = f"{blob} {aid}"
+            if blob and self._drop_re.search(blob):
+                return True
         if attrs is None and (self.sheet is None or not self.sheet.rules):
             return False
         style = _css.computed_style(tag, attrs, self.sheet)

@@ -68,6 +68,7 @@ from html_to_document_spark.core.extract import (
     ExtractOptions,
     DEFAULT_OPTIONS,
     _build_kind_map,
+    _compiled_drop_re,
     _DEFAULT_KIND_MAP,
     _linearize_grid,
     _span_int,
@@ -232,6 +233,10 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
         else _build_kind_map(opts)
     )
     sheet_has_rules = sheet is not None and bool(sheet.rules)
+    drop_class_re = (
+        _compiled_drop_re(opts.drop_class_re)
+        if opts.drop_class_re else None
+    )
 
     spans: list = []
     chunk: list[str] = []
@@ -298,6 +303,16 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
         return kind
 
     def hidden(tag: str, attrs) -> bool:
+        if attrs is not None and drop_class_re is not None:
+            # readability-style pruning (ExtractOptions.drop_class_re):
+            # same subtree-suppression path as display:none, lockstep
+            # with _Walker._hidden
+            blob = (attrs.get("class") or "")
+            aid = attrs.get("id")
+            if aid:
+                blob = f"{blob} {aid}"
+            if blob and drop_class_re.search(blob):
+                return True
         if attrs is None and not sheet_has_rules:
             return False
         style = _css.computed_style(tag, attrs, sheet)

@@ -276,3 +276,31 @@ def test_table_rows_with_sections(spark):
     ]
     assert rows[("d2", 0)].section == "tbody"
     assert rows[("d2", 0)].row_text == "only"
+
+
+def test_drop_class_re_through_spark_path(spark):
+    """readability-style boilerplate pruning (drop_class_re) survives
+    the pickled-options Spark round trip and prunes in the fused
+    extraction stage."""
+    from html_to_document_spark.core.extract import (
+        ExtractOptions,
+        UNLIKELY_CLASS_RE,
+    )
+    from html_to_document_spark.operators.extract_spans import (
+        exploded,
+        extract_spans_from_html,
+    )
+
+    rows = [
+        ("a", '<div class="sidebar"><p>junk</p></div><p>keep a</p>'),
+        ("b", '<p id="comments">spam</p><p>keep b</p>'),
+        ("c", '<p class="Widget-area">w</p><p>keep c</p>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, html string")
+    out = exploded(
+        extract_spans_from_html(
+            df, options=ExtractOptions(drop_class_re=UNLIKELY_CLASS_RE)
+        )
+    )
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert texts == {"a": "keep a", "b": "keep b", "c": "keep c"}

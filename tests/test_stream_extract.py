@@ -55,9 +55,12 @@ UNDROP_OPTS = ExtractOptions(
 OVERRIDE_OPTS = ExtractOptions(
     tag_overrides={"aside": "drop", "q": "paragraph", "dl": "list"}
 )
+CLASSDROP_OPTS = ExtractOptions(
+    drop_class_re=r"sidebar|comment|menu|promo"
+)
 
 ALL_OPTS = [DEFAULT_OPTIONS, META_OPTS, BOILER_OPTS, UNDROP_OPTS,
-            OVERRIDE_OPTS]
+            OVERRIDE_OPTS, CLASSDROP_OPTS]
 
 CASES = [
     # chunking + block boundaries
@@ -179,11 +182,20 @@ CASES = [
     "".join(f"<h{i} id=h{i}>H{i}</h{i}>" for i in range(1, 7)),
     # empty / degenerate
     "", "   ", "<div></div>", "plain text only",
+    # readability-style class/id pruning (drop_class_re opts arm):
+    # class hit, id hit, case-insensitive hit, nested survivor text,
+    # list/table context, and a classless control
+    '<div class="sidebar">junk</div><p>keep</p>',
+    '<div id="comment-area"><p>spam</p><ul><li>x</li></ul></div>tail',
+    '<p class="MENU-bar">hidden</p><p class="content">shown</p>',
+    '<ul><li class="promo">ad</li><li>real</li></ul>',
+    '<table><tr><td class="sidebar">a</td><td>b</td></tr></table>',
+    '<span class="promotion">inline hit</span> outside',
 ]
 
 
 @pytest.mark.parametrize("opts", ALL_OPTS, ids=[
-    "default", "meta", "boilerplate", "undrop", "overrides"])
+    "default", "meta", "boilerplate", "undrop", "overrides", "classdrop"])
 def test_stream_matches_tree_on_cases(opts):
     for html in CASES:
         expected = tree_extract(html, opts)
@@ -228,13 +240,15 @@ PIECES = [
     "<br>", "<hr>", "<img src='m'>", "<img src='m' alt='a'>", "<wbr>",
     "<p style='display:none'>", "<span style='display:none'>",
     "<custom-tag>", "</custom-tag>", "<input>", "<p/>", "<li/>", "<td/>",
+    "<div class='sidebar'>", "<li class=promo>", "<td id=comment-x>",
+    "<span class='menu'>",
     "<caption/>",
     "x", " y ", "  ", "a b", "\nz\n", "t&amp;u", "w",
 ]
 
 
 @pytest.mark.parametrize("opts", ALL_OPTS, ids=[
-    "default", "meta", "boilerplate", "undrop", "overrides"])
+    "default", "meta", "boilerplate", "undrop", "overrides", "classdrop"])
 def test_stream_matches_tree_fuzz(opts):
     """Differential fuzz: random tag soup (unbalanced, nested, hostile)
     must extract identically through both strategies."""
