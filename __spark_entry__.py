@@ -2003,14 +2003,9 @@ _NGRAM_PHRASES = [
 ]
 
 
-def q_decontaminate_ngram(spark, sf_dir):
-    """Sliding 13-gram decontamination (standard eval-decontamination
-    recipe): catches contamination that reflowing/light edits hide from
-    exact-paragraph matching."""
-    from html_to_document_spark.operators.corpus_hygiene import (
-        decontaminate_ngrams,
-    )
-
+def _ngram_decon_frames(spark, sf_dir):
+    """The planted train/bench pair shared by the ngram and ngram_frac
+    arms of decontaminate_modes."""
     docs = _docs(spark, sf_dir)
     phrases = F.array(*[F.lit(p) for p in _NGRAM_PHRASES])
     train = docs.filter(F.col("doc_id") % 97 != 0).select(
@@ -2027,6 +2022,18 @@ def q_decontaminate_ngram(spark, sf_dir):
             F.element_at(phrases, (F.col("doc_id") % 3 + 1).cast("int")),
         ).alias("text"),
     )
+    return train, bench
+
+
+def q_decontaminate_ngram(spark, sf_dir):
+    """Sliding 13-gram decontamination (standard eval-decontamination
+    recipe): catches contamination that reflowing/light edits hide from
+    exact-paragraph matching."""
+    from html_to_document_spark.operators.corpus_hygiene import (
+        decontaminate_ngrams,
+    )
+
+    train, bench = _ngram_decon_frames(spark, sf_dir)
     return decontaminate_ngrams(train, bench, n=13)
 
 
@@ -2096,7 +2103,24 @@ def q_decontaminate_modes(spark, sf_dir):
         "doc_id",
         F.col("n_benchmark_matches").alias("n_hits"),
     )
-    return a.unionByName(b).unionByName(c)
+    # r5 continuation: the CONTINUOUS overlap score (corpus_hygiene.
+    # contamination_fraction) as a fourth arm — the fraction rides
+    # n_hits as exact ppm via integer floor-division (n_cont * 1e6 div
+    # n_grams), so no double ever crosses the engine boundary; every
+    # train doc appears (zero-hit docs at 0)
+    from html_to_document_spark.operators.corpus_hygiene import (
+        contamination_fraction,
+    )
+
+    train, bench = _ngram_decon_frames(spark, sf_dir)
+    d = contamination_fraction(train, bench, n=13).select(
+        F.lit("ngram_frac").alias("mode"),
+        "doc_id",
+        F.when(F.col("n_grams") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr("n_contaminated_ngrams * 1000000L div n_grams")
+        ).alias("n_hits"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_gopher_rules(spark, sf_dir):
@@ -3808,6 +3832,43 @@ def oracle_sql() -> dict[str, str]:
             # straight from the plant's ground truth
             "select 'fuzzy' as mode, doc_id, cast(1 as bigint) as n_hits "
             "from documents where doc_id % 97 <> 0 and doc_id % 4 = 0"
+            " union all "
+            # ngram_frac arm: the continuous score as exact ppm —
+            # integer floor-division on both engines, zero-hit docs
+            # kept at 0; same tw/bw/tg/bg construction as the ngram arm
+            "select 'ngram_frac' as mode, doc_id, "
+            "cast(case when coalesce(nt, 0) = 0 then 0 "
+            "else (coalesce(nc, 0) * 1000000) // nt end as bigint) "
+            "as n_hits from ("
+            "with ph as (select * from (values "
+            + ", ".join(
+                f"({k}, '{p}')" for k, p in enumerate(_NGRAM_PHRASES)
+            )
+            + ") v(k, phrase)"
+            "), tw as ("
+            "  select d.doc_id, string_split(regexp_replace(trim("
+            "    d.text || ' ' || ph.phrase), '\\s+', ' ', 'g'), ' ') as w"
+            "  from documents d join ph on ph.k = d.doc_id % 5"
+            "  where d.doc_id % 97 <> 0"
+            "), bw as ("
+            "  select string_split('benchhead ' || ph.phrase, ' ') as w"
+            "  from documents d join ph on ph.k = d.doc_id % 3"
+            "  where d.doc_id % 97 = 0"
+            "), tg as ("
+            "  select distinct doc_id, array_to_string(w[i:i+12], ' ') as g"
+            "  from tw, unnest(generate_series(1, greatest(len(w) - 12, 0)))"
+            "    as t(i)"
+            "), bg as ("
+            "  select distinct array_to_string(w[i:i+12], ' ') as g"
+            "  from bw, unnest(generate_series(1, greatest(len(w) - 12, 0)))"
+            "    as t(i)"
+            "), tt as ("
+            "  select doc_id, count(*) as nt from tg group by doc_id"
+            "), hc as ("
+            "  select doc_id, count(*) as nc from tg join bg using (g) "
+            "  group by doc_id"
+            ") select a.doc_id, tt.nt, hc.nc from tw a "
+            "left join tt using (doc_id) left join hc using (doc_id))"
         ),
         "gopher_rules": (
             # same four text variants, then every Gopher stat/flag

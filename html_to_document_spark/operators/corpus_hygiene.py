@@ -181,6 +181,57 @@ def decontaminate_ngrams(
     )
 
 
+def contamination_fraction(
+    train: "DataFrame",
+    benchmark: "DataFrame",
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Continuous contamination score — the REPORT companion to
+    :func:`decontaminate_ngrams`'s binary drop: for EVERY training doc,
+    the fraction of its distinct word n-grams that appear in the
+    benchmark set. The published eval-hygiene recipes threshold on
+    exactly this (a doc sharing one boilerplate gram is different from
+    a doc that IS the benchmark item reflowed); returns
+    (doc_id, n_grams, n_contaminated_ngrams, contamination_frac) with
+    zero-hit docs kept at 0.0 and under-n-word docs (no strict windows)
+    at n_grams = 0, frac = 0.0.
+
+    100 TB shape: identical to the binary mode — benchmark grams
+    DISTINCT'd and broadcast, corpus scanned once; the added total is
+    a per-row projection (array size), no extra shuffle beyond the
+    same per-doc hit count."""
+    from pyspark.sql import functions as F
+
+    grams = _word_ngrams(text_col, n)
+    with_g = train.select(F.col(id_col), grams.alias("_gs"))
+    per_doc = with_g.select(
+        id_col, F.size("_gs").alias("n_grams")
+    )
+    bench_grams = benchmark.select(F.explode(grams).alias("g")).distinct()
+    hits = (
+        with_g.select(id_col, F.explode("_gs").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+    joined = per_doc.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_contaminated_ngrams", F.lit(0)).alias(
+            "n_contaminated_ngrams"
+        ),
+    )
+    return joined.withColumn(
+        "contamination_frac",
+        F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+            F.col("n_contaminated_ngrams").cast("double")
+            / F.col("n_grams").cast("double")
+        ),
+    )
+
+
 def decontaminate_fuzzy(
     train: "DataFrame",
     benchmark: "DataFrame",

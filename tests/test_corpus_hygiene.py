@@ -582,3 +582,53 @@ def test_unicode_normalize_duckdb_parity(spark):
         assert got[i] == con.execute(
             "select nfc_normalize(?)", [t]
         ).fetchone()[0]
+
+
+def test_contamination_fraction(spark):
+    from html_to_document_spark.operators.corpus_hygiene import (
+        contamination_fraction,
+    )
+
+    # doc 0: 4 words -> 2 distinct 3-grams, 1 contaminated -> 0.5
+    # doc 1: clean, 5 words -> 3 grams, 0 hits -> 0.0
+    # doc 2: under n words -> n_grams 0, frac 0.0
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "one two three four five"),
+            (2, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "xx alpha beta gamma yy")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_grams"], r["n_contaminated_ngrams"],
+            r["contamination_frac"],
+        )
+        for r in contamination_fraction(train, bench, n=3).collect()
+    }
+    assert got[0] == (2, 1, 0.5)
+    assert got[1] == (3, 0, 0.0)
+    assert got[2] == (0, 0, 0.0)
+
+
+def test_contamination_fraction_duplicate_grams_counted_once(spark):
+    from html_to_document_spark.operators.corpus_hygiene import (
+        contamination_fraction,
+    )
+
+    # repeated contaminated gram counts once (distinct-gram semantics)
+    train = spark.createDataFrame(
+        [(0, "a b c a b c")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c")], "doc_id long, text string"
+    )
+    (row,) = contamination_fraction(train, bench, n=3).collect()
+    # distinct grams of [a b c a b c]: "a b c","b c a","c a b" -> 3
+    assert row["n_grams"] == 3
+    assert row["n_contaminated_ngrams"] == 1
+    assert abs(row["contamination_frac"] - 1 / 3) < 1e-12
