@@ -950,15 +950,43 @@ def q_token_windows(spark, sf_dir):
     shuffle-free JVM projection+explode; the oracle re-slices the
     token list with generate_series in SQL. Also gates the
     stride-overlap loss mask (loss_start/n_loss_tokens — each token
-    contributes loss exactly once across a doc's chunks)."""
+    contributes loss exactly once across a doc's chunks).
+
+    r5 continuation: a 'sentence' arm gates the sentence-boundary
+    passage chunker (packing.chunk_sentence_windows, the RAG chunker)
+    over a constructed uniform-sentence corpus — k = 6 + doc_id%5
+    five-token sentences at max_tokens=12 pack exactly two per chunk,
+    so every chunk's text, token count and the chunk count are pure
+    plant arithmetic in the oracle."""
     from html_to_document_spark.operators.packing import (
+        chunk_sentence_windows,
         chunk_token_windows,
     )
 
-    return chunk_token_windows(
+    tw = chunk_token_windows(
         _docs(spark, sf_dir).select("doc_id", "text"),
         window=40, stride=30,
     )
+    a = tw.select(F.lit("stride").alias("mode"), *tw.columns)
+    k = (F.col("doc_id") % 5 + 6).cast("int")
+    sent_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat(
+                F.lit("s"), i.cast("string"),
+                F.lit(" alpha beta gamma delta."),
+            ),
+        ),
+    )
+    sdocs = _docs(spark, sf_dir).select("doc_id", sent_text.alias("text"))
+    b = chunk_sentence_windows(sdocs, max_tokens=12).select(
+        F.lit("sentence").alias("mode"),
+        "doc_id", "chunk_id", "n_tokens", "chunk",
+        F.lit(-1).cast("int").alias("loss_start"),
+        F.lit(-1).cast("int").alias("n_loss_tokens"),
+    )
+    return a.unionByName(b)
 
 
 # ---------------------------------------------------------------------------
@@ -3136,7 +3164,7 @@ def oracle_sql() -> dict[str, str]:
             "idx as (select doc_id, w, n, unnest(generate_series(0, "
             "cast(ceil(greatest(n - 40, 0) / 30.0) as bigint))) as k "
             "from c) "
-            "select doc_id, cast(k as int) as chunk_id, "
+            "select 'stride' as mode, doc_id, cast(k as int) as chunk_id, "
             "cast(least(40, n - k * 30) as int) as n_tokens, "
             "array_to_string(list_slice(w, k * 30 + 1, "
             "least(k * 30 + 40, n)), ' ') as chunk, "
@@ -3148,6 +3176,22 @@ def oracle_sql() -> dict[str, str]:
             "cast(least(40, n - k * 30) - case when k = 0 then 0 "
             "else least(10, n - k * 30) end as int) as n_loss_tokens "
             "from idx"
+            " union all "
+            # sentence arm (r5 cont): chunks of the uniform-sentence
+            # plant are pure arithmetic — chunk j packs sentences 2j
+            # and 2j+1 (when it exists), 5 tokens each
+            "select 'sentence' as mode, doc_id, cast(j as int) as "
+            "chunk_id, cast(case when 2 * j + 1 < k then 10 else 5 end "
+            "as int) as n_tokens, "
+            "'s' || cast(2 * j as varchar) || ' alpha beta gamma delta.'"
+            " || case when 2 * j + 1 < k then ' s' || "
+            "cast(2 * j + 1 as varchar) || ' alpha beta gamma delta.' "
+            "else '' end as chunk, "
+            "cast(-1 as int) as loss_start, cast(-1 as int) as "
+            "n_loss_tokens from ("
+            "select doc_id, cast(doc_id % 5 + 6 as int) as k "
+            "from documents) d, "
+            "unnest(generate_series(0, (k + 1) // 2 - 1)) as t(j)"
         ),
         "corpus_stats": (
             # r5-cont datasheet columns: whitespace-token totals and

@@ -88,3 +88,81 @@ def test_null_counts_pack_as_zero(spark):
     by_ws = {r.doc_id: r for r in pack_sequences(
         df, budget=10, num_partitions=1).collect()}
     assert by_ws["b"].n_tokens == 0  # NULL text, whitespace path
+
+
+def test_chunk_sentence_windows_greedy(spark):
+    from html_to_document_spark.operators.packing import (
+        chunk_sentence_windows,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "One two three. Four five six! Seven eight nine ten? "
+                "Tail."),
+            (1, "Single sentence without boundary"),
+            (2, "this single sentence is way over the budget limit "
+                "set here. ok."),
+            (3, ""),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        chunk_sentence_windows(df, max_tokens=7).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    got = [(r.doc_id, r.chunk_id, r.n_tokens, r.chunk) for r in out]
+    assert got == [
+        # 3+3 fits, 4 would overflow; 4+1 fits in the next chunk
+        (0, 0, 6, "One two three. Four five six!"),
+        (0, 1, 5, "Seven eight nine ten? Tail."),
+        (1, 0, 4, "Single sentence without boundary"),
+        # oversized sentence becomes its own oversized chunk
+        (2, 0, 11,
+         "this single sentence is way over the budget limit set here."),
+        (2, 1, 1, "ok."),
+        # empty / whitespace docs emit no chunks
+    ]
+
+
+def test_chunk_sentence_windows_never_splits_sentences(spark):
+    from html_to_document_spark.operators.packing import (
+        chunk_sentence_windows,
+        sentences_col,
+    )
+    from pyspark.sql import functions as F
+
+    text = ("alpha bravo charlie. delta echo! foxtrot golf hotel "
+            "india? juliet kilo. lima mike november oscar papa.")
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    sents = df.select(sentences_col("text").alias("s")).collect()[0]["s"]
+    chunks = [
+        r.chunk
+        for r in chunk_sentence_windows(df, max_tokens=6).collect()
+    ]
+    # reassembled chunks == original sentence sequence
+    reassembled = " ".join(chunks)
+    assert reassembled == " ".join(sents) == text
+    # every sentence appears whole inside exactly one chunk
+    for s in sents:
+        assert sum(s in c for c in chunks) >= 1
+    # no chunk exceeds the budget unless it is a single sentence
+    for r in chunk_sentence_windows(df, max_tokens=6).collect():
+        n_sents = sum(1 for s in sents if s in r.chunk)
+        assert r.n_tokens <= 6 or n_sents == 1
+
+
+def test_chunk_sentence_windows_plan_no_exchange(spark):
+    from html_to_document_spark.operators.packing import (
+        chunk_sentence_windows,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b. c d. e f.")], "doc_id long, text string"
+    )
+    plan = (
+        chunk_sentence_windows(df, max_tokens=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure JVM fold
