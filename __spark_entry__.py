@@ -794,9 +794,16 @@ def q_token_fingerprint(spark, sf_dir):
     reading ease over a constructed 3-sentence variant — the table
     text has no sentence terminators, so the variant adds them); the
     oracle replays the vowel-group/sentence-split counts and the
-    fixed-order double formula."""
+    fixed-order double formula.
+
+    r5 continuation: script_profile joins in over a script-suffixed
+    variant (Cyrillic / CJK / Arabic / pure-Latin by doc_id%4) — the
+    literal-codepoint char-class strings are valid verbatim in both
+    Java regex and RE2, so the oracle replays the IDENTICAL patterns
+    (count-by-replace, non-ws total, r4 fraction, argmax chain)."""
     from html_to_document_spark.operators.text_analysis import (
         readability_scores,
+        script_profile,
     )
 
     rd = readability_scores(
@@ -808,11 +815,26 @@ def q_token_fingerprint(spark, sf_dir):
             ).alias("text"),
         )
     ).select("doc_id", "n_sentences", "n_syllables", "flesch")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" " + _SCRIPT_CYR))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" " + _SCRIPT_CJK))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" " + _SCRIPT_ARA))
+        .otherwise(F.lit(""))
+    )
+    sp = script_profile(
+        _docs(spark, sf_dir).select(
+            "doc_id", F.concat(F.col("text"), suffix).alias("text")
+        )
+    ).select(
+        "doc_id", "n_script_chars", "n_latin", "n_cyrillic",
+        "n_arabic", "n_cjk", "cyrillic_frac", "dominant_script",
+    )
     return (
         q_token_stats(spark, sf_dir)
         .join(q_fingerprint(spark, sf_dir), "doc_id")
         .join(q_link_stats(spark, sf_dir), "doc_id")
         .join(rd, "doc_id")
+        .join(sp, "doc_id")
     )
 
 
@@ -2208,6 +2230,13 @@ def q_gopher_rules(spark, sf_dir):
 _MOJI_SUFFIX = " naÃ¯ve Ã© â€” â‚¬9 Â½ â€œqâ€" + "\x9d"  # U+009D: cp1252-hole byte, escaped
 _MOJI_FIXED = " naïve é — €9 ½ “q”"
 
+# script-profile plants (r5 continuation): one phrase per major
+# script, appended by doc_id%4 (the %4==3 residue stays pure Latin)
+_SCRIPT_CYR = "Привет мир"
+_SCRIPT_CJK = "你好 世界"
+_SCRIPT_ARA = "مرحبا بكم"
+
+
 # NFC plant (r5 continuation, unicode_normalize_udf): decomposed
 # accents (e+U+0301, A+U+030A, o+U+0308), the U+212B ANGSTROM singleton
 # fold, combining-mark canonical REORDERING (dot-above U+0307 typed
@@ -2617,6 +2646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from html_to_document_spark.operators.mixture import hash_split_sql
+    from html_to_document_spark.operators.text_analysis import (
+        SCRIPT_CLASSES as _SCRIPT_CLASSES,
+    )
 
     span = (
         "select doc_id, {off} as offset, {kind} as kind, {text} as text, "
@@ -2768,14 +2800,49 @@ def oracle_sql() -> dict[str, str]:
             "as bigint) as n_syllables, "
             "greatest(len(string_split_regex(trim(rt), '\\s+')), 1) as w "
             "from rd"
+            # script_profile merged in (r5-cont): the IDENTICAL
+            # literal-codepoint char classes replayed in RE2
+            "), sp as (select doc_id, text || case "
+            f"when doc_id % 4 = 0 then ' {_SCRIPT_CYR}' "
+            f"when doc_id % 4 = 1 then ' {_SCRIPT_CJK}' "
+            f"when doc_id % 4 = 2 then ' {_SCRIPT_ARA}' "
+            "else '' end as st from documents"
+            "), spa as (select doc_id, "
+            "length(regexp_replace(st, '\\s+', '', 'g')) "
+            "as n_script_chars, "
+            + ", ".join(
+                f"length(st) - length(regexp_replace(st, "
+                f"'{_SCRIPT_CLASSES[s]}', '', 'g')) as n_{s}"
+                for s in ("latin", "cyrillic", "greek", "arabic", "cjk")
+            )
+            + " from sp"
+            "), spb as (select doc_id, n_script_chars, n_latin, "
+            "n_cyrillic, n_arabic, n_cjk, "
+            "floor(n_cyrillic * 1.0 / greatest(n_script_chars, 1) "
+            "* 10000 + 0.5) / 10000.0 as cyrillic_frac, "
+            "case when greatest(n_latin, n_cyrillic, n_greek, "
+            "n_arabic, n_cjk) = 0 then 'other' "
+            "when n_latin = greatest(n_latin, n_cyrillic, n_greek, "
+            "n_arabic, n_cjk) then 'latin' "
+            "when n_cyrillic = greatest(n_latin, n_cyrillic, n_greek, "
+            "n_arabic, n_cjk) then 'cyrillic' "
+            "when n_greek = greatest(n_latin, n_cyrillic, n_greek, "
+            "n_arabic, n_cjk) then 'greek' "
+            "when n_arabic = greatest(n_latin, n_cyrillic, n_greek, "
+            "n_arabic, n_cjk) then 'arabic' "
+            "else 'cjk' end as dominant_script from spa"
             ") select t.*, f.fp, cast(3 as bigint) as n_links, "
             "cast(2 as bigint) as n_unique_links, "
             "cast(1 as bigint) as n_absolute_links, "
             "rda.n_sentences, rda.n_syllables, "
             "floor((206.835 - 1.015 * (rda.w * 1.0 / rda.n_sentences) "
             "- 84.6 * (rda.n_syllables * 1.0 / rda.w)) * 10000 + 0.5) "
-            "/ 10000.0 as flesch "
-            "from t join f using (doc_id) join rda using (doc_id)"
+            "/ 10000.0 as flesch, "
+            "spb.n_script_chars, spb.n_latin, spb.n_cyrillic, "
+            "spb.n_arabic, spb.n_cjk, spb.cyrillic_frac, "
+            "spb.dominant_script "
+            "from t join f using (doc_id) join rda using (doc_id) "
+            "join spb using (doc_id)"
         ),
         "substring_dedup_ranges": (
             "with v as (select doc_id, case when doc_id % 4 = 1 or "

@@ -436,3 +436,67 @@ def readability_scores(df: "DataFrame", text_col: str = "text") -> "DataFrame":
         _syllable_count(c).cast("long").alias("n_syllables"),
         flesch_col(c).alias("flesch"),
     )
+
+
+# Unicode script ranges as LITERAL char-class strings (BMP core blocks
+# — the ranges that carry the bulk of real web text per script). The
+# class strings are built from literal codepoints, not \u/\x escapes,
+# so the IDENTICAL string is valid in both Java regex (Spark) and RE2
+# (DuckDB) — the same dialect-pinning trick as the control-char scrub.
+SCRIPT_CLASSES = {
+    "latin": "[A-Za-z" + chr(0xC0) + "-" + chr(0x24F) + "]",
+    "cyrillic": "[" + chr(0x400) + "-" + chr(0x4FF) + "]",
+    "greek": "[" + chr(0x370) + "-" + chr(0x3FF) + "]",
+    "arabic": "[" + chr(0x600) + "-" + chr(0x6FF) + "]",
+    # Hiragana+Katakana, CJK ext A, CJK unified, Hangul syllables
+    "cjk": (
+        "[" + chr(0x3040) + "-" + chr(0x30FF)
+        + chr(0x3400) + "-" + chr(0x4DBF)
+        + chr(0x4E00) + "-" + chr(0x9FFF)
+        + chr(0xAC00) + "-" + chr(0xD7AF) + "]"
+    ),
+}
+SCRIPT_ORDER = ("latin", "cyrillic", "greek", "arabic", "cjk")
+
+
+def script_profile(df: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Unicode-script character profile — the lang-ID companion signal
+    for non-space-delimited and non-Latin text (CCNet/fastText-style
+    pipelines route on script before language): per doc, the count of
+    characters in each major script class, the non-whitespace total,
+    per-script fractions (r4-rounded), and the dominant script
+    (highest count; ties and all-zero resolve through the fixed
+    SCRIPT_ORDER, then 'other').
+
+    Counting is ``length(text) - length(regexp_replace(text, class,
+    ''))`` per class — pure JVM codegen, zero shuffle, and the class
+    strings are literal-codepoint ranges valid verbatim in DuckDB's
+    RE2, so the oracle replays the identical patterns (a cross-engine
+    dialect gate). Returns (doc_id, n_script_chars, n_<script>...,
+    <script>_frac..., dominant_script)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    # counts cast to long: the DuckDB oracle's length() is BIGINT and
+    # the driver hash compares raw dtypes
+    total = (
+        F.length(F.regexp_replace(c, r"\s+", "")).cast("long")
+    ).alias("n_script_chars")
+    counts = {
+        name: (
+            F.length(c) - F.length(F.regexp_replace(c, cls, ""))
+        ).cast("long").alias(f"n_{name}")
+        for name, cls in SCRIPT_CLASSES.items()
+    }
+    out = df.select("doc_id", total, *counts.values())
+    tot = F.greatest(F.col("n_script_chars"), F.lit(1))
+    for name in SCRIPT_ORDER:
+        out = out.withColumn(
+            f"{name}_frac",
+            r4(F.col(f"n_{name}").cast("double") / tot.cast("double")),
+        )
+    best = F.greatest(*[F.col(f"n_{s}") for s in SCRIPT_ORDER])
+    dom = F.when(best == 0, F.lit("other"))
+    for name in SCRIPT_ORDER:
+        dom = dom.when(F.col(f"n_{name}") == best, F.lit(name))
+    return out.withColumn("dominant_script", dom)

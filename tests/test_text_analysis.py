@@ -165,3 +165,60 @@ def test_readability_scores(spark):
         .executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from html_to_document_spark.operators.text_analysis import (
+        script_profile,
+    )
+
+    rows = [
+        (0, "hello world"),               # pure latin
+        (1, "Привет мир"),                # cyrillic
+        (2, "你好 世界"),                  # cjk
+        (3, "مرحبا"),                      # arabic
+        (4, "mixed Привет text here"),    # latin-dominant mix
+        (5, "12345 !!!"),                 # no script chars at all
+        (6, "καλημέρα"),                  # greek
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in script_profile(df).collect()}
+    assert got[0]["dominant_script"] == "latin"
+    assert got[0]["n_latin"] == 10 and got[0]["n_script_chars"] == 10
+    assert got[1]["dominant_script"] == "cyrillic"
+    assert got[1]["n_cyrillic"] == 9  # "Приветмир"
+    assert got[2]["dominant_script"] == "cjk" and got[2]["n_cjk"] == 4
+    assert got[3]["dominant_script"] == "arabic"
+    assert got[4]["dominant_script"] == "latin"
+    assert got[4]["n_cyrillic"] == 6
+    assert got[5]["dominant_script"] == "other"
+    assert got[5]["n_latin"] == 0
+    assert got[6]["dominant_script"] == "greek"
+    # fractions r4-rounded and consistent
+    assert got[1]["cyrillic_frac"] == 1.0
+    assert got[4]["latin_frac"] + got[4]["cyrillic_frac"] <= 1.0001
+
+
+def test_script_profile_duckdb_pattern_parity(spark):
+    """The gate's argument at unit scale: the literal-codepoint class
+    strings count identically under Java regex and RE2."""
+    import duckdb
+
+    from html_to_document_spark.operators.text_analysis import (
+        SCRIPT_CLASSES,
+        script_profile,
+    )
+
+    texts = ["abc Привет 你好 مرحبا καλός", "édition française", "漢字かなカナ 한글"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in script_profile(df).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        for name, cls in SCRIPT_CLASSES.items():
+            want = con.execute(
+                "select length(?) - length(regexp_replace(?, ?, '', 'g'))",
+                [t, t, cls],
+            ).fetchone()[0]
+            assert got[i][f"n_{name}"] == want, (i, name)
