@@ -286,6 +286,7 @@ def test_stream_pipeline_fix_encoding(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     moji = "café résumé".encode("utf-8").decode("cp1252")
+    decomp = "A\u030angstro\u0308m"  # decomposed, clean encoding
     corpus = generate_corpus(spark, 10, seed=37, giant_frac=0.0)
     corpus = corpus.withColumn(
         "spans",
@@ -295,7 +296,7 @@ def test_stream_pipeline_fix_encoding(spark, tmp_path):
                 s["kind"].alias("kind"),
                 F.when(
                     s["kind"] == "text",
-                    F.concat(s["text"], F.lit(" " + moji)),
+                    F.concat(s["text"], F.lit(" " + moji + " " + decomp)),
                 ).otherwise(s["text"]).alias("text"),
                 s["media_ref"].alias("media_ref"),
                 s["offset"].alias("offset"),
@@ -303,12 +304,17 @@ def test_stream_pipeline_fix_encoding(spark, tmp_path):
         ),
     )
     corpus.write.parquet(in_path)
+    # unicode_form rides the same run: the stream must repair THEN
+    # compose (batch parity with build_training_pipeline's ordering)
     run_stream_pipeline(spark, in_path, out_path, ckpt,
-                        min_quality=0.0, fix_encoding=True)
+                        min_quality=0.0, fix_encoding=True,
+                        unicode_form="NFC")
     texts = [r.text for r in spark.read.parquet(out_path).collect()]
     assert texts
     assert any("café résumé" in t for t in texts)
     assert all("Ã©" not in t for t in texts)
+    assert any("Ångström" in t for t in texts)  # composed output
+    assert all("\u030a" not in t for t in texts)  # no bare marks left
 
 
 def test_streaming_domain_cap(spark, tmp_path):
