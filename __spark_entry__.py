@@ -1424,9 +1424,12 @@ def q_pdf_extract(spark, sf_dir):
     chunked into 7-word lines, assembled into a real PDF by the
     deterministic writer (variant cycled by doc_id so the gate covers
     literal/hex/TJ strings, Td/Tm line moves, AHx filter, ToUnicode
-    CMaps, object streams, and simple-font /Encoding — a /Differences
-    remap and a named MacRoman base), parsed back by the pure-stdlib
-    reader
+    CMaps, object streams, simple-font /Encoding — a /Differences
+    remap and a named MacRoman base — and a two-column layout drawn
+    right-box-first whose stream order is garbled and only the
+    reading-order pass restores), parsed back by the pure-stdlib
+    reader with ``reading_order=True`` (identity on every
+    single-column variant, so one flag serves the mixed corpus)
     through the reference's <p>-per-line composition, and the spans
     must equal the DuckDB-computed chunks. A writer bug cannot mask a
     reader bug: the oracle derives from the TEXT, not from the PDF."""
@@ -1447,6 +1450,7 @@ def q_pdf_extract(spark, sf_dir):
         dict(objstm=True),
         dict(encoding="differences"),
         dict(encoding="macroman"),
+        dict(layout="twocol"),
     )
 
     def synth(batches):
@@ -1469,7 +1473,7 @@ def q_pdf_extract(spark, sf_dir):
         .select("doc_id", "text")
         .mapInPandas(synth, "doc_id string, content binary")
     )
-    flat = exploded(extract_pdf_spans(pdfs))
+    flat = exploded(extract_pdf_spans(pdfs, reading_order=True))
     return flat.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("offset").cast("int").alias("offset"),

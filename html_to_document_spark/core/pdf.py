@@ -29,6 +29,20 @@ Line model: a new output line starts on T*, ' and ", on Td/TD with a
 vertical component, and on Tm that moves the baseline y. TJ kerning
 gaps below -180/1000 em emit a space (the pdf.js heuristic pdf-parse
 inherits). Pages are joined with a blank line.
+
+Reading order (``reading_order=True``): each line also records the
+text-space (x, y) where its first glyph was placed (Td/TD translate,
+Tm sets, T*/'/" subtract the TL leading; BT resets to the origin).
+A per-page post-pass detects a multi-column layout — the largest gap
+between distinct line-start x values, at least ``_COL_MIN_GAP`` text
+units wide, with >= 2 lines per side and >= 50% vertical overlap
+between the sides — and emits columns left-to-right, each top-down
+(y descending, stream order on ties), recursing once per side so
+three-column pages resolve too. Pages that don't qualify (single
+column, indented blocks, too few lines) keep stream order EXACTLY,
+so the flag is safe to leave on for mixed corpora: it only permutes
+output when the draw order provably disagrees with reading order
+(e.g. a generator that draws the right text box before the left).
 """
 
 from __future__ import annotations
@@ -972,7 +986,8 @@ def _page_lines(
     depth: int = 0,
     sink: dict | None = None,
     init_font: "_Font | None" = None,
-) -> list[str]:
+    with_pos: bool = False,
+) -> list:
     """Interpret one content stream. ``doc``/``xobjects`` enable Form
     XObject recursion (the ``Do`` operator — real-world PDFs routinely
     put body text inside forms); ``sink`` shares the line state across
@@ -982,20 +997,34 @@ def _page_lines(
     decode with the caller's font, spec 8.10)."""
     top = sink is None
     if sink is None:
-        sink = {"lines": [], "cur": [], "started": False}
+        sink = {
+            "lines": [], "cur": [], "started": False,
+            "pos": [], "cur_pos": (0.0, 0.0),
+        }
     lex = _Lexer(content)
     stack: list = []
     font = init_font if init_font is not None else _DEFAULT_FONT
     cur_y: float | None = None
+    # text-space line position for the reading-order post-pass: BT
+    # resets to the origin, Td/TD translate, Tm sets absolutely,
+    # T*/'/" move down by the TL leading. Approximate (no CTM/rotation
+    # math — upright text, the crawl-corpus case), and only CONSULTED
+    # when a column split qualifies, so the approximation can't perturb
+    # single-column output.
+    pos = [0.0, 0.0]
+    leading = [0.0]
 
     def newline() -> None:
         if not sink["started"] and not sink["cur"]:
             return
         sink["lines"].append("".join(sink["cur"]))
+        sink["pos"].append(sink["cur_pos"])
         sink["cur"] = []
 
     def emit(raw) -> None:
         if isinstance(raw, bytes):
+            if not sink["cur"]:
+                sink["cur_pos"] = (pos[0], pos[1])
             sink["started"] = True
             sink["cur"].append(font.decode(raw))
 
@@ -1028,25 +1057,39 @@ def _page_lines(
                         sink["cur"].append(" ")
         elif op in (b"'", b'"'):
             newline()
+            pos[1] -= leading[0]
             if stack:
                 emit(stack[-1])
         elif op == b"T*":
             newline()
+            pos[1] -= leading[0]
         elif op in (b"Td", b"TD"):
             if len(stack) >= 2 and isinstance(stack[-1], (int, float)):
                 if stack[-1] != 0:
                     newline()
+                if isinstance(stack[-2], (int, float)):
+                    pos[0] += float(stack[-2])
+                pos[1] += float(stack[-1])
+                if op == b"TD":
+                    leading[0] = -float(stack[-1])
+        elif op == b"TL":
+            if stack and isinstance(stack[-1], (int, float)):
+                leading[0] = float(stack[-1])
         elif op == b"Tm":
             if len(stack) >= 6 and isinstance(stack[-1], (int, float)):
                 y = float(stack[-1])
                 if cur_y is not None and abs(y - cur_y) > 1e-6:
                     newline()
                 cur_y = y
+                if isinstance(stack[-2], (int, float)):
+                    pos[0] = float(stack[-2])
+                pos[1] = y
         elif op == b"Tf":
             if len(stack) >= 2 and isinstance(stack[-2], _Name):
                 font = fonts.get(stack[-2].name, _DEFAULT_FONT)
         elif op == b"BT":
             cur_y = None
+            pos[0] = pos[1] = 0.0
         elif op == b"BI":
             # inline image: raw binary follows ID up to the delimited
             # EI — must NOT reach the lexer (its bytes can resemble
@@ -1082,8 +1125,69 @@ def _page_lines(
     if top:
         if sink["cur"]:
             sink["lines"].append("".join(sink["cur"]))
+            sink["pos"].append(sink["cur_pos"])
+        if with_pos:
+            return [
+                (x, y, text)
+                for (x, y), text in zip(sink["pos"], sink["lines"])
+            ]
         return sink["lines"]
     return sink["lines"]
+
+
+# --------------------------------------------------------------------
+# reading-order post-pass (multi-column pages)
+# --------------------------------------------------------------------
+
+# minimum x gap (text-space units ~ points) between the rightmost line
+# start of one column and the leftmost of the next. Real two-column
+# gutters on US-Letter/A4 put column starts ~230-300pt apart; paragraph
+# indents and block quotes sit well under 100.
+_COL_MIN_GAP = 100.0
+
+
+def _column_split(recs: list, idx: list, depth: int) -> list:
+    """Recursively split ``idx`` (indices into stream-ordered ``recs``
+    of (x, y, text)) at the largest qualifying x gap; columns emit
+    left-to-right, each y-descending (stream order on ties). Any
+    failed check returns ``idx`` UNCHANGED — the pass only permutes
+    when the layout evidence is unambiguous."""
+    xs = sorted({recs[i][0] for i in idx})
+    if depth >= 2 or len(xs) < 2:
+        if depth == 0:
+            return idx  # single column at top level: stream order
+        return sorted(idx, key=lambda i: (-recs[i][1], i))
+    gap, split_x = 0.0, None
+    for a, b in zip(xs, xs[1:]):
+        if b - a > gap:
+            gap, split_x = b - a, b
+    if gap < _COL_MIN_GAP:
+        if depth == 0:
+            return idx
+        return sorted(idx, key=lambda i: (-recs[i][1], i))
+    left = [i for i in idx if recs[i][0] < split_x]
+    right = [i for i in idx if recs[i][0] >= split_x]
+    if len(left) < 2 or len(right) < 2:
+        return idx
+    ly = [recs[i][1] for i in left]
+    ry = [recs[i][1] for i in right]
+    overlap = min(max(ly), max(ry)) - max(min(ly), min(ry))
+    span = min(max(ly) - min(ly), max(ry) - min(ry))
+    if span <= 0.0 or overlap < 0.5 * span:
+        return idx
+    return (
+        _column_split(recs, left, depth + 1)
+        + _column_split(recs, right, depth + 1)
+    )
+
+
+def _reading_order(recs: list) -> list[str]:
+    """Stream-ordered (x, y, text) records -> text lines in reading
+    order. Pages with fewer than 4 lines can't evidence a 2x2 column
+    layout and keep stream order."""
+    if len(recs) < 4:
+        return [r[2] for r in recs]
+    return [recs[i][2] for i in _column_split(recs, list(range(len(recs))), 0)]
 
 
 # --------------------------------------------------------------------
@@ -1091,9 +1195,12 @@ def _page_lines(
 # --------------------------------------------------------------------
 
 
-def pdf_text_lines(data: bytes) -> list[str]:
+def pdf_text_lines(data: bytes, *, reading_order: bool = False) -> list[str]:
     """Extract text lines from PDF bytes; [] on anything non-PDF or
-    undecodable (encrypted, image-only, corrupt)."""
+    undecodable (encrypted, image-only, corrupt). With
+    ``reading_order=True``, multi-column pages are re-ordered column
+    by column (see module docstring); single-column pages are
+    byte-identical to the default."""
     if not isinstance(data, (bytes, bytearray)) or b"%PDF" not in data[:1024]:
         return []
     # encrypted documents are out of scope: string/stream bytes would
@@ -1111,19 +1218,19 @@ def pdf_text_lines(data: bytes) -> list[str]:
                 continue
             if out:
                 out.append("")  # blank line between pages
-            out.extend(
-                _page_lines(
-                    content,
-                    doc.page_fonts(page),
-                    doc=doc,
-                    xobjects=doc.page_xobjects(page),
-                )
+            lines = _page_lines(
+                content,
+                doc.page_fonts(page),
+                doc=doc,
+                xobjects=doc.page_xobjects(page),
+                with_pos=reading_order,
             )
+            out.extend(_reading_order(lines) if reading_order else lines)
         return out
     except Exception:
         return []
 
 
-def pdf_to_text(data: bytes) -> str:
+def pdf_to_text(data: bytes, *, reading_order: bool = False) -> str:
     """The pdf-parse-shaped surface: one newline-joined text string."""
-    return "\n".join(pdf_text_lines(data))
+    return "\n".join(pdf_text_lines(data, reading_order=reading_order))

@@ -49,18 +49,22 @@ __all__ = ["pdf_paragraph_html", "extract_pdf_spans", "pdfs_to_html"]
 GIANT_PDF_BYTES = 4 * 1024 * 1024
 
 
-def pdf_paragraph_html(data: bytes) -> str:
+def pdf_paragraph_html(data: bytes, *, reading_order: bool = False) -> str:
     """PDF bytes -> ``<p>line</p>…`` exactly as the reference wraps
     pdf-parse output (one trimmed line per paragraph; ``\\r?\\n``
-    split)."""
-    text = pdf_to_text(data)
+    split). ``reading_order`` enables the multi-column layout pass
+    (``core.pdf``): columns emit left-to-right instead of draw order;
+    single-column documents are byte-identical either way."""
+    text = pdf_to_text(data, reading_order=reading_order)
     return "".join(
         "<p>" + line.strip() + "</p>"
         for line in text.replace("\r\n", "\n").split("\n")
     )
 
 
-def _arrow_pdf_fn(options: ExtractOptions, pdf_col: str):
+def _arrow_pdf_fn(
+    options: ExtractOptions, pdf_col: str, reading_order: bool = False
+):
     import pyarrow as pa
 
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -69,7 +73,9 @@ def _arrow_pdf_fn(options: ExtractOptions, pdf_col: str):
             payloads = batch.column(pdf_col).to_pylist()
             spans = [
                 extract_document(
-                    pdf_paragraph_html(p) if p is not None else "", options
+                    pdf_paragraph_html(p, reading_order=reading_order)
+                    if p is not None else "",
+                    options,
                 )
                 for p in payloads
             ]
@@ -88,6 +94,7 @@ def extract_pdf_spans(
     giant_bytes: int = GIANT_PDF_BYTES,
     salt_seed: int = 42,
     giant_pool_factor: int = 1,
+    reading_order: bool = False,
 ) -> "DataFrame":
     """(doc_id, <binary pdf>) -> (doc_id, spans).
 
@@ -108,12 +115,13 @@ def extract_pdf_spans(
         F.col(pdf_col).alias(pdf_col),
     )
     schema = META_OUTPUT_SCHEMA if options.with_meta else OUTPUT_SCHEMA
+    fn = _arrow_pdf_fn(options, pdf_col, reading_order)
     if num_partitions is None:
-        return flat.mapInArrow(_arrow_pdf_fn(options, pdf_col), schema)
+        return flat.mapInArrow(fn, schema)
     return balanced_map_in_arrow(
         flat,
         pdf_col,
-        _arrow_pdf_fn(options, pdf_col),
+        fn,
         schema,
         num_partitions=num_partitions,
         giant_bytes=giant_bytes,
@@ -125,6 +133,8 @@ def extract_pdf_spans(
 def pdfs_to_html(
     df: "DataFrame",
     pdf_col: str = "content",
+    *,
+    reading_order: bool = False,
 ) -> "DataFrame":
     """Replace the binary ``pdf_col`` with an ``html`` string column
     (the ``<p>``-wrapped text), keeping all other columns.
@@ -144,7 +154,8 @@ def pdfs_to_html(
         for pdf in batches:
             out = pdf[other].copy()
             out["html"] = [
-                pdf_paragraph_html(bytes(p)) if p is not None else ""
+                pdf_paragraph_html(bytes(p), reading_order=reading_order)
+                if p is not None else ""
                 for p in pdf[pdf_col]
             ]
             yield out

@@ -98,10 +98,15 @@ def _content_stream(
     two_byte: bool,
     charmap: dict[str, int] | None,
     byte_enc=None,
+    layout: str | None = None,
 ) -> bytes:
     """Build one page's BT..ET text block. ``byte_enc`` overrides the
     default cp1252 text->bytes encoding for simple-font variants
-    (MacRoman base encoding, /Differences remaps)."""
+    (MacRoman base encoding, /Differences remaps). ``layout="twocol"``
+    splits the page's lines into two columns (first half left, second
+    half right) and draws the RIGHT text box before the left one —
+    the DTP-generator draw order that garbles stream-order extraction
+    and requires the reader's ``reading_order`` pass to restore."""
     ops: list[bytes] = [b"BT", b"/F1 12 Tf"]
     if byte_enc is None:
         def byte_enc(s: str) -> bytes:
@@ -115,6 +120,16 @@ def _content_stream(
         if string_mode == "hex":
             return b"<" + byte_enc(s).hex().upper().encode() + b">"
         return b"(" + _esc_literal(byte_enc(s)) + b")"
+
+    if layout == "twocol" and len(lines) >= 4:
+        half = (len(lines) + 1) // 2
+        columns = ((340, lines[half:]), (72, lines[:half]))
+        for x, col in columns:
+            for r, line in enumerate(col):
+                ops.append(b"1 0 0 1 %d %d Tm" % (x, 720 - 14 * r))
+                ops.append(encode_string(line) + b" Tj")
+        ops.append(b"ET")
+        return b"\n".join(ops)
 
     for i, line in enumerate(lines):
         if line_op == "Tm":
@@ -171,6 +186,7 @@ def make_pdf(
     tounicode: bool = False,
     objstm: bool = False,
     encoding: str | None = None,
+    layout: str | None = None,
 ) -> bytes:
     """Assemble a complete PDF whose extracted text is exactly
     ``pages`` (one list of lines per page; pages joined downstream
@@ -187,6 +203,11 @@ def make_pdf(
     (indirect /Encoding dict with a /Differences remap — content
     bytes deliberately differ from cp1252 so a reader that ignores
     the table extracts garbage).
+    layout: None | "twocol" (pages with >= 4 lines draw as two
+    columns, RIGHT text box first, so stream-order extraction yields
+    the columns swapped and only a reading-order-aware reader
+    recovers ``pages`` verbatim; shorter pages fall back to the
+    normal single-column path).
     """
     assert not (tounicode and encoding), "tounicode excludes encoding"
     charmap: dict[str, int] | None = None
@@ -263,6 +284,7 @@ def make_pdf(
             two_byte=tounicode,
             charmap=charmap,
             byte_enc=byte_enc,
+            layout=layout,
         )
         objects[content_base + i] = stream_obj(b"", payload, filter)
 

@@ -369,6 +369,22 @@ if _HAS_HYP:
             want.extend(p)
         assert got == want
 
+    @settings(max_examples=60, deadline=None)
+    @given(pages=st.lists(_page, min_size=1, max_size=3))
+    def test_property_twocol_reading_order(pages):
+        """reading_order=True round-trips the twocol writer verbatim
+        for ANY page mix (>= 4-line pages draw two columns right box
+        first; shorter pages fall back to single column)."""
+        got = pdf_text_lines(
+            make_pdf(pages, layout="twocol"), reading_order=True
+        )
+        want = []
+        for i, p in enumerate(pages):
+            if i:
+                want.append("")
+            want.extend(p)
+        assert got == want
+
 
 def test_differences_garbled_without_table():
     """The /Differences writer deliberately remaps bytes away from
@@ -535,3 +551,105 @@ def test_form_inherits_callers_font():
     # must produce 'B' too — not a cp1252 '\x00A' mojibake
     lines = pdf_text_lines(b"".join(parts))
     assert lines == ["B", "B"]
+
+
+# ---------------------------------------------------------------------------
+# reading order (multi-column layout)
+# ---------------------------------------------------------------------------
+
+
+_TWOCOL_LINES = [
+    "left one alpha", "left two beta", "left three gamma",
+    "right one delta", "right two epsilon",
+]
+
+
+def test_twocol_garbled_without_reading_order():
+    """The twocol writer draws the RIGHT text box before the left, so
+    stream-order extraction yields the columns swapped — the
+    garbled-before half of the fixture."""
+    pdf = make_pdf([_TWOCOL_LINES], layout="twocol")
+    got = pdf_text_lines(pdf)
+    # first half (3 lines) is the left column, drawn second
+    assert got == _TWOCOL_LINES[3:] + _TWOCOL_LINES[:3]
+    assert got != _TWOCOL_LINES
+
+
+def test_twocol_reading_order_restores():
+    pdf = make_pdf([_TWOCOL_LINES], layout="twocol")
+    assert pdf_text_lines(pdf, reading_order=True) == _TWOCOL_LINES
+
+
+def test_twocol_multipage_and_short_page_fallback():
+    short = ["only", "three", "lines"]  # < 4: writer falls back
+    pdf = make_pdf([_TWOCOL_LINES, short], layout="twocol")
+    assert (
+        pdf_text_lines(pdf, reading_order=True)
+        == _TWOCOL_LINES + [""] + short
+    )
+    # the short page is single-column in BOTH modes
+    assert pdf_text_lines(pdf)[-3:] == short
+
+
+@pytest.mark.parametrize(
+    "kw", VARIANTS, ids=[f"ro-{v}" for v in VARIANTS]
+)
+def test_reading_order_identity_on_single_column(kw):
+    """Every single-column variant must be byte-identical with the
+    flag on — the property that makes reading_order=True safe as a
+    corpus-wide default."""
+    pdf = make_pdf(PAGES, **kw)
+    assert pdf_text_lines(pdf, reading_order=True) == pdf_text_lines(pdf)
+
+
+def test_reading_order_guards():
+    """_reading_order only permutes on unambiguous column evidence."""
+    from html_to_document_spark.core.pdf import _reading_order
+
+    # three columns drawn right-to-left: two nested splits recover
+    # left-to-right, top-down order
+    recs = []
+    for x, tag in ((500, "c"), (290, "b"), (72, "a")):
+        for r in range(2):
+            recs.append((float(x), 720.0 - 14 * r, f"{tag}{r}"))
+    assert _reading_order(recs) == ["a0", "a1", "b0", "b1", "c0", "c1"]
+
+    # paragraph indent (gap below _COL_MIN_GAP): stream order kept
+    recs = [
+        (90.0, 720.0, "indented first"),
+        (72.0, 706.0, "body one"),
+        (90.0, 692.0, "indented again"),
+        (72.0, 678.0, "body two"),
+    ]
+    assert _reading_order(recs) == [r[2] for r in recs]
+
+    # disjoint y ranges (a shifted block BELOW the first, not a
+    # column beside it): stream order kept
+    recs = [
+        (72.0, 720.0, "top a"), (72.0, 706.0, "top b"),
+        (400.0, 300.0, "low a"), (400.0, 286.0, "low b"),
+    ]
+    assert _reading_order(recs) == [r[2] for r in recs]
+
+    # one lone line on the right (< 2 per side): stream order kept
+    recs = [
+        (72.0, 720.0, "a"), (72.0, 706.0, "b"),
+        (72.0, 692.0, "c"), (400.0, 720.0, "page number"),
+    ]
+    assert _reading_order(recs) == [r[2] for r in recs]
+
+    # fewer than 4 lines: stream order kept
+    recs = [(400.0, 720.0, "x"), (72.0, 720.0, "y")]
+    assert _reading_order(recs) == ["x", "y"]
+
+
+def test_paragraph_html_reading_order_passthrough():
+    pdf = make_pdf([["a b", "c d", "e f", "g h"]], layout="twocol")
+    assert (
+        pdf_paragraph_html(pdf, reading_order=True)
+        == "<p>a b</p><p>c d</p><p>e f</p><p>g h</p>"
+    )
+    assert (
+        pdf_paragraph_html(pdf)
+        == "<p>e f</p><p>g h</p><p>a b</p><p>c d</p>"
+    )
