@@ -1881,10 +1881,60 @@ def q_windowed_counts(spark, sf_dir):
 
 def q_media_catalog(spark, sf_dir):
     """media_ref type normalization (S5 data-URI sniff / F8 type parse)
-    over a deterministic media_ref column."""
+    over a deterministic media_ref column.
+
+    r5 continuation: the row also gates crawl charset sniffing
+    (``sources.warc.sniff_decode`` — BOM / declaration / meta prescan /
+    UTF-8-first heuristic). Six arms by doc_id%6 ENCODE the doc text
+    plus a non-ASCII suffix into real legacy bytes (BOM'd UTF-8,
+    declared cp1252, meta-declared Shift_JIS, undeclared cp1252,
+    BOM'd UTF-16-LE, and a STALE iso-8859-1 declaration on UTF-8
+    bytes that the UTF-8-first rule must override); the decoded text
+    and codec must equal the construction ground truth the oracle
+    emits — the documents table is verified printable-ASCII, so every
+    suffix byte is the writer's own."""
+    import pandas as pd
+
     from html_to_document_spark.functions.scalars import image_type_col
+    from html_to_document_spark.sources.warc import sniff_decode
+
+    def synth(batches):
+        for pdf in batches:
+            ids, texts, encs = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                arm = int(did) % 6
+                if arm == 0:
+                    body = b"\xef\xbb\xbf" + (text + " — d\xe9j\xe0 vu").encode("utf-8")
+                    declared = None
+                elif arm == 1:
+                    body = (text + " caf\xe9 cr\xe8me").encode("cp1252")
+                    declared = "windows-1252"
+                elif arm == 2:
+                    body = (
+                        "<meta charset=shift_jis>" + text + " 日本語"
+                    ).encode("shift_jis")
+                    declared = None
+                elif arm == 3:
+                    body = (text + " caf\xe9").encode("cp1252")
+                    declared = None
+                elif arm == 4:
+                    body = b"\xff\xfe" + (text + " \xfcn\xefc\xf8de").encode("utf-16-le")
+                    declared = None
+                else:
+                    body = (text + " na\xefve").encode("utf-8")
+                    declared = "iso-8859-1"  # stale: UTF-8 must win
+                out_text, enc = sniff_decode(body, declared)
+                ids.append(int(did))
+                texts.append(out_text)
+                encs.append(enc)
+            yield pd.DataFrame(
+                {"doc_id": ids, "decoded_text": texts, "enc_used": encs}
+            )
 
     d = _docs(spark, sf_dir)
+    decoded = d.select("doc_id", "text").mapInPandas(
+        synth, "doc_id long, decoded_text string, enc_used string"
+    )
     ref = (
         F.when(F.col("doc_id") % 4 == 0,
                F.concat(F.lit("http://img/"), F.col("doc_id").cast("string"),
@@ -1899,7 +1949,7 @@ def q_media_catalog(spark, sf_dir):
     return d.select(
         "doc_id", ref.alias("media_ref"),
         image_type_col(ref).alias("media_type"),
-    )
+    ).join(decoded, "doc_id")
 
 
 def q_jaccard_verify(spark, sf_dir):
@@ -3646,11 +3696,26 @@ def oracle_sql() -> dict[str, str]:
             "from events group by 1, 2"
         ),
         "media_catalog": (
+            # decoded_text/enc_used: construction ground truth for the
+            # charset-sniff arms — the suffixes and codec names are
+            # exactly what the writer plants per doc_id%6
             "select doc_id, media_ref, case "
             "when media_ref like 'http://img/%' then 'png' "
             "when media_ref like 'data:image/jpeg%' then 'jpg' "
-            "else NULL end as media_type from ("
-            "select doc_id, case "
+            "else NULL end as media_type, "
+            "case doc_id % 6 "
+            "when 0 then text || ' — déjà vu' "
+            "when 1 then text || ' café crème' "
+            "when 2 then '<meta charset=shift_jis>' || text || ' 日本語' "
+            "when 3 then text || ' café' "
+            "when 4 then text || ' ünïcøde' "
+            "else text || ' naïve' end as decoded_text, "
+            "case doc_id % 6 "
+            "when 0 then 'utf-8' when 1 then 'cp1252' "
+            "when 2 then 'shift_jis' when 3 then 'cp1252' "
+            "when 4 then 'utf-16-le' else 'utf-8' end as enc_used "
+            "from ("
+            "select doc_id, text, case "
             "when doc_id % 4 = 0 then 'http://img/' || cast(doc_id as varchar) || '.PNG' "
             "when doc_id % 4 = 1 then 'data:image/jpeg;base64,' || source "
             "when doc_id % 4 = 2 then 'files/' || cast(doc_id as varchar) || '.webp' "

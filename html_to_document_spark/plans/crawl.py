@@ -58,6 +58,7 @@ def build_crawl_pipeline(
     text_join: str = "space",
     host_template_min_docs: int | None = None,
     line_dedup: bool = False,
+    sniff_charset: bool = False,
 ) -> "DataFrame":
     """WARC files -> curated training corpus.
 
@@ -82,7 +83,16 @@ def build_crawl_pipeline(
     )
     from html_to_document_spark.sources.warc import read_warc
 
-    docs = read_warc(spark, warc_path, binary_types=pdf_types)
+    # sniff_charset: decode legacy-encoded pages via the WHATWG
+    # encoding sniff at INGEST — a page replace-mangled here is
+    # unrepairable downstream (fix_mojibake only handles utf-8-bytes-
+    # misdecoded text, not bytes destroyed by a wrong decode)
+    docs = read_warc(
+        spark, warc_path, binary_types=pdf_types,
+        sniff_charset=sniff_charset,
+    )
+    if sniff_charset:
+        docs = docs.drop("encoding")
     if blocklist is not None:
         docs = filter_blocked_domains(docs, blocklist)
     if robots is not None:

@@ -153,3 +153,132 @@ def test_http_content_type_used_when_no_identified_payload(spark, tmp_path):
         + payload.replace(b"application/pdf",
                           b"text/html; charset=UTF-8 ") + b"\r\n\r\n")
     assert recs[0][2] == "text/html"
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing
+# ---------------------------------------------------------------------------
+
+
+def _http_record(rid, uri, payload: bytes, ctype: str) -> bytes:
+    body = (f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n").encode() \
+        + payload
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Type: application/http\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + body + b"\r\n\r\n"
+
+
+def test_sniff_decode_precedence():
+    from html_to_document_spark.sources.warc import sniff_decode
+
+    # BOM wins over everything, including a lying declaration
+    assert sniff_decode(
+        b"\xef\xbb\xbf<p>caf\xc3\xa9</p>", "shift_jis"
+    ) == ("<p>café</p>", "utf-8")
+    assert sniff_decode("hé".encode("utf-16"), None)[0] == "hé"  # LE BOM
+    assert sniff_decode(
+        b"\xfe\xff" + "hé".encode("utf-16-be"), None
+    ) == ("hé", "utf-16-be")
+
+    # transport declaration decodes legacy bytes
+    text, enc = sniff_decode(b"caf\xe9 au lait", "windows-1252")
+    assert (text, enc) == ("café au lait", "cp1252")
+    # iso-8859-1 folds into cp1252 (WHATWG): 0x93/0x94 are smart quotes
+    text, enc = sniff_decode(b"\x93x\x94", "iso-8859-1")
+    assert (text, enc) == ("“x”", "cp1252")
+
+    # meta prescan (both forms), only within the first 1024 bytes
+    body = (b"<html><head><meta charset=shift_jis></head>"
+            + "<p>日本語</p>".encode("shift_jis"))
+    assert sniff_decode(body, None) == (
+        body.decode("shift_jis"), "shift_jis")
+    body = (b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=EUC-JP">'
+            + "円".encode("euc-jp"))
+    assert sniff_decode(body, None)[0].endswith("円")
+    far = b"<p>" + b"x" * 1100 + b'<meta charset="shift_jis">ascii only'
+    assert sniff_decode(far, None)[1] == "utf-8"  # meta outside window
+
+    # gb2312 label maps to the GBK superset
+    text, enc = sniff_decode(
+        "中文".encode("gbk"), "gb2312")
+    assert (text, enc) == ("中文", "gbk")
+
+    # a lying declaration falls through to the heuristic, not mangle
+    utf8_body = "naïve résumé".encode("utf-8")
+    assert sniff_decode(utf8_body, "utf-8") == ("naïve résumé", "utf-8")
+    text, enc = sniff_decode(utf8_body, "ascii")
+    assert (text, enc) == ("naïve résumé", "utf-8")
+
+    # undeclared: strict utf-8 first, cp1252 fallback for legacy bytes
+    assert sniff_decode(b"plain ascii", None) == ("plain ascii", "utf-8")
+    assert sniff_decode(b"caf\xe9", None) == ("café", "cp1252")
+    # cp1252 holes (0x81 etc.) fall through to latin-1, never raise
+    text, enc = sniff_decode(b"\x81\xe9", None)
+    assert enc == "latin-1" and len(text) == 2
+
+    # unknown label is treated as undeclared
+    assert sniff_decode(b"caf\xe9", "klingon-8") == ("café", "cp1252")
+
+
+def test_read_warc_sniff_charset_end_to_end(spark, tmp_path):
+    data = b"".join([
+        _http_record("e1", "http://a.example/1",
+                     "<p>café UTF-8 fällt zusammen</p>".encode("utf-8"),
+                     "text/html"),
+        _http_record("e2", "http://a.example/2",
+                     "<p>café légacy</p>".encode("cp1252"),
+                     "text/html; charset=windows-1252"),
+        _http_record("e3", "http://a.example/3",
+                     b"<meta charset=shift_jis><p>"
+                     + "日本語ページ".encode("shift_jis") + b"</p>",
+                     "text/html"),
+        _http_record("e4", "http://a.example/4",
+                     "<p>sans déclaration</p>".encode("cp1252"),
+                     "text/html"),
+    ])
+    (tmp_path / "enc.warc").write_bytes(data)
+
+    df = read_warc(spark, str(tmp_path), sniff_charset=True)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows["urn:uuid:e1"]["html"] == "<p>café UTF-8 fällt zusammen</p>"
+    assert rows["urn:uuid:e1"]["encoding"] == "utf-8"
+    assert rows["urn:uuid:e2"]["html"] == "<p>café légacy</p>"
+    assert rows["urn:uuid:e2"]["encoding"] == "cp1252"
+    assert "日本語ページ" in rows["urn:uuid:e3"]["html"]
+    assert rows["urn:uuid:e3"]["encoding"] == "shift_jis"
+    assert rows["urn:uuid:e4"]["html"] == "<p>sans déclaration</p>"
+    assert rows["urn:uuid:e4"]["encoding"] == "cp1252"
+
+    # default path unchanged: blanket utf-8 with replacement chars
+    legacy = read_warc(spark, str(tmp_path)).collect()
+    by_id = {r["doc_id"]: r["html"] for r in legacy}
+    assert "�" in by_id["urn:uuid:e2"]
+    assert "encoding" not in read_warc(spark, str(tmp_path)).columns
+
+
+def test_crawl_pipeline_sniff_charset(spark, tmp_path):
+    from html_to_document_spark.plans.crawl import build_crawl_pipeline
+
+    body = ("<p>the café owner said this and that about the menu and "
+            "was not in the least concerned with the other details of "
+            "the day because the café was always busy</p>"
+            ).encode("cp1252")
+    (tmp_path / "c.warc").write_bytes(b"".join([
+        _http_record("p1", "http://ok.example/a", body,
+                     "text/html; charset=windows-1252"),
+    ]))
+    out = build_crawl_pipeline(
+        spark, str(tmp_path),
+        num_partitions=2, keep_langs=("en",), min_quality=-1.0,
+        pii_scrub=False, sniff_charset=True,
+    ).collect()
+    assert len(out) == 1
+    assert "café owner" in out[0]["text"]
