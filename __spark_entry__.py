@@ -77,23 +77,35 @@ def q_extract_multi_block(spark, sf_dir):
     planted boilerplate subtrees (a classed sidebar div wrapping a
     block, an id-matched comment paragraph) must vanish WITHOUT
     shifting any surviving span or offset, so the pre-existing oracle
-    is unchanged and any pruning/offset bug hash-fails the row."""
+    is unchanged and any pruning/offset bug hash-fails the row.
+
+    r5 continuation 2: crawl img-src resolution (img_src_crawl) — a
+    lazy-load img (1px placeholder in src, the real ref in data-src)
+    and a srcset img (the 960w candidate must beat 480w) are planted
+    after the plain img, whose plain src must stay untouched with the
+    flag ON; expected refs are construction ground truth."""
     from html_to_document_spark.core.extract import UNLIKELY_CLASS_RE
 
+    did = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<h1>"), F.col("source"), F.lit("</h1>"),
         F.lit('<div class="sidebar"><p>BOILER-'),
-        F.col("doc_id").cast("string"), F.lit("</p></div>"),
+        did, F.lit("</p></div>"),
         F.lit('<nav><a href="/x">menu</a></nav>'),
         F.lit("<p>"), F.col("text"), F.lit("</p>"),
         F.lit('<p id="comment-9">BOILER-TAIL</p>'),
         F.lit("<script>var x=1;</script>"),
-        F.lit('<img src="media://'), F.col("doc_id").cast("string"), F.lit('">'),
+        F.lit('<img src="media://'), did, F.lit('">'),
+        F.lit('<img src="ph.gif" data-src="lazy://'), did, F.lit('">'),
+        F.lit('<img src="low.jpg" srcset="s://'), did,
+        F.lit('-a 480w, s://'), did, F.lit('-b 960w">'),
         F.lit("<hr>"),
     )
     return _extract_exploded(
         _with_html(_docs(spark, sf_dir), html),
-        ExtractOptions(drop_class_re=UNLIKELY_CLASS_RE),
+        ExtractOptions(
+            drop_class_re=UNLIKELY_CLASS_RE, img_src_crawl=True
+        ),
     )
 
 
@@ -2723,7 +2735,17 @@ def oracle_sql() -> dict[str, str]:
                     text=null_s,
                     ref="'media://' || cast(doc_id as varchar)",
                 ),
-                span.format(off="cast(3 as int)", kind="'text'", text="''", ref=null_s),
+                span.format(
+                    off="cast(3 as int)", kind="'image'",
+                    text=null_s,
+                    ref="'lazy://' || cast(doc_id as varchar)",
+                ),
+                span.format(
+                    off="cast(4 as int)", kind="'image'",
+                    text=null_s,
+                    ref="'s://' || cast(doc_id as varchar) || '-b'",
+                ),
+                span.format(off="cast(5 as int)", kind="'text'", text="''", ref=null_s),
             ]
         ),
         "extract_table_linearize": (

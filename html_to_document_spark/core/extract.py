@@ -130,6 +130,13 @@ class ExtractOptions:
     # display:none. None (default) disables. UNLIKELY_CLASS_RE is a
     # ready-made pattern for the classic crawl boilerplate classes.
     drop_class_re: str | None = None
+    # crawl-realistic image source resolution: lazy-load data-src
+    # variants win over srcset (largest w-, then x-descriptor
+    # candidate), which wins over src. Off by default — the reference
+    # reads src only (parser.ts img branch), and the goldens pin that;
+    # real crawl pages put a 1px placeholder in src and the actual
+    # image in data-src/srcset, so a training corpus wants this ON.
+    img_src_crawl: bool = False
     # execution strategy: "stream" (fused single-pass walker, default)
     # or "tree" (the executable specification) — the A/B knob for
     # attributing perf deltas; both produce identical spans
@@ -138,6 +145,54 @@ class ExtractOptions:
 
 
 DEFAULT_OPTIONS = ExtractOptions()
+
+
+# lazy-load attribute conventions, most-specific first (the
+# trafilatura/readability crawl heuristic set)
+_LAZY_SRC_ATTRS = ("data-src", "data-lazy-src", "data-original")
+
+
+def resolve_img_src(attrs: dict | None, crawl: bool = False) -> str | None:
+    """The media_ref an ``<img>`` contributes. Default (reference
+    parity, parser.ts img branch): the ``src`` attribute verbatim.
+    ``crawl=True`` (``ExtractOptions.img_src_crawl``): lazy-load
+    attributes win, then the largest ``srcset``/``data-srcset``
+    candidate (by ``w`` descriptor, then ``x`` density, then src-order
+    for descriptor-less ties), then ``src`` — real pages ship a 1px
+    placeholder in ``src`` and the bytes worth training on elsewhere.
+    Candidate split is on commas; crawl srcset URLs with embedded
+    commas (data URIs) are not supported — they take the src path."""
+    if not attrs:
+        return None
+    if not crawl:
+        return attrs.get("src")
+    for a in _LAZY_SRC_ATTRS:
+        v = attrs.get(a)
+        if v and v.strip():
+            return v.strip()
+    srcset = attrs.get("srcset") or attrs.get("data-srcset")
+    if srcset:
+        best_url: str | None = None
+        best_key = (-1.0, -1.0)
+        for cand in srcset.split(","):
+            parts = cand.split()
+            if not parts:
+                continue
+            url, w, x = parts[0], 0.0, 0.0
+            for d in parts[1:]:
+                d = d.lower()
+                try:
+                    if d.endswith("w"):
+                        w = float(d[:-1])
+                    elif d.endswith("x"):
+                        x = float(d[:-1])
+                except ValueError:
+                    pass
+            if (w, x) > best_key:
+                best_key, best_url = (w, x), url
+        if best_url:
+            return best_url
+    return attrs.get("src")
 
 
 def resolve_plugins(
@@ -249,7 +304,7 @@ class _Walker:
     __slots__ = (
         "opts", "sheet", "spans", "chunk", "a_depth", "link_chars",
         "meta_mode", "chunk_meta", "chunk_href", "chunk_tag_n",
-        "_kind_map", "_drop_re",
+        "_kind_map", "_drop_re", "img_crawl",
     )
 
     def __init__(self, opts: ExtractOptions, sheet: _css.Stylesheet | None):
@@ -261,6 +316,7 @@ class _Walker:
         self.a_depth = 0
         self.link_chars = 0
         self.meta_mode = opts.with_meta
+        self.img_crawl = opts.img_src_crawl
         self.chunk_meta: dict | None = None  # block context for the chunk
         self.chunk_href: str | None = None
         self.chunk_tag_n = 0  # inline elements merged into the chunk
@@ -360,7 +416,8 @@ class _Walker:
                 self._add_text("\n")
             elif kind == "img":
                 self._flush()
-                self._emit(IMAGE, None, (attrs or {}).get("src"),
+                self._emit(IMAGE, None,
+                           resolve_img_src(attrs, self.img_crawl),
                            self._img_meta(attrs))
             else:
                 self._flush()
@@ -389,7 +446,8 @@ class _Walker:
                 self._add_text("\n")
             elif kind == "img":
                 self._flush()
-                self._emit(IMAGE, None, (cattrs or {}).get("src"),
+                self._emit(IMAGE, None,
+                           resolve_img_src(cattrs, self.img_crawl),
                            self._img_meta(cattrs))
             else:
                 self._flush()
@@ -465,7 +523,8 @@ class _Walker:
                 self._add_text("\n")
             elif kind == "img":
                 self._flush()
-                self._emit(IMAGE, None, (cattrs or {}).get("src"),
+                self._emit(IMAGE, None,
+                           resolve_img_src(cattrs, self.img_crawl),
                            self._img_meta(cattrs))
             else:
                 self._flush()
@@ -513,7 +572,8 @@ class _Walker:
                 self._add_text("\n")
             elif kind == "img":
                 self._flush()
-                self._emit(IMAGE, None, (cattrs or {}).get("src"),
+                self._emit(IMAGE, None,
+                           resolve_img_src(cattrs, self.img_crawl),
                            self._img_meta(cattrs))
             elif kind == "paragraph" and ctag == "p":
                 # inlineParagraphs: '\n' before when non-first, non-empty,

@@ -72,6 +72,7 @@ from html_to_document_spark.core.extract import (
     _DEFAULT_KIND_MAP,
     _linearize_grid,
     _span_int,
+    resolve_img_src,
 )
 from html_to_document_spark.core.minify import (
     _BLOCK_TAGS,
@@ -228,6 +229,7 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
     - ``wfinish() -> spans``: EOF unwind + final flush
     """
     meta_mode = opts.with_meta
+    img_crawl = opts.img_src_crawl
     kind_map = (
         _SHARED_DEFAULT_MAP if opts is DEFAULT_OPTIONS
         else _build_kind_map(opts)
@@ -761,7 +763,8 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
                 return
             if kind == "img":
                 flush()
-                emit(IMAGE, None, (attrs or {}).get("src"), img_meta(attrs))
+                emit(IMAGE, None, resolve_img_src(attrs, img_crawl),
+                 img_meta(attrs))
                 return
             if rawtext:
                 raise StreamFallback(tag)
@@ -824,7 +827,8 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
             return
         if kind == "img":
             flush()
-            emit(IMAGE, None, (attrs or {}).get("src"), img_meta(attrs))
+            emit(IMAGE, None, resolve_img_src(attrs, img_crawl),
+                 img_meta(attrs))
             return
         if rawtext:
             raise StreamFallback(tag)

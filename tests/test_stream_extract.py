@@ -58,9 +58,10 @@ OVERRIDE_OPTS = ExtractOptions(
 CLASSDROP_OPTS = ExtractOptions(
     drop_class_re=r"sidebar|comment|menu|promo"
 )
+IMGCRAWL_OPTS = ExtractOptions(img_src_crawl=True, with_meta=True)
 
 ALL_OPTS = [DEFAULT_OPTIONS, META_OPTS, BOILER_OPTS, UNDROP_OPTS,
-            OVERRIDE_OPTS, CLASSDROP_OPTS]
+            OVERRIDE_OPTS, CLASSDROP_OPTS, IMGCRAWL_OPTS]
 
 CASES = [
     # chunking + block boundaries
@@ -70,6 +71,10 @@ CASES = [
     # breaks, images, rules
     "a<br>b<br/><img src='m://1' alt='pic'>c<hr>d",
     "<p>x<img src=only></p>",
+    # crawl img-src resolution (lazy-load / srcset) — identity unless
+    # img_src_crawl is on
+    "<img src=ph.gif data-src=real.jpg><img src=a srcset='x 1x, y 2x'>",
+    "<p>t<img srcset='a.jpg 480w, b.jpg 960w'>u</p><img data-srcset='m 2x'>",
     # lists: nesting, inlined paragraphs, breaks, empty items
     "<ul><li>one</li><li><p>para</p></li><li>pre<p>mid</p>post</li></ul>",
     "<ol><li>a<ul><li>deep</li></ul>tail</li><li></li></ol>",
@@ -195,7 +200,8 @@ CASES = [
 
 
 @pytest.mark.parametrize("opts", ALL_OPTS, ids=[
-    "default", "meta", "boilerplate", "undrop", "overrides", "classdrop"])
+    "default", "meta", "boilerplate", "undrop", "overrides", "classdrop",
+    "imgcrawl"])
 def test_stream_matches_tree_on_cases(opts):
     for html in CASES:
         expected = tree_extract(html, opts)
@@ -248,7 +254,8 @@ PIECES = [
 
 
 @pytest.mark.parametrize("opts", ALL_OPTS, ids=[
-    "default", "meta", "boilerplate", "undrop", "overrides", "classdrop"])
+    "default", "meta", "boilerplate", "undrop", "overrides", "classdrop",
+    "imgcrawl"])
 def test_stream_matches_tree_fuzz(opts):
     """Differential fuzz: random tag soup (unbalanced, nested, hostile)
     must extract identically through both strategies."""
@@ -328,3 +335,31 @@ def test_shared_kind_map_is_capped():
     finally:
         se._SHARED_DEFAULT_MAP.clear()
         se._SHARED_DEFAULT_MAP.update(before)
+
+
+def test_resolve_img_src_rules():
+    from html_to_document_spark.core.extract import resolve_img_src as r
+
+    assert r(None) is None and r(None, crawl=True) is None
+    assert r({"src": "a"}) == "a"
+    # crawl=False ignores everything but src (reference parity)
+    assert r({"src": "a", "data-src": "b"}) == "a"
+    # lazy-load priority order, trimmed
+    assert r({"src": "a", "data-src": " b "}, crawl=True) == "b"
+    assert r({"data-lazy-src": "c", "src": "a"}, crawl=True) == "c"
+    assert r({"data-original": "d"}, crawl=True) == "d"
+    assert r({"data-src": "", "src": "a"}, crawl=True) == "a"
+    # srcset: largest w wins over any x; x breaks w-less ties
+    assert r(
+        {"src": "s", "srcset": "a.jpg 480w, b.jpg 960w, c.jpg 2x"},
+        crawl=True,
+    ) == "b.jpg"
+    assert r({"srcset": "x 1x, y 2x"}, crawl=True) == "y"
+    # descriptor-less candidates: first wins (key ties at (0,0))
+    assert r({"srcset": "p, q"}, crawl=True) == "p"
+    # malformed descriptors are ignored, not fatal
+    assert r({"srcset": "a 12qw, b 7w"}, crawl=True) == "b"
+    # empty/whitespace-only entries skipped; all-empty falls to src
+    assert r({"srcset": " , ", "src": "s"}, crawl=True) == "s"
+    # data-srcset honored when srcset is absent
+    assert r({"data-srcset": "m 100w, n 300w"}, crawl=True) == "n"
