@@ -1079,6 +1079,7 @@ def q_url_filter_blocked(spark, sf_dir):
         domain_share_flags,
         flag_blocked_domains,
         normalize_url_col,
+        resolve_href_col,
     )
 
     d = _docs(spark, sf_dir)
@@ -1310,6 +1311,24 @@ def q_url_filter_blocked(spark, sf_dir):
         # the oracle states each from the construction arithmetic
         "url_host_depth", "url_path_depth", "url_n_params",
         "url_digit_ratio",
+        # r5-cont: relative-href resolution (resolve_href_col) — four
+        # planted href shapes per doc_id%4 (./dir-relative, /rooted,
+        # //protocol-relative, bare-relative) resolved against the
+        # constructed page URL; the oracle emits the RFC 3986 join
+        # from construction ground truth (k=0 pages live in /a/,
+        # everything else at the root)
+        resolve_href_col(
+            F.col("url"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("./same/"), sid, F.lit(".html")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit("/rooted/"), sid))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("//cdn.example.net/x/"), sid))
+            .otherwise(
+                F.concat(F.lit("sub/page"), sid, F.lit(".html"))
+            ),
+        ).alias("resolved_href"),
     )
 
 
@@ -3413,6 +3432,31 @@ def oracle_sql() -> dict[str, str]:
             "cast(3 as int) as url_n_params, "
             "cast(case when c.doc_id % 5 = 4 then 0.0667 else 0.0 end "
             "as double) as url_digit_ratio, "
+            # r5-cont: resolved_href — the RFC 3986 join stated from
+            # the construction (host by doc_id%5 lowercased, base dir
+            # '/a/' only for k=0, href shape by doc_id%4)
+            "case when c.doc_id % 4 = 2 then "
+            "'http://cdn.example.net/x/' || cast(c.doc_id as varchar) "
+            "when c.doc_id % 4 = 1 then 'http://' || "
+            "(case c.doc_id % 5 when 0 then 'www.blockedsite.com' "
+            "when 1 then 'blockedsite.com' "
+            "when 2 then 'blockedsite.com.evil.net' "
+            "when 3 then 'notblockedsite.com' "
+            "else 'ok' || cast(c.doc_id % 10 as varchar) "
+            "|| '.example.org' end) || '/rooted/' "
+            "|| cast(c.doc_id as varchar) "
+            "else 'http://' || "
+            "(case c.doc_id % 5 when 0 then 'www.blockedsite.com' "
+            "when 1 then 'blockedsite.com' "
+            "when 2 then 'blockedsite.com.evil.net' "
+            "when 3 then 'notblockedsite.com' "
+            "else 'ok' || cast(c.doc_id % 10 as varchar) "
+            "|| '.example.org' end) || "
+            "(case when c.doc_id % 5 = 0 then '/a/' else '/' end) || "
+            "(case when c.doc_id % 4 = 0 then 'same/' "
+            "else 'sub/page' end) "
+            "|| cast(c.doc_id as varchar) || '.html' end "
+            "as resolved_href, "
             "row_number() over "
             "(partition by canon_key order by doc_id) = 1 "
             "as keep_canon from ("

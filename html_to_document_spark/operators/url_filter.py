@@ -304,6 +304,72 @@ def normalize_url_col(url_col: "Column | str") -> "Column":
     ).otherwise(F.concat(scheme, F.lit("://"), host, path, qpart))
 
 
+def resolve_href_col(
+    base_col: "Column | str", href_col: "Column | str"
+) -> "Column":
+    """Resolve an ``href`` as written in the page against the page's
+    own URL -> absolute URL (simplified RFC 3986 reference
+    resolution). Most links on real pages are relative, so the raw
+    link corpus from :func:`link_graph.harvest_links` is unusable for
+    URL-level work (anchor profiles, frontier seeding, URL dedup)
+    until each href is resolved; host-level edges additionally
+    recover protocol-relative ``//cdn.example/...`` links.
+
+    Rules, pure JVM Column expression (same zero-Python/zero-shuffle
+    shape as :func:`normalize_url_col`):
+
+    - a scheme prefix (``http:``, ``mailto:``, ``javascript:``…)
+      passes through verbatim;
+    - ``//authority/...`` takes the base scheme;
+    - ``/rooted`` takes the base origin;
+    - ``""`` and ``#frag`` resolve to the base sans fragment (a link
+      to the page itself);
+    - anything else joins the base URL's directory; ``./`` segments
+      collapse and up to 4 ``segment/../`` pairs fold (unrolled
+      regexp passes whose pattern strings are Java-regex ∩ RE2, so an
+      oracle can replay them verbatim — a dot-leading segment before
+      ``../`` is left unfolded, the documented residue).
+
+    NULL/unparsable base or NULL href yields NULL.
+    """
+    from pyspark.sql import functions as F
+
+    base = F.col(base_col) if isinstance(base_col, str) else base_col
+    href = F.trim(F.col(href_col) if isinstance(href_col, str) else href_col)
+    scheme = F.lower(F.try_parse_url(base, F.lit("PROTOCOL")))
+    authority = F.lower(F.try_parse_url(base, F.lit("AUTHORITY")))
+    origin = F.concat(scheme, F.lit("://"), authority)
+    path = F.coalesce(F.try_parse_url(base, F.lit("PATH")), F.lit(""))
+    # directory of the base path: drop the last segment; empty -> "/"
+    dirp = F.regexp_replace(path, "[^/]*$", "")
+    dirp = F.when(dirp == "", F.lit("/")).otherwise(dirp)
+    defrag = F.regexp_replace(base, "#.*$", "")
+
+    base_bad = scheme.isNull() | authority.isNull() | (authority == "")
+    null_s = F.lit(None).cast("string")
+    resolved = (
+        # an href with its own scheme never needs the base — it
+        # survives even under an unparsable base URL
+        F.when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.\\-]*:"), href)
+        .when(base_bad, null_s)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when((href == "") | href.startswith("#"), defrag)
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(origin, dirp, href))
+    )
+    # dot-segment normalization on the PATH part only would need a
+    # re-parse; in practice origins never contain "/./" or "/../",
+    # so whole-string folding is equivalent. Two passes for "/./"
+    # chains, four for nested "a/../" folds.
+    for _ in range(2):
+        resolved = F.regexp_replace(resolved, "/\\.(/|$)", "/")
+    for _ in range(4):
+        resolved = F.regexp_replace(
+            resolved, "/[^/.][^/]*/\\.\\.(/|$)", "/"
+        )
+    return F.when(href.isNull(), null_s).otherwise(resolved)
+
+
 def url_features(df: "DataFrame", url_col: str = "url") -> "DataFrame":
     """Append URL shape features — the spam/quality signals URL-level
     classifiers key on (RefinedWeb filters URLs before fetch; Dolma's

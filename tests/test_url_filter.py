@@ -236,3 +236,61 @@ def test_url_features(spark):
     # shuffle-free, Python-free
     plan = url_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_resolve_href_col(spark):
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.url_filter import (
+        resolve_href_col,
+    )
+
+    cases = [
+        # same-directory, rooted, protocol-relative, subdir
+        ("http://a.example/dir/page.html", "other.html",
+         "http://a.example/dir/other.html"),
+        ("http://a.example/dir/page.html", "/rooted/x",
+         "http://a.example/rooted/x"),
+        ("http://a.example/dir/page.html", "//cdn.example/lib.js",
+         "http://cdn.example/lib.js"),
+        ("https://a.example/dir/", "sub/two.html",
+         "https://a.example/dir/sub/two.html"),
+        # dot-segment folding, one and two levels
+        ("http://a.example/dir/page.html", "../up.html",
+         "http://a.example/up.html"),
+        ("http://a.example/a/b/c.html", "../../top.html",
+         "http://a.example/top.html"),
+        ("http://a.example/dir/page.html", "./same.html",
+         "http://a.example/dir/same.html"),
+        # self-links: fragment-only and empty href -> base sans frag
+        ("http://a.example/dir/page.html#frag", "#sec",
+         "http://a.example/dir/page.html"),
+        ("http://a.example/dir/page.html", "",
+         "http://a.example/dir/page.html"),
+        # absolute hrefs pass through (any scheme), even on a bad base
+        ("http://a.example/d/p", "https://b.example/abs",
+         "https://b.example/abs"),
+        ("http://a.example/d/p", "mailto:x@y.z", "mailto:x@y.z"),
+        ("not a url", "http://ok.example/x", "http://ok.example/x"),
+        # authority keeps its port, lowercased; rootless base path
+        ("http://A.Example:8080/dir/p", "x.html",
+         "http://a.example:8080/dir/x.html"),
+        ("http://a.example", "x.html", "http://a.example/x.html"),
+        # NULL results: relative href on a bad base, NULL href
+        ("not a url", "rel.html", None),
+        ("http://a.example/d/p", None, None),
+    ]
+    df = spark.createDataFrame(
+        [(b, h) for b, h, _ in cases], "base string, href string"
+    )
+    got = [
+        r[0] for r in df.select(resolve_href_col("base", "href")).collect()
+    ]
+    assert got == [w for _, _, w in cases]
+
+    # pure projection: no Exchange, no Python in the plan
+    plan = df.select(
+        resolve_href_col("base", "href")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
