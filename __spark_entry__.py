@@ -1923,7 +1923,14 @@ def q_media_catalog(spark, sf_dir):
     bytes that the UTF-8-first rule must override); the decoded text
     and codec must equal the construction ground truth the oracle
     emits — the documents table is verified printable-ASCII, so every
-    suffix byte is the writer's own."""
+    suffix byte is the writer's own.
+
+    r5 continuation 2: sitemap ingestion (operators/sitemap.py) — a
+    per-doc urlset (entity-escaped loc with surrounding whitespace, a
+    dated and an undated page entry, one index entry) goes through
+    the REAL parse (regexp_extract_all + explode) and back into one
+    sorted, '~'-framed entry string per doc; oracle = construction
+    ground truth."""
     import pandas as pd
 
     from html_to_document_spark.functions.scalars import image_type_col
@@ -1966,6 +1973,36 @@ def q_media_catalog(spark, sf_dir):
     decoded = d.select("doc_id", "text").mapInPandas(
         synth, "doc_id long, decoded_text string, enc_used string"
     )
+
+    from html_to_document_spark.operators.sitemap import sitemap_entries
+
+    did = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit("<urlset><url><loc> http://sm.example/"), did,
+        F.lit("/a&amp;b </loc><lastmod>2024-03-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("</lastmod></url><url><loc>http://sm.example/"), did,
+        F.lit("/two</loc></url><sitemap><loc>http://sm.example/maps/"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".xml</loc></sitemap></urlset>"),
+    )
+    sm = (
+        sitemap_entries(d.select("doc_id", xml.alias("xml")))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            "~", "kind", "loc",
+                            F.coalesce("lastmod", F.lit("-")),
+                        )
+                    )
+                ),
+                "|",
+            ).alias("sm_entries")
+        )
+    )
     ref = (
         F.when(F.col("doc_id") % 4 == 0,
                F.concat(F.lit("http://img/"), F.col("doc_id").cast("string"),
@@ -1980,7 +2017,7 @@ def q_media_catalog(spark, sf_dir):
     return d.select(
         "doc_id", ref.alias("media_ref"),
         image_type_col(ref).alias("media_type"),
-    ).join(decoded, "doc_id")
+    ).join(decoded, "doc_id").join(sm, "doc_id")
 
 
 def q_jaccard_verify(spark, sf_dir):
@@ -3779,7 +3816,15 @@ def oracle_sql() -> dict[str, str]:
             "case doc_id % 6 "
             "when 0 then 'utf-8' when 1 then 'cp1252' "
             "when 2 then 'shift_jis' when 3 then 'cp1252' "
-            "when 4 then 'utf-16-le' else 'utf-8' end as enc_used "
+            "when 4 then 'utf-16-le' else 'utf-8' end as enc_used, "
+            # sitemap arm: lexical sort puts 'sitemap~' first, then
+            # the a&b page (entity-unescaped) before /two
+            "'sitemap~http://sm.example/maps/' "
+            "|| cast(doc_id % 5 as varchar) || '.xml~-' "
+            "|| '|url~http://sm.example/' || cast(doc_id as varchar) "
+            "|| '/a&b~2024-03-0' || cast(doc_id % 9 + 1 as varchar) "
+            "|| '|url~http://sm.example/' || cast(doc_id as varchar) "
+            "|| '/two~-' as sm_entries "
             "from ("
             "select doc_id, text, case "
             "when doc_id % 4 = 0 then 'http://img/' || cast(doc_id as varchar) || '.PNG' "

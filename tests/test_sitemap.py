@@ -1,0 +1,101 @@
+"""Sitemap parsing (operators/sitemap.py): urlset + sitemapindex,
+entity unescape, lastmod hints, frontier dedup."""
+
+from pyspark.sql import functions as F
+
+from html_to_document_spark.operators.sitemap import (
+    seed_frontier,
+    sitemap_entries,
+)
+
+_URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc> http://s.example/page?a=1&amp;b=2 </loc>
+    <lastmod>2024-03-05</lastmod>
+  </url>
+  <url><loc>http://s.example/two</loc></url>
+  <url><lastmod>2024-01-01</lastmod></url>
+  <url><loc>http://s.example/three</loc>
+       <lastmod>2023-12-31T23:59:59+00:00</lastmod></url>
+</urlset>"""
+
+_INDEX = """<sitemapindex>
+  <sitemap><loc>http://s.example/maps/a.xml</loc>
+           <lastmod>2024-02-02</lastmod></sitemap>
+  <sitemap><loc>http://s.example/maps/b.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_sitemap_entries_urlset(spark):
+    df = spark.createDataFrame([("d1", _URLSET)], "doc_id string, xml string")
+    rows = sitemap_entries(df).orderBy("loc").collect()
+    # the loc-less entry is dropped
+    assert [(r["kind"], r["loc"], r["lastmod"]) for r in rows] == [
+        ("url", "http://s.example/page?a=1&b=2", "2024-03-05"),
+        ("url", "http://s.example/three", "2023-12-31T23:59:59+00:00"),
+        ("url", "http://s.example/two", None),
+    ]
+    assert rows[0]["doc_id"] == "d1"
+
+
+def test_sitemap_entries_index_and_null(spark):
+    df = spark.createDataFrame(
+        [("i1", _INDEX), ("n1", None)], "doc_id string, xml string"
+    )
+    rows = sitemap_entries(df).orderBy("loc").collect()
+    assert [(r["doc_id"], r["kind"], r["loc"], r["lastmod"]) for r in rows] == [
+        ("i1", "sitemap", "http://s.example/maps/a.xml", "2024-02-02"),
+        ("i1", "sitemap", "http://s.example/maps/b.xml", None),
+    ]
+
+
+def test_sitemap_entity_unescape_order(spark):
+    # &amp;lt; must decode to the literal '&lt;', not '<'
+    xml = "<urlset><url><loc>http://s.example/x?q=&amp;lt;tag</loc></url></urlset>"
+    df = spark.createDataFrame([("d", xml)], "doc_id string, xml string")
+    assert sitemap_entries(df).collect()[0]["loc"] == (
+        "http://s.example/x?q=&lt;tag"
+    )
+
+
+def test_sitemap_parse_is_jvm_only(spark):
+    df = spark.createDataFrame([("d", _URLSET)], "doc_id string, xml string")
+    plan = (
+        sitemap_entries(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_seed_frontier_dedup_and_cutoff(spark):
+    xml = (
+        "<urlset>"
+        # same page twice under junk variations -> one frontier URL
+        "<url><loc>HTTP://S.Example/p?utm_x=1&amp;a=2#f</loc>"
+        "<lastmod>2024-05-01</lastmod></url>"
+        "<url><loc>http://s.example/p?a=2</loc></url>"
+        # stale entry drops under the cutoff; undated survives
+        "<url><loc>http://s.example/old</loc>"
+        "<lastmod>2020-01-01</lastmod></url>"
+        "<url><loc>http://s.example/undated</loc></url>"
+        # datetime lastmod compares by its date prefix
+        "<url><loc>http://s.example/fresh</loc>"
+        "<lastmod>2024-06-07T01:02:03Z</lastmod></url>"
+        # index entries never enter the frontier
+        "<sitemap><loc>http://s.example/maps/x.xml</loc></sitemap>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("d", xml)], "doc_id string, xml string")
+    entries = sitemap_entries(df)
+    got = sorted(
+        r["url"] for r in seed_frontier(entries, min_lastmod="2024-01-01")
+        .collect()
+    )
+    assert got == [
+        "http://s.example/fresh",
+        "http://s.example/p?a=2",
+        "http://s.example/undated",
+    ]
+    # no cutoff: the stale page joins too
+    assert seed_frontier(entries).count() == 4
