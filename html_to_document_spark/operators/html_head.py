@@ -44,6 +44,9 @@ _CANONICAL_HREF_FIRST = (
     r"(?i)<link[^>]*href\s*=\s*[\"']([^\"'>\s]+)[\"']"
     r"[^>]*rel\s*=\s*[\"']?canonical"
 )
+_BASE_HREF_FIRST = (
+    r"(?i)<base[^>]*href\s*=\s*[\"']?([^\"'>\s]+)"
+)
 
 
 def robots_noindex_col(html_col: "Column | str") -> "Column":
@@ -70,6 +73,26 @@ def canonical_url_col(html_col: "Column | str") -> "Column":
             F.regexp_extract(c, _CANONICAL_HREF_FIRST, 1), F.lit("")
         ),
     )
+
+
+def base_href_col(html_col: "Column | str") -> "Column":
+    """The page's declared ``<base href>``, NULL when absent. A base
+    element changes what every relative href on the page resolves
+    against, so link work composes it with
+    ``url_filter.resolve_href_col``::
+
+        base = F.coalesce(
+            resolve_href_col("url", base_href_col("html")),  # <base>
+            F.col("url"),                                    # default
+        )
+        absolute = resolve_href_col(base, "href")
+
+    (a base href may itself be relative — browsers resolve it against
+    the document URL first, which the outer coalesce mirrors)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    return F.nullif(F.regexp_extract(c, _BASE_HREF_FIRST, 1), F.lit(""))
 
 
 def head_directive_cols(

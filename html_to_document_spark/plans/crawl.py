@@ -59,6 +59,7 @@ def build_crawl_pipeline(
     host_template_min_docs: int | None = None,
     line_dedup: bool = False,
     sniff_charset: bool = False,
+    pdf_reading_order: bool = False,
 ) -> "DataFrame":
     """WARC files -> curated training corpus.
 
@@ -155,8 +156,12 @@ def build_crawl_pipeline(
 
         is_pdf = F.col("content").isNotNull()
         text_docs = docs.filter(~is_pdf).drop("content")
+        # pdf_reading_order: multi-column pages emit columns
+        # left-to-right instead of draw order (core/pdf.py); identity
+        # on single-column documents, so safe corpus-wide
         pdf_docs = pdfs_to_html(
-            docs.filter(is_pdf).drop("html")
+            docs.filter(is_pdf).drop("html"),
+            reading_order=pdf_reading_order,
         ).select(*text_docs.columns)
         docs = text_docs.unionByName(pdf_docs)
 

@@ -273,3 +273,37 @@ def test_crawl_pipeline_recency_filter(spark, tmp_path):
     assert {"urn:uuid:new1", "urn:uuid:edge",  # on/after cutoff
             "urn:uuid:nodt",                   # undated: kept
             "urn:uuid:pdfk"} <= ids            # NULL html: kept
+
+
+def test_crawl_pipeline_pdf_reading_order(spark, tmp_path):
+    """A two-column PDF drawn right-box-first extracts garbled by
+    default and in reading order with pdf_reading_order=True."""
+    from html_to_document_spark.sources.pdf_synth import make_pdf
+
+    path = _archive(tmp_path)
+    lines = [
+        "left column first line of words", "left column second line",
+        "right column first line here", "right column second line",
+    ]
+    (tmp_path / "two.warc").write_bytes(
+        _pdf_crawl_record(
+            "pdf3", "site3.example.com",
+            make_pdf([lines], layout="twocol"),
+        )
+    )
+
+    def texts(out):
+        row = {r.doc_id: r for r in out.collect()}["urn:uuid:pdf3"]
+        return [
+            s.text for s in sorted(row.spans, key=lambda s: s.offset)
+        ]
+
+    ordered = build_crawl_pipeline(
+        spark, path, num_partitions=4, min_quality=0.0,
+        pii_scrub=False, pdf_reading_order=True,
+    )
+    assert texts(ordered) == lines
+    garbled = build_crawl_pipeline(
+        spark, path, num_partitions=4, min_quality=0.0, pii_scrub=False,
+    )
+    assert texts(garbled) == lines[2:] + lines[:2]

@@ -90,3 +90,42 @@ def test_head_directive_cols_one_projection(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_base_href_and_resolution_composition(spark):
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.html_head import base_href_col
+    from html_to_document_spark.operators.url_filter import (
+        resolve_href_col,
+    )
+
+    rows = [
+        # absolute base redirects relative links off-page
+        ("http://a.example/dir/p.html",
+         '<base href="http://cdn.example/assets/">x', "img/i.png",
+         "http://cdn.example/assets/img/i.png"),
+        # relative base resolves against the document URL first
+        ("http://a.example/dir/p.html",
+         "<base href=sub/>x", "f.css",
+         "http://a.example/dir/sub/f.css"),
+        # no base element: plain document-relative resolution
+        ("http://a.example/dir/p.html", "<p>no base</p>", "f.css",
+         "http://a.example/dir/f.css"),
+        # NULL html (binary rows sharing the frame): document URL
+        ("http://a.example/dir/p.html", None, "f.css",
+         "http://a.example/dir/f.css"),
+    ]
+    df = spark.createDataFrame(
+        [(u, h, r) for u, h, r, _ in rows],
+        "url string, html string, href string",
+    )
+    base = F.coalesce(
+        resolve_href_col("url", base_href_col("html")), F.col("url")
+    )
+    got = [
+        r[0]
+        for r in df.select(resolve_href_col(base, "href")).collect()
+    ]
+    assert got == [w for _, _, _, w in rows]
+    assert df.select(base_href_col("html")).collect()[2][0] is None
