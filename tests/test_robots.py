@@ -162,3 +162,29 @@ def test_compile_rule_cap_keeps_winning_rules(spark):
         "rules"
     ]
     assert [r["plen"] for r in rules] == [12, 4]
+
+
+def test_robots_sitemaps_discovery(spark):
+    from html_to_document_spark.operators.robots import robots_sitemaps
+
+    rows = [
+        ("a.example",
+         "User-agent: *\nDisallow: /x\n"
+         "Sitemap: http://a.example/sitemap.xml\n"
+         "  sitemap:\thttp://a.example/news.xml # archive\n"
+         "# Sitemap: http://a.example/commented-out.xml\n"),
+        ("b.example", "User-agent: *\nDisallow:\n"),
+        ("c.example", None),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = sorted(
+        (r["host"], r["sitemap_url"]) for r in robots_sitemaps(df).collect()
+    )
+    assert got == [
+        ("a.example", "http://a.example/news.xml"),
+        ("a.example", "http://a.example/sitemap.xml"),
+    ]
+    plan = (
+        robots_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
