@@ -227,24 +227,45 @@ def q_extract_text_density(spark, sf_dir):
 
 def q_extract_meta(spark, sf_dir):
     """Metadata-bearing extraction (T7 list level, T9 tagName, L6
-    heading level, L10 href) as relational columns."""
+    heading level, L10 href) as relational columns.
+
+    r5 continuation 12: the plant also carries a figure block
+    (figcaption below), an alt-attributed image and a bare image, and
+    the row gates `interleaved.image_caption_pairs` — the LAION-style
+    (image, caption) pairing — as caption/caption_source columns
+    left-joined on (doc_id, offset); oracle = construction truth
+    (alt wins, figcaption_after next, bare images read 'none')."""
     from html_to_document_spark.operators.extract_spans import (
         exploded_with_meta,
     )
+    from html_to_document_spark.operators.interleaved import (
+        image_caption_pairs,
+    )
 
+    sid = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<h2>"), F.col("lang"), F.lit("</h2><ul><li>"),
         F.col("source"), F.lit('</li></ul><p>go <a href="/'),
-        F.col("doc_id").cast("string"), F.lit('">on</a></p>'),
+        sid, F.lit('">on</a></p>'),
+        F.lit('<figure><img src="fig://'), sid,
+        F.lit('"><figcaption>cap '), sid,
+        F.lit("</figcaption></figure>"),
+        F.lit('<img src="alt://'), sid, F.lit('" alt="A-'), sid,
+        F.lit('"><img src="bare://'), sid, F.lit('">'),
     )
     df = _with_html(_docs(spark, sf_dir), html)
-    out = exploded_with_meta(
-        extract_spans_from_html(df, options=ExtractOptions(with_meta=True))
+    spans = extract_spans_from_html(
+        df, options=ExtractOptions(with_meta=True)
     )
-    return out.select(
+    caps = image_caption_pairs(spans).select(
+        "doc_id", "offset", "caption", "caption_source"
+    )
+    out = exploded_with_meta(spans)
+    return out.join(caps, ["doc_id", "offset"], "left").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("offset").cast("int").alias("offset"),
         "kind", "text", "tag", "level", "href",
+        "caption", "caption_source",
     )
 
 
@@ -2857,13 +2878,45 @@ def oracle_sql() -> dict[str, str]:
             [
                 "select doc_id, cast(0 as int) as offset, 'text' as kind, "
                 "lang as text, 'h2' as tag, '2' as level, "
-                "cast(NULL as varchar) as href from documents",
+                "cast(NULL as varchar) as href, "
+                "cast(NULL as varchar) as caption, "
+                "cast(NULL as varchar) as caption_source from documents",
                 "select doc_id, cast(1 as int) as offset, 'text' as kind, "
                 "source as text, 'li' as tag, '0' as level, "
-                "cast(NULL as varchar) as href from documents",
+                "cast(NULL as varchar) as href, "
+                "cast(NULL as varchar) as caption, "
+                "cast(NULL as varchar) as caption_source from documents",
                 "select doc_id, cast(2 as int) as offset, 'text' as kind, "
                 "'go on' as text, 'p' as tag, cast(NULL as varchar) as level, "
-                "'/' || cast(doc_id as varchar) as href from documents",
+                "'/' || cast(doc_id as varchar) as href, "
+                "cast(NULL as varchar) as caption, "
+                "cast(NULL as varchar) as caption_source from documents",
+                # r5c12 figure plant: image + figcaption-below pair,
+                # alt image, bare image
+                "select doc_id, cast(3 as int) as offset, 'image' as kind, "
+                "cast(NULL as varchar) as text, 'img' as tag, "
+                "cast(NULL as varchar) as level, "
+                "cast(NULL as varchar) as href, "
+                "'cap ' || cast(doc_id as varchar) as caption, "
+                "'figcaption_after' as caption_source from documents",
+                "select doc_id, cast(4 as int) as offset, 'text' as kind, "
+                "'cap ' || cast(doc_id as varchar) as text, "
+                "'figcaption' as tag, cast(NULL as varchar) as level, "
+                "cast(NULL as varchar) as href, "
+                "cast(NULL as varchar) as caption, "
+                "cast(NULL as varchar) as caption_source from documents",
+                "select doc_id, cast(5 as int) as offset, 'image' as kind, "
+                "cast(NULL as varchar) as text, 'img' as tag, "
+                "cast(NULL as varchar) as level, "
+                "cast(NULL as varchar) as href, "
+                "'A-' || cast(doc_id as varchar) as caption, "
+                "'alt' as caption_source from documents",
+                "select doc_id, cast(6 as int) as offset, 'image' as kind, "
+                "cast(NULL as varchar) as text, 'img' as tag, "
+                "cast(NULL as varchar) as level, "
+                "cast(NULL as varchar) as href, "
+                "cast(NULL as varchar) as caption, "
+                "'none' as caption_source from documents",
             ]
         ),
         "extract_sharded": " union all ".join(

@@ -58,6 +58,7 @@ __all__ = [
     "curate_interleaved",
     "render_interleaved",
     "pack_interleaved",
+    "image_caption_pairs",
 ]
 
 # A hot set larger than this is a sizing error (min_docs too low for the
@@ -586,4 +587,64 @@ def pack_interleaved(
         id_col=id_col,
         tokens_col=f"{render_kw.get('prefix', 'mm')}_tokens",
         num_partitions=num_partitions,
+    )
+
+
+def image_caption_pairs(
+    df: "DataFrame", spans_col: str = "spans"
+) -> "DataFrame":
+    """(doc_id, meta-spans) -> one row per IMAGE span with its best
+    caption — the LAION-style (image, text) pairing a multimodal
+    training set needs, derived from document structure alone:
+
+    - ``alt``: the image's own alt attribute (span meta) wins;
+    - ``figcaption_after`` / ``figcaption_before``: else the adjacent
+      ``<figcaption>`` text span (after beats before — HTML puts the
+      caption below the image far more often than above);
+    - ``none``: no structural caption (caption NULL).
+
+    Output: (doc_id, offset, media_ref, caption, caption_source).
+    One shuffle-free JVM array-HOF projection + explode — neighbor
+    lookups are O(1) ``F.get`` calls on the already-materialized
+    spans column (NOT a recomputed expression — the r4
+    transform-lambda lesson), and out-of-range neighbors read NULL,
+    never raise. Requires meta-mode spans
+    (``ExtractOptions(with_meta=True)``)."""
+    from pyspark.sql import functions as F
+
+    spans = F.col(spans_col)
+
+    def pair(s, i):
+        alt = F.nullif(s["meta"].getItem("alt"), F.lit(""))
+        nxt = F.get(spans, i + 1)
+        prv = F.get(spans, i - 1)
+
+        def fig_text(n):
+            return F.when(
+                (n["kind"] == "text")
+                & (n["meta"].getItem("tag") == "figcaption"),
+                n["text"],
+            )
+
+        nxt_cap, prv_cap = fig_text(nxt), fig_text(prv)
+        return F.struct(
+            s["offset"].alias("offset"),
+            s["kind"].alias("kind"),
+            s["media_ref"].alias("media_ref"),
+            F.coalesce(alt, nxt_cap, prv_cap).alias("caption"),
+            F.when(alt.isNotNull(), F.lit("alt"))
+            .when(nxt_cap.isNotNull(), F.lit("figcaption_after"))
+            .when(prv_cap.isNotNull(), F.lit("figcaption_before"))
+            .otherwise(F.lit("none"))
+            .alias("caption_source"),
+        )
+
+    pairs = F.filter(
+        F.transform(spans, pair), lambda s: s["kind"] == "image"
+    )
+    return df.select(
+        "doc_id", F.explode(pairs).alias("_p")
+    ).select(
+        "doc_id", "_p.offset", "_p.media_ref", "_p.caption",
+        "_p.caption_source",
     )

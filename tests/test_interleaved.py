@@ -524,3 +524,48 @@ def test_pack_interleaved(spark):
     for r in out:
         fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
     assert len(fills) == 6 and all(v == 40 for v in fills.values())
+
+
+def test_image_caption_pairs(spark):
+    from html_to_document_spark.core.extract import ExtractOptions
+    from html_to_document_spark.operators.extract_spans import (
+        extract_spans_from_html,
+    )
+    from html_to_document_spark.operators.interleaved import (
+        image_caption_pairs,
+    )
+
+    html = (
+        '<figure><img src="i1"><figcaption>below</figcaption></figure>'
+        '<img src="i2" alt="alt wins"><figcaption>ignored</figcaption>'
+        '<figure><figcaption>above</figcaption><img src="i3"></figure>'
+        "<p>plain text</p><img src='i4'>"
+        '<img src="i5" alt="">'  # empty alt falls through to none
+        '<img src="i6">'  # first neighbor is an image, not a caption
+    )
+    df = spark.createDataFrame([("d", html)], "doc_id string, html string")
+    out = image_caption_pairs(
+        extract_spans_from_html(df, options=ExtractOptions(with_meta=True))
+    )
+    got = [
+        (r["media_ref"], r["caption"], r["caption_source"])
+        for r in out.orderBy("offset").collect()
+    ]
+    assert got == [
+        ("i1", "below", "figcaption_after"),
+        ("i2", "alt wins", "alt"),
+        ("i3", "above", "figcaption_before"),
+        ("i4", None, "none"),
+        ("i5", None, "none"),
+        ("i6", None, "none"),
+    ]
+    # after beats before when both neighbors are figcaptions
+    html2 = ('<figure><figcaption>pre</figcaption><img src="m">'
+             "<figcaption>post</figcaption></figure>")
+    df2 = spark.createDataFrame([("d", html2)], "doc_id string, html string")
+    row = image_caption_pairs(
+        extract_spans_from_html(df2, options=ExtractOptions(with_meta=True))
+    ).collect()[0]
+    assert (row["caption"], row["caption_source"]) == (
+        "post", "figcaption_after"
+    )
