@@ -143,18 +143,19 @@ def _sniff_meta(body: bytes) -> str | None:
     return m.group(1).decode("ascii", errors="replace") if m else None
 
 
-def _walk_warc_records(
-    data: bytes,
-) -> list[tuple[str, str, str, bytes, str | None]]:
+def _walk_warc_records(data: bytes) -> list[tuple]:
     """Sequential record walk over a plain (decompressed) WARC byte
     stream. Returns (record_id, target_uri, content_type, body_BYTES,
-    declared_charset) for response/conversion/resource records; skips
+    declared_charset, warc_date, content_language) for
+    response/conversion/resource records; skips
     request/metadata/warcinfo records and anything malformed. Bodies
     stay bytes here so binary payloads (PDF, media) survive; text
     decode is the caller's choice. ``declared_charset`` is the HTTP
     ``Content-Type`` charset parameter when the record wraps an HTTP
-    response that sent one, else None."""
-    out: list[tuple[str, str, str, bytes, str | None]] = []
+    response that sent one; ``warc_date`` the capture timestamp;
+    ``content_language`` the first HTTP Content-Language tag,
+    lowercased — each None when absent."""
+    out: list[tuple] = []
     i, n = 0, len(data)
     while i < n:
         # locate the next record head (tolerates leading junk/padding)
@@ -183,6 +184,7 @@ def _walk_warc_records(
             continue
         http_ctype = None
         charset: str | None = None
+        content_lang: str | None = None
         if rtype == "response" and (
             body[:5] == b"HTTP/" or body[:5] == b"http/"
         ):
@@ -193,12 +195,23 @@ def _walk_warc_records(
             if http_end >= 0:
                 for hline in body[:http_end].split(b"\r\n")[1:]:
                     k, sep, v = hline.partition(b":")
-                    if sep and k.strip().lower() == b"content-type":
+                    if not sep:
+                        continue
+                    key = k.strip().lower()
+                    if key == b"content-type":
                         full = v.strip().decode("latin-1")
                         http_ctype = full.split(";")[0].strip()
                         cm = _HTTP_CHARSET_RE.search(full)
                         if cm:
                             charset = cm.group(1)
+                    elif key == b"content-language":
+                        # transport-declared language (RFC 9110) —
+                        # the CCNet declared-vs-detected signal's
+                        # other channel; first tag, lowercased
+                        content_lang = (
+                            v.strip().decode("latin-1")
+                            .split(",")[0].strip().lower() or None
+                        )
                 body = body[http_end + 4 :]
         out.append(
             (
@@ -212,6 +225,11 @@ def _walk_warc_records(
                 or headers.get("content-type", ""),
                 body,
                 charset,
+                # WARC-Date: the capture timestamp (ISO 8601) — the
+                # freshness key newest-keeper dedup wants across
+                # re-fetches of the same URL
+                headers.get("warc-date") or None,
+                content_lang,
             )
         )
     return out
@@ -221,7 +239,7 @@ def parse_warc_bytes(data: bytes) -> list[tuple[str, str, str, str]]:
     """Text view of the record walk (the HTML-pipeline surface)."""
     return [
         (rid, url, ctype, body.decode("utf-8", errors="replace"))
-        for rid, url, ctype, body, _charset in _walk_warc_records(data)
+        for rid, url, ctype, body, *_rest in _walk_warc_records(data)
     ]
 
 
@@ -231,6 +249,7 @@ def read_warc(
     binary_types: tuple[str, ...] = (),
     *,
     sniff_charset: bool = False,
+    capture_headers: bool = False,
 ) -> "DataFrame":
     """WARC files under ``path`` -> (doc_id, url, content_type, html).
 
@@ -253,6 +272,15 @@ def read_warc(
     binary rows). Real crawls are several percent legacy-encoded;
     blanket UTF-8 replace-mangles every non-ASCII byte of those pages
     BEFORE any downstream repair can see them.
+
+    ``capture_headers``: append ``fetched_at`` (the WARC-Date capture
+    timestamp — feed it to ``dedup.exact_dedup_latest`` to keep the
+    NEWEST capture when a crawl re-fetches a URL) and
+    ``content_language`` (the HTTP transport-declared language, first
+    tag lowercased — the other channel of the CCNet
+    declared-vs-detected spam/MT signal next to
+    ``page_meta.lang_mismatch_col``); NULL when the record carries
+    neither.
     """
     import pandas as pd
 
@@ -263,6 +291,8 @@ def read_warc(
         WARC_SCHEMA
         + (", content binary" if binary_types else "")
         + (", encoding string" if sniff_charset else "")
+        + (", fetched_at string, content_language string"
+           if capture_headers else "")
     )
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -274,6 +304,9 @@ def read_warc(
                 rows["content"] = []
             if sniff_charset:
                 rows["encoding"] = []
+            if capture_headers:
+                rows["fetched_at"] = []
+                rows["content_language"] = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
                 if fpath.endswith(".gz") or data[:2] == b"\x1f\x8b":
@@ -281,9 +314,9 @@ def read_warc(
                         data = gzip.decompress(data)
                     except OSError:
                         continue  # truncated/corrupt archive member
-                for rid, url, ctype, body, charset in _walk_warc_records(
-                    data
-                ):
+                for (
+                    rid, url, ctype, body, charset, wdate, clang
+                ) in _walk_warc_records(data):
                     rows["doc_id"].append(rid)
                     rows["url"].append(url)
                     rows["content_type"].append(ctype)
@@ -300,6 +333,9 @@ def read_warc(
                         rows["content"].append(body if is_bin else None)
                     if sniff_charset:
                         rows["encoding"].append(enc)
+                    if capture_headers:
+                        rows["fetched_at"].append(wdate)
+                        rows["content_language"].append(clang)
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(fn, schema)

@@ -282,3 +282,49 @@ def test_crawl_pipeline_sniff_charset(spark, tmp_path):
     ).collect()
     assert len(out) == 1
     assert "café owner" in out[0]["text"]
+
+
+def test_read_warc_capture_headers(spark, tmp_path):
+    from html_to_document_spark.operators.dedup import exact_dedup_latest
+
+    def rec(rid, date, lang_hdr, text):
+        body = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + (f"Content-Language: {lang_hdr}\r\n" if lang_hdr else "")
+            + "\r\n" + text
+        ).encode()
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Target-URI: http://a.example/p\r\n"
+            + (f"WARC-Date: {date}\r\n" if date else "")
+            + f"Content-Type: application/http\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    data = (
+        rec("h1", "2024-01-02T03:04:05Z", "en-US, fr", "<p>old copy</p>")
+        + rec("h2", "2025-06-07T08:09:10Z", None, "<p>old copy</p>")
+        + rec("h3", None, "DE", "<p>other</p>")
+    )
+    (tmp_path / "h.warc").write_bytes(data)
+
+    df = read_warc(spark, str(tmp_path), capture_headers=True)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows["urn:uuid:h1"]["fetched_at"] == "2024-01-02T03:04:05Z"
+    assert rows["urn:uuid:h1"]["content_language"] == "en-us"  # first tag
+    assert rows["urn:uuid:h2"]["content_language"] is None
+    assert rows["urn:uuid:h3"]["fetched_at"] is None
+    assert rows["urn:uuid:h3"]["content_language"] == "de"
+
+    # the documented composition: newest capture wins the re-fetch
+    kept = exact_dedup_latest(
+        df.withColumn("ts", df["fetched_at"]), text_col="html",
+        ts_col="ts",
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert "urn:uuid:h2" in ids and "urn:uuid:h1" not in ids
+
+    # flag off: columns absent, existing schema untouched
+    assert "fetched_at" not in read_warc(spark, str(tmp_path)).columns
