@@ -59,6 +59,8 @@ __all__ = [
     "render_interleaved",
     "pack_interleaved",
     "image_caption_pairs",
+    "resolve_media_refs",
+    "build_caption_dataset",
 ]
 
 # A hot set larger than this is a sizing error (min_docs too low for the
@@ -648,3 +650,79 @@ def image_caption_pairs(
         "doc_id", "_p.offset", "_p.media_ref", "_p.caption",
         "_p.caption_source",
     )
+
+
+def resolve_media_refs(
+    df: "DataFrame",
+    urls: "DataFrame",
+    spans_col: str = "spans",
+    url_col: str = "url",
+) -> "DataFrame":
+    """Rewrite every image span's ``media_ref`` to an ABSOLUTE URL by
+    resolving it against the document's page URL
+    (``url_filter.resolve_href_col`` — crawl pages overwhelmingly use
+    relative image srcs, so raw media_refs are unfetchable outside
+    their page context). ``urls`` is a (doc_id, url) frame; docs
+    without a URL row keep their refs verbatim. Text spans and NULL
+    refs pass through untouched. One doc_id equi-join plus a
+    shuffle-free array projection."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.url_filter import (
+        resolve_href_col,
+    )
+
+    joined = df.join(
+        urls.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col(url_col).alias("_page_url"),
+        ),
+        "doc_id",
+        "left",
+    )
+    url = F.col("_page_url")
+
+    def fix(s):
+        resolved = F.coalesce(
+            resolve_href_col(url, s["media_ref"]), s["media_ref"]
+        )
+        new_ref = F.when(
+            _is_image(s) & url.isNotNull(), resolved
+        ).otherwise(s["media_ref"])
+        fields = [
+            (new_ref if f == "media_ref" else s[f]).alias(f)
+            for f in ("kind", "text", "media_ref", "offset")
+        ]
+        # meta-mode spans carry a 5th field; preserve it when present
+        if dict(df.dtypes)[spans_col].count("meta") > 0:
+            fields.append(s["meta"].alias("meta"))
+        return F.struct(*fields)
+
+    return joined.withColumn(
+        spans_col, F.transform(F.col(spans_col), fix)
+    ).drop("_page_url")
+
+
+def build_caption_dataset(
+    df: "DataFrame",
+    urls: "DataFrame | None" = None,
+    spans_col: str = "spans",
+    min_caption_chars: int = 3,
+) -> "DataFrame":
+    """Meta-spans -> a LAION-shaped (image, text) dataset: one row per
+    CAPTIONED image, ``(doc_id, media_ref, caption, caption_source)``
+    — :func:`image_caption_pairs` filtered to structural captions of
+    at least ``min_caption_chars``, with refs made absolute first
+    when a (doc_id, url) frame is supplied. Feed the result to the
+    JSONL sink (``sources.tables.export_jsonl``) for delivery."""
+    from pyspark.sql import functions as F
+
+    src = df if urls is None else resolve_media_refs(
+        df, urls, spans_col=spans_col
+    )
+    pairs = image_caption_pairs(src, spans_col=spans_col)
+    return pairs.filter(
+        (F.col("caption_source") != "none")
+        & F.col("media_ref").isNotNull()
+        & (F.length(F.trim(F.col("caption"))) >= min_caption_chars)
+    ).select("doc_id", "media_ref", "caption", "caption_source")

@@ -569,3 +569,68 @@ def test_image_caption_pairs(spark):
     assert (row["caption"], row["caption_source"]) == (
         "post", "figcaption_after"
     )
+
+
+def test_resolve_media_refs_and_caption_dataset(spark):
+    from html_to_document_spark.core.extract import ExtractOptions
+    from html_to_document_spark.operators.extract_spans import (
+        extract_spans_from_html,
+    )
+    from html_to_document_spark.operators.interleaved import (
+        build_caption_dataset,
+        resolve_media_refs,
+    )
+
+    html = (
+        '<figure><img src="img/cat.jpg">'
+        "<figcaption>a cat photo</figcaption></figure>"
+        '<img src="//cdn.example/dog.png" alt="a dog"><p>words</p>'
+        '<img src="http://abs.example/x.gif" alt="ok">'
+        '<img src="bare.webp">'  # uncaptioned: excluded from dataset
+        '<img src="short.png" alt="x">'  # caption below min length
+    )
+    docs = spark.createDataFrame(
+        [("d1", html), ("d2", "<img src='rel.png' alt='no url row'>")],
+        "doc_id string, html string",
+    )
+    urls = spark.createDataFrame(
+        [("d1", "http://site.example/a/page.html")],
+        "doc_id string, url string",
+    )
+    spans = extract_spans_from_html(
+        docs, options=ExtractOptions(with_meta=True)
+    )
+    fixed = resolve_media_refs(spans, urls)
+    refs = {
+        (row["doc_id"], r["offset"]): r["media_ref"]
+        for row in fixed.collect()
+        for r in row["spans"]
+        if r["kind"] == "image"
+    }
+    assert refs[("d1", 0)] == "http://site.example/a/img/cat.jpg"
+    assert refs[("d1", 2)] == "http://cdn.example/dog.png"
+    assert refs[("d1", 4)] == "http://abs.example/x.gif"
+    # no url row: ref kept verbatim
+    assert refs[("d2", 0)] == "rel.png"
+    # text spans untouched
+    texts = [
+        r["text"]
+        for row in fixed.collect() if row["doc_id"] == "d1"
+        for r in row["spans"] if r["kind"] == "text"
+    ]
+    assert "words" in texts
+
+    ds = build_caption_dataset(spans, urls)
+    got = sorted(
+        (r["media_ref"], r["caption"], r["caption_source"])
+        for r in ds.collect()
+    )
+    assert got == [
+        ("http://cdn.example/dog.png", "a dog", "alt"),
+        ("http://site.example/a/img/cat.jpg", "a cat photo",
+         "figcaption_after"),
+        # d2 has no url row: ref stays verbatim but the pair survives
+        ("rel.png", "no url row", "alt"),
+        # absent: bare.webp (no caption), x.gif ("ok" under the
+        # 3-char minimum), short.png ("x" likewise)
+    ]
