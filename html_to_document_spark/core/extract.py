@@ -304,7 +304,7 @@ class _Walker:
     __slots__ = (
         "opts", "sheet", "spans", "chunk", "a_depth", "link_chars",
         "meta_mode", "chunk_meta", "chunk_href", "chunk_tag_n",
-        "_kind_map", "_drop_re", "img_crawl",
+        "_kind_map", "_drop_re", "img_crawl", "fig_stack", "fig_n",
     )
 
     def __init__(self, opts: ExtractOptions, sheet: _css.Stylesheet | None):
@@ -317,6 +317,12 @@ class _Walker:
         self.link_chars = 0
         self.meta_mode = opts.with_meta
         self.img_crawl = opts.img_src_crawl
+        # figure-instance ids (meta mode): img/figcaption spans inside
+        # a <figure> carry meta["fig"] = that figure's document-order
+        # ordinal, so caption pairing can require SAME-figure
+        # membership instead of guessing from span adjacency
+        self.fig_stack: list[int] = []
+        self.fig_n = 0
         self.chunk_meta: dict | None = None  # block context for the chunk
         self.chunk_href: str | None = None
         self.chunk_tag_n = 0  # inline elements merged into the chunk
@@ -471,6 +477,8 @@ class _Walker:
         out = {"tag": "img"}
         if attrs and attrs.get("alt"):
             out["alt"] = attrs["alt"]
+        if self.fig_stack:
+            out["fig"] = str(self.fig_stack[-1])
         return out
 
     def _block(self, node: list, kind, is_last: bool) -> None:
@@ -487,6 +495,8 @@ class _Walker:
                 # element ids surface as span metadata
                 if attrs and attrs.get("id"):
                     self.chunk_meta["id"] = attrs["id"]
+                if tag == "figcaption" and self.fig_stack:
+                    self.chunk_meta["fig"] = str(self.fig_stack[-1])
             self._paragraph(node)
             if self.meta_mode:
                 self.chunk_meta = None
@@ -504,8 +514,14 @@ class _Walker:
             if not is_last:
                 self._emit(PAGEBREAK, None, None)
         else:  # fragment: dissolve wrapper (parser.ts:249-257)
+            is_fig = self.meta_mode and tag == "figure"
+            if is_fig:
+                self.fig_n += 1
+                self.fig_stack.append(self.fig_n)
             self.walk_fragment(kids)
             self._flush()
+            if is_fig:
+                self.fig_stack.pop()
 
     def _paragraph(self, node: list) -> None:
         before = len(self.spans)

@@ -1024,7 +1024,15 @@ def _page_lines(
     def emit(raw) -> None:
         if isinstance(raw, bytes):
             if not sink["cur"]:
-                sink["cur_pos"] = (pos[0], pos[1])
+                # Form XObject text positions are FORM-LOCAL (the Do
+                # operator's cm placement is not interpreted), so a
+                # form-drawn line records an unknown position; any
+                # unknown on a page disables the reading-order pass
+                # for that page (conservative: never permute on
+                # coordinates that might be in a different space).
+                sink["cur_pos"] = (
+                    (pos[0], pos[1]) if depth == 0 else (None, None)
+                )
             sink["started"] = True
             sink["cur"].append(font.decode(raw))
 
@@ -1184,8 +1192,11 @@ def _column_split(recs: list, idx: list, depth: int) -> list:
 def _reading_order(recs: list) -> list[str]:
     """Stream-ordered (x, y, text) records -> text lines in reading
     order. Pages with fewer than 4 lines can't evidence a 2x2 column
-    layout and keep stream order."""
-    if len(recs) < 4:
+    layout and keep stream order; so does any page containing a line
+    with an UNKNOWN position (text drawn inside a Form XObject —
+    its coordinates are form-local, and a mixed page could otherwise
+    false-split into columns that don't exist on paper)."""
+    if len(recs) < 4 or any(r[0] is None for r in recs):
         return [r[2] for r in recs]
     return [recs[i][2] for i in _column_split(recs, list(range(len(recs))), 0)]
 

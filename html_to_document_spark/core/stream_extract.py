@@ -230,6 +230,11 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
     """
     meta_mode = opts.with_meta
     img_crawl = opts.img_src_crawl
+    # figure-instance ids (meta mode) — tree-walker parity: ordinal
+    # assigned at each span-level <figure> open (in-table figures
+    # flatten into the table text in BOTH strategies and never count)
+    fig_stack: list[int] = []
+    fig_n = [0]
     kind_map = (
         _SHARED_DEFAULT_MAP if opts is DEFAULT_OPTIONS
         else _build_kind_map(opts)
@@ -327,6 +332,8 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
         out = {"tag": "img"}
         if attrs and attrs.get("alt"):
             out["alt"] = attrs["alt"]
+        if fig_stack:
+            out["fig"] = str(fig_stack[-1])
         return out
 
     def li_meta_of(fr: list) -> dict:
@@ -346,6 +353,8 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
         pm = popped[0]
         if pm == M_FRAG:
             flush()
+            if meta_mode and popped[1] == "figure" and fig_stack:
+                fig_stack.pop()
             if popped[2]:  # page: pagebreak unless last child
                 if t[0] == M_FRAG:
                     t[3] = True  # defer to the next sibling token
@@ -394,6 +403,8 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
                     chunk_meta["level"] = tag[1]
                 if attrs and attrs.get("id"):
                     chunk_meta["id"] = attrs["id"]
+                if tag == "figcaption" and fig_stack:
+                    chunk_meta["fig"] = str(fig_stack[-1])
             fr = [M_PARA, tag, len(spans)]
         elif kind == "list":
             fr = [M_LIST, tag, 0, tag]
@@ -417,6 +428,9 @@ def _make_walker(opts: ExtractOptions, sheet: "_css.Stylesheet | None"):
             fr = [M_FRAG, tag, True, False]
         else:  # fragment
             fr = [M_FRAG, tag, False, False]
+            if meta_mode and tag == "figure":
+                fig_n[0] += 1
+                fig_stack.append(fig_n[0])
 
         frames.append(fr)
         open_tags.append(tag)

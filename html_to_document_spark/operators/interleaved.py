@@ -601,9 +601,14 @@ def image_caption_pairs(
 
     - ``alt``: the image's own alt attribute (span meta) wins;
     - ``figcaption_after`` / ``figcaption_before``: else the adjacent
-      ``<figcaption>`` text span (after beats before — HTML puts the
-      caption below the image far more often than above);
-    - ``none``: no structural caption (caption NULL).
+      ``<figcaption>`` text span FROM THE SAME FIGURE (both spans
+      carry the walker's figure-instance id in ``meta["fig"]``;
+      requiring equality stops a caption from leaking onto an
+      adjacent image outside its figure — review find — and "after"
+      beats "before" because HTML puts the caption below the image
+      far more often than above);
+    - ``none``: no structural caption (caption NULL; images outside
+      any figure can only be captioned by their alt).
 
     Output: (doc_id, offset, media_ref, caption, caption_source).
     One shuffle-free JVM array-HOF projection + explode — neighbor
@@ -620,11 +625,14 @@ def image_caption_pairs(
         alt = F.nullif(s["meta"].getItem("alt"), F.lit(""))
         nxt = F.get(spans, i + 1)
         prv = F.get(spans, i - 1)
+        fig = s["meta"].getItem("fig")
 
         def fig_text(n):
             return F.when(
                 (n["kind"] == "text")
-                & (n["meta"].getItem("tag") == "figcaption"),
+                & (n["meta"].getItem("tag") == "figcaption")
+                & fig.isNotNull()
+                & (n["meta"].getItem("fig") == fig),
                 n["text"],
             )
 

@@ -324,11 +324,15 @@ def resolve_href_col(
     - ``/rooted`` takes the base origin;
     - ``""`` and ``#frag`` resolve to the base sans fragment (a link
       to the page itself);
+    - ``?query`` keeps the base PATH and replaces its query (RFC 3986
+      §5.3 — pagination links are overwhelmingly written this way);
     - anything else joins the base URL's directory; ``./`` segments
-      collapse and up to 4 ``segment/../`` pairs fold (unrolled
-      regexp passes whose pattern strings are Java-regex ∩ RE2, so an
-      oracle can replay them verbatim — a dot-leading segment before
-      ``../`` is left unfolded, the documented residue).
+      collapse, up to 4 ``segment/../`` pairs fold (a lookbehind
+      keeps the fold from ever consuming the ``//authority`` — Java
+      regex only; the oracle states construction truth, it does not
+      replay these patterns), and ``../`` runs that climb past the
+      path root clamp AT the root as browsers do — a dot-leading
+      segment before ``../`` is the one documented unfolded residue.
 
     NULL/unparsable base or NULL href yields NULL.
     """
@@ -354,19 +358,36 @@ def resolve_href_col(
         .when(base_bad, null_s)
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when((href == "") | href.startswith("#"), defrag)
+        .when(
+            href.startswith("?"),
+            F.concat(
+                origin,
+                F.when(path == "", F.lit("/")).otherwise(path),
+                href,
+            ),
+        )
         .when(href.startswith("/"), F.concat(origin, href))
         .otherwise(F.concat(origin, dirp, href))
     )
-    # dot-segment normalization on the PATH part only would need a
-    # re-parse; in practice origins never contain "/./" or "/../",
-    # so whole-string folding is equivalent. Two passes for "/./"
-    # chains, four for nested "a/../" folds.
+    # dot-segment normalization. Two passes for "/./" chains ("/./"
+    # cannot occur inside the authority — it has no slash), four for
+    # nested "a/../" folds; the (?<!/) lookbehind stops a fold whose
+    # left segment is the AUTHORITY ("http://h/../x" must not become
+    # "http://x" — the candidate there is preceded by the second "//"
+    # slash, while a genuine path fold is always preceded by a path
+    # character). Finally, "../" runs left at the root clamp to "/"
+    # (RFC 3986's merge-and-remove behavior, what every browser does).
     for _ in range(2):
         resolved = F.regexp_replace(resolved, "/\\.(/|$)", "/")
     for _ in range(4):
         resolved = F.regexp_replace(
-            resolved, "/[^/.][^/]*/\\.\\.(/|$)", "/"
+            resolved, "(?<!/)/[^/.][^/]*/\\.\\.(/|$)", "/"
         )
+    resolved = F.regexp_replace(
+        resolved,
+        "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*)(/\\.\\.)+(/|$)",
+        "$1/",
+    )
     return F.when(href.isNull(), null_s).otherwise(resolved)
 
 

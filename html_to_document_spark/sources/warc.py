@@ -54,6 +54,8 @@ _CHARSET_ALIASES = {
     "x-sjis": "shift_jis",
     "iso-latin-1": "latin-1",
     "macintosh": "mac_roman",
+    # legacy Word/FrontPage label; resolves to the utf-16 family and
+    # is then NEUTRALIZED by sniff_decode's BOM-less-UTF-16 rule
     "unicode": "utf-16",
     "iso-8859-1": "cp1252",  # WHATWG folds latin-1 into windows-1252
     "latin-1": "cp1252",
@@ -125,6 +127,14 @@ def sniff_decode(
             continue
         codec = _resolve_codec(label)
         if codec is None:
+            continue
+        if codec.startswith(("utf-16", "utf-32")):
+            # WHATWG decode: UTF-16 family labels (incl. the legacy
+            # 'unicode' label old Word/FrontPage exports emit) mean
+            # UTF-8 when no BOM is present — a BOM-less declared
+            # UTF-16 would 'successfully' decode even-length ASCII
+            # into CJK garbage (review find). Real UTF-16 bodies were
+            # already caught by the BOM checks above.
             continue
         try:
             return body.decode(codec), codec

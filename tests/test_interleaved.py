@@ -634,3 +634,43 @@ def test_resolve_media_refs_and_caption_dataset(spark):
         # absent: bare.webp (no caption), x.gif ("ok" under the
         # 3-char minimum), short.png ("x" likewise)
     ]
+
+
+def test_caption_never_leaks_across_figure_boundary(spark):
+    """Review find: a figcaption must caption only images of ITS OWN
+    figure — span adjacency alone mislabeled the neighbor."""
+    from html_to_document_spark.core.extract import ExtractOptions
+    from html_to_document_spark.operators.extract_spans import (
+        extract_spans_from_html,
+    )
+    from html_to_document_spark.operators.interleaved import (
+        image_caption_pairs,
+    )
+
+    html = (
+        # uncaptioned img directly before a caption-first figure:
+        # 'cat photo' belongs to img b only
+        '<img src="a">'
+        '<figure><figcaption>cat photo</figcaption><img src="b"></figure>'
+        # two adjacent figures: captions stay within their own
+        '<figure><img src="c"><figcaption>for c</figcaption></figure>'
+        '<figure><figcaption>for d</figcaption><img src="d"></figure>'
+        # orphan figcaption outside any figure captions nothing
+        "<figcaption>orphan</figcaption><img src='e'>"
+    )
+    df = spark.createDataFrame([("d", html)], "doc_id string, html string")
+    got = {
+        r["media_ref"]: (r["caption"], r["caption_source"])
+        for r in image_caption_pairs(
+            extract_spans_from_html(
+                df, options=ExtractOptions(with_meta=True)
+            )
+        ).collect()
+    }
+    assert got == {
+        "a": (None, "none"),
+        "b": ("cat photo", "figcaption_before"),
+        "c": ("for c", "figcaption_after"),
+        "d": ("for d", "figcaption_before"),
+        "e": (None, "none"),
+    }

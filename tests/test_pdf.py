@@ -653,3 +653,38 @@ def test_paragraph_html_reading_order_passthrough():
         pdf_paragraph_html(pdf)
         == "<p>e f</p><p>g h</p><p>a b</p><p>c d</p>"
     )
+
+
+def test_reading_order_conservative_on_form_text():
+    """Review find: text drawn inside a Form XObject records a
+    form-local position; a page containing any such line must keep
+    stream order (never permute on mixed coordinate spaces)."""
+    form_content = b"BT /F1 10 Tf 10 10 Td (form body line) Tj ET"
+    page_content = (
+        b"BT /F1 10 Tf 1 0 0 1 300 720 Tm (page title) Tj "
+        b"1 0 0 1 300 706 Tm (page subtitle) Tj "
+        b"1 0 0 1 300 692 Tm (page footer) Tj ET /Fm1 Do"
+    )
+    parts = [
+        b"%PDF-1.4\n",
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /XObject << /Fm1 5 0 R >> "
+        b"/Font << /F1 6 0 R >> >> >> endobj\n",
+        b"4 0 obj << /Length " + b"%d" % len(page_content)
+        + b" >>\nstream\n" + page_content + b"\nendstream endobj\n",
+        b"5 0 obj << /Subtype /Form /Length " + b"%d" % len(form_content)
+        + b" >>\nstream\n" + form_content + b"\nendstream endobj\n",
+        b"6 0 obj << /Type /Font /Subtype /Type1 "
+        b"/BaseFont /Helvetica >> endobj\n",
+        b"trailer << /Size 7 /Root 1 0 R >>\n%%EOF\n",
+    ]
+    pdf = b"".join(parts)
+    want = ["page title", "page subtitle", "page footer",
+            "form body line"]
+    assert pdf_text_lines(pdf) == want
+    # the form line sits at x~10 vs the page's x=300 with overlapping
+    # y — a naive split would reorder; the unknown-position guard
+    # keeps stream order exactly
+    assert pdf_text_lines(pdf, reading_order=True) == want

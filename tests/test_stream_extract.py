@@ -74,6 +74,13 @@ CASES = [
     # crawl img-src resolution (lazy-load / srcset) — identity unless
     # img_src_crawl is on
     "<img src=ph.gif data-src=real.jpg><img src=a srcset='x 1x, y 2x'>",
+    # figure-instance ids in meta (caption pairing): ordinals count in
+    # document order, nesting pops correctly, orphan figcaption bare
+    "<img src=a><figure><figcaption>c1</figcaption><img src=b></figure>"
+    "<figure><img src=c></figure><figcaption>orphan</figcaption>",
+    "<figure><div><img src=n1></div><figure><img src=n2></figure>"
+    "<img src=n3></figure><img src=out>",
+    "<figure/><figure><img src=z></figure>",
     "<p>t<img srcset='a.jpg 480w, b.jpg 960w'>u</p><img data-srcset='m 2x'>",
     # lists: nesting, inlined paragraphs, breaks, empty items
     "<ul><li>one</li><li><p>para</p></li><li>pre<p>mid</p>post</li></ul>",

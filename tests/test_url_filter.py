@@ -279,6 +279,23 @@ def test_resolve_href_col(spark):
         # NULL results: relative href on a bad base, NULL href
         ("not a url", "rel.html", None),
         ("http://a.example/d/p", None, None),
+        # ../ underflow clamps at the root and NEVER eats the
+        # authority (review find: '/a.example/../' must not fold)
+        ("http://a.example/", "../x", "http://a.example/x"),
+        ("http://a.example/dir/page.html", "../../x",
+         "http://a.example/x"),
+        ("http://a.example/d/p.html", "../../../../deep",
+         "http://a.example/deep"),
+        # query-only hrefs keep the base path (RFC 3986 §5.3 —
+        # pagination links)
+        ("http://h.example/dir/page.html", "?page=2",
+         "http://h.example/dir/page.html?page=2"),
+        ("http://h.example/dir/page.html?old=1", "?page=2",
+         "http://h.example/dir/page.html?page=2"),
+        ("http://h.example", "?q", "http://h.example/?q"),
+        # absolute hrefs with dot segments fold, authority intact
+        ("http://b.example/", "http://c.example/../b",
+         "http://c.example/b"),
     ]
     df = spark.createDataFrame(
         [(b, h) for b, h, _ in cases], "base string, href string"
