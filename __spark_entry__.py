@@ -1951,7 +1951,13 @@ def q_media_catalog(spark, sf_dir):
     dated and an undated page entry, one index entry) goes through
     the REAL parse (regexp_extract_all + explode) and back into one
     sorted, '~'-framed entry string per doc; oracle = construction
-    ground truth."""
+    ground truth.
+
+    r5 continuation 12b: the same entries feed seed_frontier ->
+    schedule_frontier (politeness waves: per-host fetch ordinal in
+    URL order) — every planted page URL shares ONE host, so each
+    doc's two URLs get corpus-wide waves the oracle recomputes as
+    row_number over the constructed URL set."""
     import pandas as pd
 
     from html_to_document_spark.functions.scalars import image_type_col
@@ -2007,9 +2013,9 @@ def q_media_catalog(spark, sf_dir):
         (F.col("doc_id") % 5).cast("string"),
         F.lit(".xml</loc></sitemap></urlset>"),
     )
+    ent = sitemap_entries(d.select("doc_id", xml.alias("xml")))
     sm = (
-        sitemap_entries(d.select("doc_id", xml.alias("xml")))
-        .groupBy("doc_id")
+        ent.groupBy("doc_id")
         .agg(
             F.array_join(
                 F.array_sort(
@@ -2024,6 +2030,25 @@ def q_media_catalog(spark, sf_dir):
             ).alias("sm_entries")
         )
     )
+
+    from html_to_document_spark.operators.sitemap import (
+        schedule_frontier,
+        seed_frontier,
+    )
+
+    sched = schedule_frontier(seed_frontier(ent))
+    url_a = F.concat(F.lit("http://sm.example/"), did, F.lit("/a&b"))
+    url_two = F.concat(F.lit("http://sm.example/"), did, F.lit("/two"))
+    waves = (
+        d.select("doc_id", url_a.alias("_ua"), url_two.alias("_ut"))
+        .join(
+            sched.select(F.col("url").alias("_ua"),
+                         F.col("wave").alias("wave_a")), "_ua")
+        .join(
+            sched.select(F.col("url").alias("_ut"),
+                         F.col("wave").alias("wave_two")), "_ut")
+        .select("doc_id", "wave_a", "wave_two")
+    )
     ref = (
         F.when(F.col("doc_id") % 4 == 0,
                F.concat(F.lit("http://img/"), F.col("doc_id").cast("string"),
@@ -2035,10 +2060,15 @@ def q_media_catalog(spark, sf_dir):
                        F.lit(".webp")))
         .otherwise(F.concat(F.lit("media://"), F.col("doc_id").cast("string")))
     )
-    return d.select(
-        "doc_id", ref.alias("media_ref"),
-        image_type_col(ref).alias("media_type"),
-    ).join(decoded, "doc_id").join(sm, "doc_id")
+    return (
+        d.select(
+            "doc_id", ref.alias("media_ref"),
+            image_type_col(ref).alias("media_type"),
+        )
+        .join(decoded, "doc_id")
+        .join(sm, "doc_id")
+        .join(waves, "doc_id")
+    )
 
 
 def q_jaccard_verify(spark, sf_dir):
@@ -3855,6 +3885,17 @@ def oracle_sql() -> dict[str, str]:
             # decoded_text/enc_used: construction ground truth for the
             # charset-sniff arms — the suffixes and codec names are
             # exactly what the writer plants per doc_id%6
+            "with u as ("
+            "select doc_id, 'http://sm.example/' "
+            "|| cast(doc_id as varchar) || '/a&b' as url from documents "
+            "union all select doc_id, 'http://sm.example/' "
+            "|| cast(doc_id as varchar) || '/two' from documents"
+            "), s as (select doc_id, url, "
+            "cast(row_number() over (order by url) - 1 as int) as wave "
+            "from u), w as (select doc_id, "
+            "max(case when url like '%/a&b' then wave end) as wave_a, "
+            "max(case when url like '%/two' then wave end) as wave_two "
+            "from s group by doc_id) "
             "select doc_id, media_ref, case "
             "when media_ref like 'http://img/%' then 'png' "
             "when media_ref like 'data:image/jpeg%' then 'jpg' "
@@ -3877,14 +3918,17 @@ def oracle_sql() -> dict[str, str]:
             "|| '|url~http://sm.example/' || cast(doc_id as varchar) "
             "|| '/a&b~2024-03-0' || cast(doc_id % 9 + 1 as varchar) "
             "|| '|url~http://sm.example/' || cast(doc_id as varchar) "
-            "|| '/two~-' as sm_entries "
+            "|| '/two~-' as sm_entries, "
+            # frontier politeness waves: one shared host, so wave =
+            # corpus-wide row_number over the URL set in string order
+            "w.wave_a, w.wave_two "
             "from ("
             "select doc_id, text, case "
             "when doc_id % 4 = 0 then 'http://img/' || cast(doc_id as varchar) || '.PNG' "
             "when doc_id % 4 = 1 then 'data:image/jpeg;base64,' || source "
             "when doc_id % 4 = 2 then 'files/' || cast(doc_id as varchar) || '.webp' "
             "else 'media://' || cast(doc_id as varchar) end as media_ref "
-            "from documents)"
+            "from documents) join w using (doc_id)"
         ),
         "bm25_topk": (
             # BM25 recomputed with the SAME fixed-order double

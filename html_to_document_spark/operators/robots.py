@@ -248,3 +248,69 @@ def robots_sitemaps(
     return df.select(
         *keep, F.explode(urls).alias("sitemap_url")
     ).filter(F.col("sitemap_url") != "")
+
+
+def robots_crawl_delays(
+    df: "DataFrame",
+    robots_col: str = "robots_txt",
+    agent: str = "*",
+    max_delay: float = 60.0,
+) -> "DataFrame":
+    """Per-host ``Crawl-delay`` extraction -> (host…, crawl_delay
+    double). Non-standard but honored by most crawlers; group
+    selection follows the same exact-agent-over-``*`` rule as the
+    allow/disallow parser. Values clamp to ``max_delay`` (a hostile
+    ``Crawl-delay: 86400`` must not stall a scheduler) and hosts
+    without a parseable delay are omitted (callers coalesce their own
+    default). Runs in the same Arrow-batched stage shape as
+    ``compile_robots``."""
+    import pandas as pd
+
+    keep = [c for c in df.columns if c != robots_col]
+
+    def delay_of(text: str | None) -> float | None:
+        groups: dict[str, float] = {}
+        current: list[str] = []
+        in_header = True
+        for raw in (text or "").splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, value = line.partition(":")
+            key = key.strip().lower()
+            value = value.strip()
+            if key == "user-agent":
+                if not in_header:
+                    current = []
+                in_header = True
+                current.append(value.lower())
+            elif key == "crawl-delay":
+                in_header = False
+                try:
+                    d = float(value)
+                except ValueError:
+                    continue
+                if d < 0:
+                    continue
+                for a in current:
+                    groups.setdefault(a, min(d, max_delay))
+            elif key in ("allow", "disallow"):
+                in_header = False
+        d = groups.get(agent.lower())
+        return d if d is not None else groups.get("*")
+
+    def fn(batches):
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out["crawl_delay"] = [
+                delay_of(t) for t in pdf[robots_col]
+            ]
+            yield out
+
+    in_schema = df.select(*keep).schema
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields
+    ) + ", crawl_delay double"
+    return df.mapInPandas(fn, schema).filter(
+        "crawl_delay is not null"
+    )

@@ -27,7 +27,7 @@ from typing import TYPE_CHECKING
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import Column, DataFrame
 
-__all__ = ["sitemap_entries", "seed_frontier"]
+__all__ = ["sitemap_entries", "seed_frontier", "schedule_frontier"]
 
 
 def _unescape(col: "Column") -> "Column":
@@ -123,4 +123,51 @@ def seed_frontier(
         urls.select(normalize_url_col("loc").alias("url"))
         .filter(F.col("url").isNotNull())
         .distinct()
+    )
+
+
+def schedule_frontier(
+    frontier: "DataFrame",
+    url_col: str = "url",
+    delays: "DataFrame | None" = None,
+    default_delay: float = 1.0,
+) -> "DataFrame":
+    """Politeness scheduling for a URL frontier: assign each URL a
+    per-host fetch ``wave`` (0, 1, 2, … in deterministic URL order)
+    and a ``not_before`` second offset (wave x the host's
+    crawl-delay). Fetch wave N across all hosts concurrently and no
+    host ever sees two simultaneous requests; the cumulative offset
+    additionally honors per-host ``Crawl-delay`` when a
+    (host, crawl_delay) frame — e.g. from
+    ``robots.robots_crawl_delays`` — is supplied (``default_delay``
+    seconds otherwise).
+
+    Output: (url, host, wave, not_before). Scale shape: ONE window
+    keyed by host ordered by URL. A host's URLs are inherently
+    sequential (that is the politeness constraint), so the per-host
+    window partition is the irreducible unit of work; window state is
+    a single row counter. NULL-host URLs (unparsable) are dropped —
+    they cannot be fetched anyway."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from html_to_document_spark.operators.url_filter import host_col
+
+    with_host = frontier.withColumn(
+        "host", host_col(url_col)
+    ).filter(F.col("host").isNotNull())
+    w = Window.partitionBy("host").orderBy(F.col(url_col))
+    out = with_host.withColumn(
+        "wave", (F.row_number().over(w) - 1).cast("int")
+    )
+    if delays is not None:
+        out = out.join(F.broadcast(delays), "host", "left")
+        delay = F.coalesce(
+            F.col("crawl_delay"), F.lit(float(default_delay))
+        )
+    else:
+        delay = F.lit(float(default_delay))
+    return out.select(
+        url_col, "host", "wave",
+        (F.col("wave") * delay).cast("double").alias("not_before"),
     )

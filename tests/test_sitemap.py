@@ -99,3 +99,62 @@ def test_seed_frontier_dedup_and_cutoff(spark):
     ]
     # no cutoff: the stale page joins too
     assert seed_frontier(entries).count() == 4
+
+
+def test_schedule_frontier_waves_and_delays(spark):
+    from html_to_document_spark.operators.robots import (
+        robots_crawl_delays,
+    )
+    from html_to_document_spark.operators.sitemap import (
+        schedule_frontier,
+    )
+
+    urls = spark.createDataFrame(
+        [("http://a.example/1",), ("http://a.example/2",),
+         ("http://a.example/3",), ("http://b.example/x",),
+         ("http://b.example/y",), ("not a url",)],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.example",
+          "User-agent: *\nCrawl-delay: 2.5\nDisallow: /private"),
+         ("b.example", "User-agent: *\nDisallow:"),  # no delay line
+         ("c.example", "User-agent: *\nCrawl-delay: 99999"),  # clamps
+         ("d.example", "User-agent: *\nCrawl-delay: junk")],
+        "host string, robots_txt string",
+    )
+    delays = robots_crawl_delays(robots)
+    got = {
+        (r["host"], r["wave"]): r["not_before"]
+        for r in schedule_frontier(urls, delays=delays).collect()
+    }
+    # per-host waves 0..n-1 in URL order; a.example honors 2.5s
+    assert got[("a.example", 0)] == 0.0
+    assert got[("a.example", 1)] == 2.5
+    assert got[("a.example", 2)] == 5.0
+    # b.example falls back to the 1.0s default
+    assert got[("b.example", 0)] == 0.0
+    assert got[("b.example", 1)] == 1.0
+    # unparsable URL dropped
+    assert len(got) == 5
+    # hostile delay clamps at max_delay
+    d = {r["host"]: r["crawl_delay"] for r in delays.collect()}
+    assert d == {"a.example": 2.5, "c.example": 60.0}
+
+
+def test_crawl_delay_agent_groups(spark):
+    from html_to_document_spark.operators.robots import (
+        robots_crawl_delays,
+    )
+
+    robots = spark.createDataFrame(
+        [("x.example",
+          "User-agent: bot\nCrawl-delay: 9\n\n"
+          "User-agent: *\nCrawl-delay: 3")],
+        "host string, robots_txt string",
+    )
+    star = robots_crawl_delays(robots).collect()[0]["crawl_delay"]
+    bot = robots_crawl_delays(robots, agent="bot").collect()[0][
+        "crawl_delay"
+    ]
+    assert (star, bot) == (3.0, 9.0)
