@@ -202,6 +202,18 @@ def q_extract_sharded(spark, sf_dir):
 
 
 def q_extract_boilerplate(spark, sf_dir):
+    """r5 continuation 12: the row also gates the extraction-quality
+    benchmark metric (text_analysis.extraction_f1) — the UNFILTERED
+    extraction (which keeps the planted 'x y' link-farm div) scored
+    against the doc's main text as gold. By multiset-min overlap the
+    two spurious tokens NEVER count (even when 'x'/'y' occur in the
+    main text the min() absorbs them), so recall is exactly 1.0 and
+    precision is n/(n+2) by construction — the oracle replays the
+    identical division chain and r4 rounding."""
+    from html_to_document_spark.operators.text_analysis import (
+        extraction_f1,
+    )
+
     html = F.concat(
         F.lit('<div><a href="/a">x y</a></div><p>'), F.col("text"), F.lit("</p>")
     )
@@ -209,7 +221,28 @@ def q_extract_boilerplate(spark, sf_dir):
     out = _extract_exploded(
         df, ExtractOptions(boilerplate_max_link_density=0.6)
     )
-    return out.select("doc_id", "offset", "kind", "text")
+    unfiltered = _extract_exploded(df)
+    pred = (
+        unfiltered.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("offset", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+    gold = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    scores = extraction_f1(pred, gold)
+    return out.select("doc_id", "offset", "kind", "text").join(
+        scores, "doc_id"
+    )
 
 
 def q_extract_text_density(spark, sf_dir):
@@ -2897,8 +2930,21 @@ def oracle_sql() -> dict[str, str]:
             ]
         ),
         "extract_boilerplate": (
-            "select doc_id, cast(0 as int) as offset, 'text' as kind, text "
-            "from documents"
+            # f1 arms: n gold tokens, pred = n+2 ('x y' link div),
+            # multiset-min overlap = n exactly — replay the operator's
+            # division chain (IEEE-deterministic on integer counts)
+            # and the r4 floor rounding
+            "select doc_id, cast(0 as int) as offset, 'text' as kind, "
+            "text, n + 2 as n_pred, n as n_gold, n as n_overlap, "
+            "floor((cast(n as double) / cast(n + 2 as double)) "
+            "* 10000 + 0.5) / 10000.0 as precision, "
+            "cast(1.0 as double) as recall, "
+            "floor((2.0 * (cast(n as double) / cast(n + 2 as double)) "
+            "* 1.0 / ((cast(n as double) / cast(n + 2 as double)) "
+            "+ 1.0)) * 10000 + 0.5) / 10000.0 as f1 "
+            "from (select doc_id, text, cast(len(list_filter("
+            "string_split_regex(trim(text), '\\s+'), x -> x <> '')) "
+            "as bigint) as n from documents)"
         ),
         "extract_text_density": (
             "select doc_id, cast(0 as int) as offset, 'text' as kind, text "

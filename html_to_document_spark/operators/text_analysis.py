@@ -500,3 +500,69 @@ def script_profile(df: "DataFrame", text_col: str = "text") -> "DataFrame":
     for name in SCRIPT_ORDER:
         dom = dom.when(F.col(f"n_{name}") == best, F.lit(name))
     return out.withColumn("dominant_script", dom)
+
+
+def extraction_f1(
+    pred: "DataFrame",
+    gold: "DataFrame",
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Token-level extraction quality vs a gold reference — the
+    standard main-content-extraction benchmark metric (how
+    trafilatura/boilerpipe-style evals score extractors): per doc,
+    multiset precision/recall/F1 of whitespace tokens.
+
+    ``overlap = sum over distinct tokens of min(pred_count,
+    gold_count)``; precision = overlap/n_pred, recall =
+    overlap/n_gold, F1 = 2PR/(P+R) (0 when degenerate), all r4-rounded
+    at OUTPUT (the division chain itself is IEEE-deterministic given
+    the integer counts, so an oracle replaying the same expression
+    shape matches bit-for-bit).
+
+    Scale shape: one explode per side to (doc, token) counts, a full
+    outer equi-join on (doc, token), then a per-doc sum — everything
+    shuffles on (doc, token) pairs, never text. Docs empty on BOTH
+    sides produce no row (nothing to score); a doc empty on one side
+    scores 0 on that side's metric."""
+    from pyspark.sql import functions as F
+
+    def counts(df, name):
+        toks = df.select(
+            F.col(doc_col).alias("doc_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("tok"),
+        )
+        return toks.groupBy("doc_id", "tok").agg(
+            F.count("*").alias(name)
+        )
+
+    zero = F.lit(0).cast("long")
+    j = counts(pred, "n_p").join(
+        counts(gold, "n_g"), ["doc_id", "tok"], "full"
+    )
+    per = j.groupBy("doc_id").agg(
+        F.sum(F.coalesce("n_p", zero)).alias("n_pred"),
+        F.sum(F.coalesce("n_g", zero)).alias("n_gold"),
+        F.sum(
+            F.least(F.coalesce("n_p", zero), F.coalesce("n_g", zero))
+        ).alias("n_overlap"),
+    )
+    p = F.when(
+        F.col("n_pred") > 0, F.col("n_overlap") / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    rr = F.when(
+        F.col("n_gold") > 0, F.col("n_overlap") / F.col("n_gold")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (p + rr) > 0, F.lit(2.0) * p * rr / (p + rr)
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        "doc_id", "n_pred", "n_gold", "n_overlap",
+        r4(p).alias("precision"), r4(rr).alias("recall"),
+        r4(f1).alias("f1"),
+    )

@@ -222,3 +222,34 @@ def test_script_profile_duckdb_pattern_parity(spark):
                 [t, t, cls],
             ).fetchone()[0]
             assert got[i][f"n_{name}"] == want, (i, name)
+
+
+def test_extraction_f1(spark):
+    from html_to_document_spark.operators.text_analysis import (
+        extraction_f1,
+    )
+
+    pred = spark.createDataFrame(
+        [("d1", "a b c x"),       # one spurious token
+         ("d2", "a a b"),          # multiset: double 'a' vs single
+         ("d3", ""),               # empty prediction
+         ("d4", "exact match")],
+        "doc_id string, text string",
+    )
+    gold = spark.createDataFrame(
+        [("d1", "a b c"), ("d2", "a b b"), ("d3", "missed words"),
+         ("d4", "exact match"), ("d5", "gold only doc")],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r for r in extraction_f1(pred, gold).collect()}
+    r1 = rows["d1"]
+    assert (r1["n_pred"], r1["n_gold"], r1["n_overlap"]) == (4, 3, 3)
+    assert (r1["precision"], r1["recall"]) == (0.75, 1.0)
+    assert r1["f1"] == round(2 * 0.75 / 1.75, 4)
+    # multiset: overlap = min(2,1)['a'] + min(1,2)['b'] = 2
+    r2 = rows["d2"]
+    assert (r2["n_pred"], r2["n_gold"], r2["n_overlap"]) == (3, 3, 2)
+    # one-sided docs score zero, both-sided-empty absent
+    assert rows["d3"]["precision"] == 0.0 and rows["d3"]["recall"] == 0.0
+    assert rows["d5"]["n_pred"] == 0 and rows["d5"]["f1"] == 0.0
+    assert rows["d4"]["f1"] == 1.0
