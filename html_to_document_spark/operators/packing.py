@@ -397,3 +397,51 @@ def chunk_sentence_windows(
         F.col("_z.n_tokens").alias("n_tokens"),
         F.col("_z.chunk").alias("chunk"),
     )
+
+
+def packing_stats(
+    packed: "DataFrame", budget: int
+) -> "DataFrame":
+    """One-row packing-efficiency datasheet over a
+    :func:`pack_sequences` assignment frame — the numbers that decide
+    whether a packing config wastes compute at training time:
+
+    - ``n_bins`` / ``n_docs`` / ``total_tokens`` (oversize docs
+      excluded — they don't occupy bins);
+    - ``mean_fill``: total_tokens / (n_bins * budget) — the corpus
+      fill rate, = 1 - padding waste;
+    - ``min_bin_fill`` / ``p50_bin_fill``: worst and exact-median
+      per-bin fill (r4) — FFD leaves at most one straggler bin per
+      partition, and these surface it;
+    - ``n_oversize``: docs that exceeded the budget outright.
+
+    Scale shape: one groupBy(bin_id) sum, then a single-row aggregate.
+    The exact median runs over the BIN frame — already reduced by
+    ~budget/avg_doc_tokens versus the corpus — so its exchange is
+    tiny; per-doc frames are never globally sorted."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.operators.text_analysis import r4
+
+    ok = packed.filter(~F.col("oversize"))
+    bins = ok.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.count("*").alias("bin_docs"),
+    )
+    b = float(budget)
+    return bins.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("bin_docs").alias("n_docs"),
+        F.sum("bin_tokens").alias("total_tokens"),
+        r4(F.sum("bin_tokens") / (F.count("*") * F.lit(b))).alias(
+            "mean_fill"
+        ),
+        r4(F.min("bin_tokens") / F.lit(b)).alias("min_bin_fill"),
+        r4(
+            F.expr("median(bin_tokens)") / F.lit(b)
+        ).alias("p50_bin_fill"),
+    ).crossJoin(
+        packed.agg(
+            F.sum(F.col("oversize").cast("long")).alias("n_oversize")
+        )
+    )

@@ -166,3 +166,39 @@ def test_chunk_sentence_windows_plan_no_exchange(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan  # pure JVM fold
+
+
+def test_packing_stats(spark):
+    from html_to_document_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    rows = [(f"d{i}", "w " * n) for i, n in
+            enumerate([60, 50, 40, 30, 20, 150])]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    packed = pack_sequences(df, budget=100, num_partitions=1)
+    s = packing_stats(packed, budget=100).collect()[0]
+    # FFD on [60,50,40,30,20]: bins {60+40}, {50+30+20} -> 2 full bins
+    assert s["n_bins"] == 2
+    assert s["n_docs"] == 5
+    assert s["total_tokens"] == 200
+    assert s["mean_fill"] == 1.0
+    assert s["min_bin_fill"] == 1.0
+    assert s["p50_bin_fill"] == 1.0
+    assert s["n_oversize"] == 1  # the 150-token doc
+    # a straggler bin shows up in min/median
+    packed2 = pack_sequences(
+        spark.createDataFrame(
+            [("a", "w " * 80), ("b", "w " * 70), ("c", "w " * 10)],
+            "doc_id string, text string",
+        ),
+        budget=100, num_partitions=1,
+    )
+    s2 = packing_stats(packed2, budget=100).collect()[0]
+    # bins: {80+10}, {70} -> fills 0.9 and 0.7
+    assert s2["n_bins"] == 2
+    assert s2["mean_fill"] == 0.8
+    assert s2["min_bin_fill"] == 0.7
+    assert s2["p50_bin_fill"] == 0.8  # exact median of [0.7, 0.9]
+    assert s2["n_oversize"] == 0
