@@ -950,3 +950,65 @@ def assemble_html(in_spans: list) -> str:
         else:
             parts.append(s["text"] or "")
     return "".join(parts)
+
+
+def media_span_handler(walker: "_Walker", node: list) -> None:
+    """Built-in U5 tag handler: ``<video>``/``<audio>``/``<embed>``
+    elements emit an image-kind span carrying their media reference
+    (``src`` attribute, else the first ``<source src>`` child) — the
+    interleaved corpus keeps a typed pointer (span meta records the
+    real tag) instead of dissolving the element and losing the ref.
+    Fallback text inside the element is suppressed, as a browser
+    would. Use via :func:`with_media_tags`; runs on the tree walker
+    (callable handlers route there — ``_stream_eligible``)."""
+    tag, attrs, kids = node
+    ref = (attrs or {}).get("src")
+    if not ref:
+        for ch in kids:
+            if (
+                ch[0] == "source"
+                and isinstance(ch[1], dict)
+                and ch[1].get("src")
+            ):
+                ref = ch[1]["src"]
+                break
+    meta = {"tag": tag} if walker.meta_mode else None
+    walker.emit(IMAGE, None, ref, meta)
+
+
+_MEDIA_VOID_RE = _re.compile(
+    r"<(source|track|embed)\b([^>]*?)\s*/?>", _re.IGNORECASE
+)
+
+
+def _self_close_media_voids(html: str) -> str:
+    """before_parse hook for :func:`with_media_tags`: rewrite
+    ``<source>``/``<track>``/``<embed>`` as explicitly self-closed.
+    The minify machine keeps the REFERENCE's narrow void set
+    (minify.middleware.ts:5-13 — no media voids), so without this a
+    ``</video>`` arriving while a ``<source>`` is open re-parents the
+    video's real SIBLINGS into its subtree, and a media handler that
+    (correctly) skips fallback children would swallow them. The
+    explicit ``/>`` makes both token machines treat the tags as void
+    without touching default-path parity. Same naive attribute-``>``
+    limitation as the tokenizers' fallback."""
+    return _MEDIA_VOID_RE.sub(r"<\1\2/>", html)
+
+
+def with_media_tags(options: ExtractOptions = DEFAULT_OPTIONS) -> ExtractOptions:
+    """A copy of ``options`` whose tag_overrides route video/audio/
+    embed through :func:`media_span_handler` — the opt-in for
+    multimodal corpora that need every media pointer, not just
+    images. (The reference's parser knows only ``img`` —
+    parser.ts img branch — so this stays off the default path.)
+    Also prepends the media-void self-closing hook (see
+    :func:`_self_close_media_voids`)."""
+    from dataclasses import replace
+
+    overrides = dict(options.tag_overrides)
+    for t in ("video", "audio", "embed"):
+        overrides.setdefault(t, media_span_handler)
+    hooks = options.before_parse
+    if _self_close_media_voids not in hooks:
+        hooks = (_self_close_media_voids,) + hooks
+    return replace(options, tag_overrides=overrides, before_parse=hooks)

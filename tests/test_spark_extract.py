@@ -304,3 +304,57 @@ def test_drop_class_re_through_spark_path(spark):
     )
     texts = {r["doc_id"]: r["text"] for r in out.collect()}
     assert texts == {"a": "keep a", "b": "keep b", "c": "keep c"}
+
+
+def test_media_tag_extraction(spark):
+    """with_media_tags: video/audio/embed emit image-kind spans with
+    their media reference (src, else first <source src> child);
+    fallback text suppressed; siblings after media elements survive
+    (the media-void self-closing hook keeps the reference-parity
+    minifier from re-parenting them)."""
+    from pyspark.sql import functions as F
+
+    from html_to_document_spark.core.extract import (
+        ExtractOptions,
+        with_media_tags,
+    )
+    from html_to_document_spark.operators.extract_spans import (
+        exploded_with_meta,
+        extract_spans_from_html,
+    )
+
+    html = (
+        '<p>intro</p><video src="v.mp4">fallback text</video>'
+        '<video><source src="s1.webm"><source src="s2.mp4"></video>'
+        '<audio src="a.mp3"></audio><embed src="e.swf">'
+        "<p>after</p>"
+    )
+    df = spark.createDataFrame([("d", html)], "doc_id string, html string")
+    opts = with_media_tags(ExtractOptions(with_meta=True))
+    rows = (
+        exploded_with_meta(extract_spans_from_html(df, options=opts))
+        .orderBy("offset")
+        .collect()
+    )
+    got = [(r["kind"], r["text"], r["media_ref"], r["tag"]) for r in rows]
+    assert got == [
+        ("text", "intro", None, "p"),
+        ("image", None, "v.mp4", "video"),
+        ("image", None, "s1.webm", "video"),
+        ("image", None, "a.mp3", "audio"),
+        ("image", None, "e.swf", "embed"),
+        ("text", "after", None, "p"),
+    ]
+    # default options: media elements dissolve, fallback text kept,
+    # no refs — reference parity unchanged
+    base = (
+        exploded_with_meta(
+            extract_spans_from_html(
+                df, options=ExtractOptions(with_meta=True)
+            )
+        )
+        .orderBy("offset")
+        .collect()
+    )
+    assert [r["kind"] for r in base] == ["text", "text", "text"]
+    assert "fallback text" in [r["text"] for r in base]
