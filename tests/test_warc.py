@@ -328,3 +328,25 @@ def test_read_warc_capture_headers(spark, tmp_path):
 
     # flag off: columns absent, existing schema untouched
     assert "fetched_at" not in read_warc(spark, str(tmp_path)).columns
+
+
+def test_sniff_decode_bomless_utf16_labels_mean_utf8():
+    """Review find (WHATWG decode rule): a UTF-16-family charset
+    declaration on a BOM-less body means UTF-8 — even-length ASCII
+    would otherwise 'successfully' decode into CJK garbage."""
+    from html_to_document_spark.sources.warc import sniff_decode
+
+    body = b"<html><body>hello world page</body></html>"
+    assert sniff_decode(body, "unicode") == (body.decode(), "utf-8")
+    assert sniff_decode(body, "utf-16") == (body.decode(), "utf-8")
+    assert sniff_decode(body, "utf-16le") == (body.decode(), "utf-8")
+    meta = b"<meta charset=unicode><p>plain ascii</p>"
+    assert sniff_decode(meta, None) == (meta.decode(), "utf-8")
+    # a genuine BOM'd UTF-16 body still decodes as UTF-16
+    import codecs
+
+    b16 = codecs.BOM_UTF16_LE + "hé".encode("utf-16-le")
+    assert sniff_decode(b16, "utf-16") == ("hé", "utf-16-le")
+    # and a BOM-less legacy body with a utf-16 label falls through to
+    # the cp1252 heuristic rather than mangling
+    assert sniff_decode(b"caf\xe9", "utf-16") == ("café", "cp1252")
