@@ -236,9 +236,10 @@ def q_extract_boilerplate(spark, sf_dir):
             ).alias("text")
         )
     )
-    gold = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
-    )
+    # doc_id stays LONG on both sides — pred comes from
+    # _extract_exploded's long cast, and a string gold would ride on
+    # implicit cross-type join coercion (review find)
+    gold = _docs(spark, sf_dir).select("doc_id", "text")
     scores = extraction_f1(pred, gold)
     return out.select("doc_id", "offset", "kind", "text").join(
         scores, "doc_id"

@@ -959,10 +959,14 @@ def media_span_handler(walker: "_Walker", node: list) -> None:
     interleaved corpus keeps a typed pointer (span meta records the
     real tag) instead of dissolving the element and losing the ref.
     Fallback text inside the element is suppressed, as a browser
-    would. Use via :func:`with_media_tags`; runs on the tree walker
-    (callable handlers route there — ``_stream_eligible``)."""
+    would — but an element with NO resolvable reference dissolves
+    like the default fragment path instead (a null-pointer media
+    span is useless and losing the fallback text on top of it would
+    be strictly worse than doing nothing). Use via
+    :func:`with_media_tags`; runs on the tree walker (callable
+    handlers route there — ``_stream_eligible``)."""
     tag, attrs, kids = node
-    ref = (attrs or {}).get("src")
+    ref = (attrs or {}).get("src") or None
     if not ref:
         for ch in kids:
             if (
@@ -972,12 +976,20 @@ def media_span_handler(walker: "_Walker", node: list) -> None:
             ):
                 ref = ch[1]["src"]
                 break
+    if not ref:
+        walker.walk_fragment(kids)
+        walker._flush()
+        return
     meta = {"tag": tag} if walker.meta_mode else None
     walker.emit(IMAGE, None, ref, meta)
 
 
+# quote-aware (mirrors _TOKEN_RE): a '>' inside a quoted attribute
+# value must not end the tag, or the rewrite would corrupt it and
+# re-introduce the sibling-swallowing hazard it exists to prevent
 _MEDIA_VOID_RE = _re.compile(
-    r"<(source|track|embed)\b([^>]*?)\s*/?>", _re.IGNORECASE
+    r"<(source|track|embed)\b((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)\s*/?>",
+    _re.IGNORECASE,
 )
 
 

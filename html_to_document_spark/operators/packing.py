@@ -415,33 +415,39 @@ def packing_stats(
       partition, and these surface it;
     - ``n_oversize``: docs that exceeded the budget outright.
 
-    Scale shape: one groupBy(bin_id) sum, then a single-row aggregate.
-    The exact median runs over the BIN frame — already reduced by
+    Scale shape: one groupBy(bin_id) pass over the packed frame, then
+    a single-row aggregate — the oversize count rides the SAME pass
+    as conditional sums (oversize docs occupy dedicated bins whose
+    regular-doc count is 0, so they fall out of every fill metric
+    without a second scan of the packing lineage). The exact median
+    runs over the BIN frame — already reduced by
     ~budget/avg_doc_tokens versus the corpus — so its exchange is
     tiny; per-doc frames are never globally sorted."""
     from pyspark.sql import functions as F
 
     from html_to_document_spark.operators.text_analysis import r4
 
-    ok = packed.filter(~F.col("oversize"))
-    bins = ok.groupBy("bin_id").agg(
-        F.sum("n_tokens").alias("bin_tokens"),
-        F.count("*").alias("bin_docs"),
+    ov = F.col("oversize")
+    bins = packed.groupBy("bin_id").agg(
+        F.sum(F.when(~ov, F.col("n_tokens"))).alias("bin_tokens"),
+        F.count(F.when(~ov, F.lit(1))).alias("bin_docs"),
+        F.sum(ov.cast("long")).alias("n_over"),
     )
     b = float(budget)
+    regular = F.col("bin_docs") > 0
+    reg_tokens = F.when(regular, F.col("bin_tokens"))
+    n_bins = F.count(F.when(regular, F.lit(1)))
     return bins.agg(
-        F.count("*").alias("n_bins"),
+        n_bins.alias("n_bins"),
         F.sum("bin_docs").alias("n_docs"),
-        F.sum("bin_tokens").alias("total_tokens"),
-        r4(F.sum("bin_tokens") / (F.count("*") * F.lit(b))).alias(
-            "mean_fill"
-        ),
-        r4(F.min("bin_tokens") / F.lit(b)).alias("min_bin_fill"),
+        F.coalesce(F.sum(reg_tokens), F.lit(0)).alias("total_tokens"),
+        r4(F.sum(reg_tokens) / (n_bins * F.lit(b))).alias("mean_fill"),
+        r4(F.min(reg_tokens) / F.lit(b)).alias("min_bin_fill"),
         r4(
-            F.expr("median(bin_tokens)") / F.lit(b)
+            F.expr(
+                "median(case when bin_docs > 0 then bin_tokens end)"
+            )
+            / F.lit(b)
         ).alias("p50_bin_fill"),
-    ).crossJoin(
-        packed.agg(
-            F.sum(F.col("oversize").cast("long")).alias("n_oversize")
-        )
+        F.sum("n_over").alias("n_oversize"),
     )

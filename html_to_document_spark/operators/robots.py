@@ -258,18 +258,26 @@ def robots_crawl_delays(
 ) -> "DataFrame":
     """Per-host ``Crawl-delay`` extraction -> (host…, crawl_delay
     double). Non-standard but honored by most crawlers; group
-    selection follows the same exact-agent-over-``*`` rule as the
-    allow/disallow parser. Values clamp to ``max_delay`` (a hostile
-    ``Crawl-delay: 86400`` must not stall a scheduler) and hosts
-    without a parseable delay are omitted (callers coalesce their own
-    default). Runs in the same Arrow-batched stage shape as
+    FORMATION and selection mirror ``parse_robots_txt`` exactly —
+    the same User-agent runs, the same header-ending keys (any
+    non-group key except Sitemap), and the same
+    exact-agent-over-``*`` rule, under which an exact-agent group
+    that declares NO delay means "no delay for this bot" rather than
+    falling back to ``*``'s (a site that exempts its own bot must not
+    inherit the hostile default). Values clamp to ``max_delay`` and
+    reject non-finite input (``Crawl-delay: NaN`` would otherwise
+    poison every not_before the scheduler derives); hosts without a
+    delay for the selected group are omitted (callers coalesce their
+    own default). Runs in the same Arrow-batched stage shape as
     ``compile_robots``."""
+    import math
+
     import pandas as pd
 
     keep = [c for c in df.columns if c != robots_col]
 
     def delay_of(text: str | None) -> float | None:
-        groups: dict[str, float] = {}
+        groups: dict[str, float | None] = {}
         current: list[str] = []
         in_header = True
         for raw in (text or "").splitlines():
@@ -284,20 +292,25 @@ def robots_crawl_delays(
                     current = []
                 in_header = True
                 current.append(value.lower())
+                for a in current:
+                    groups.setdefault(a, None)
             elif key == "crawl-delay":
                 in_header = False
                 try:
                     d = float(value)
                 except ValueError:
                     continue
-                if d < 0:
+                if not math.isfinite(d) or d < 0:
                     continue
                 for a in current:
-                    groups.setdefault(a, min(d, max_delay))
+                    if groups.get(a) is None:
+                        groups[a] = min(d, max_delay)
             elif key in ("allow", "disallow"):
                 in_header = False
-        d = groups.get(agent.lower())
-        return d if d is not None else groups.get("*")
+            elif key != "sitemap":
+                in_header = False
+        a = agent.lower()
+        return groups[a] if a in groups else groups.get("*")
 
     def fn(batches):
         for pdf in batches:

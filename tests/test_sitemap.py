@@ -158,3 +158,47 @@ def test_crawl_delay_agent_groups(spark):
         "crawl_delay"
     ]
     assert (star, bot) == (3.0, 9.0)
+
+
+def test_crawl_delay_group_formation_review_pins(spark):
+    """Review pins: (a) an exact-agent group that declares NO delay
+    means no delay — never fall back to '*'s hostile default; (b)
+    unknown keys (Host:) end the header run exactly as the
+    allow/disallow parser's groups do; (c) Crawl-delay: NaN/inf are
+    rejected, not clamped into the scheduler."""
+    from html_to_document_spark.operators.robots import (
+        robots_crawl_delays,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            # exempted bot: own group, no delay line
+            ("h1", "User-agent: mybot\nDisallow:\n\n"
+                   "User-agent: *\nCrawl-delay: 30"),
+            # Host: ends the header run, so agents a and b are
+            # SEPARATE groups and a has no delay
+            ("h2", "User-agent: a\nHost: example.com\n"
+                   "User-agent: b\nCrawl-delay: 5"),
+            # hostile non-finite values rejected
+            ("h3", "User-agent: *\nCrawl-delay: NaN"),
+            ("h4", "User-agent: *\nCrawl-delay: inf"),
+        ],
+        "host string, robots_txt string",
+    )
+    star = {r["host"]: r["crawl_delay"]
+            for r in robots_crawl_delays(robots).collect()}
+    # h2 declares no '*' group at all -> omitted for agent '*'
+    assert star == {"h1": 30.0}
+    assert "h3" not in star and "h4" not in star
+
+    mybot = {r["host"]: r["crawl_delay"]
+             for r in robots_crawl_delays(robots, agent="mybot").collect()}
+    assert "h1" not in mybot  # exempted: no delay, no fallback to 30
+
+    a = {r["host"]: r["crawl_delay"]
+         for r in robots_crawl_delays(robots, agent="a").collect()}
+    assert "h2" not in a  # separate group, no delay
+
+    b = {r["host"]: r["crawl_delay"]
+         for r in robots_crawl_delays(robots, agent="b").collect()}
+    assert b.get("h2") == 5.0
