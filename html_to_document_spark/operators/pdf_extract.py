@@ -24,6 +24,8 @@ scan.
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -42,28 +44,68 @@ from html_to_document_spark.operators.extract_spans import (
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame
 
-__all__ = ["pdf_paragraph_html", "extract_pdf_spans", "pdfs_to_html"]
+__all__ = ["pdf_paragraph_html", "extract_pdf_spans", "pdfs_to_html",
+           "dehyphenate_lines"]
 
 # PDFs larger than this route to the fine-grained pool (giant scans /
 # embedded-media bloat); bytes, computable JVM-side before the UDF
 GIANT_PDF_BYTES = 4 * 1024 * 1024
 
 
-def pdf_paragraph_html(data: bytes, *, reading_order: bool = False) -> str:
+_HYPHEN_BREAK_RE = re.compile(r"([A-Za-z]{2,})-$")
+
+
+def dehyphenate_lines(lines: list[str]) -> list[str]:
+    """Rejoin words the PDF layout broke across lines with a trailing
+    hyphen (the pdfminer/trafilatura heuristic): a line ending
+    ``xx-`` whose NEXT line starts lowercase merges hyphen-less into
+    that next line. Conservative on purpose — an uppercase or digit
+    continuation keeps the hyphen (proper nouns, ranges, real
+    compounds like "UTF-8" split at the 8 stay intact), and the
+    hyphen-bearing stem must be >= 2 letters so bullet dashes
+    survive. Empty lines (page joins) never merge."""
+    out: list[str] = []
+    i, n = 0, len(lines)
+    while i < n:
+        line = lines[i]
+        while (
+            i + 1 < n
+            and _HYPHEN_BREAK_RE.search(line)
+            and lines[i + 1][:1].islower()
+        ):
+            line = line[:-1] + lines[i + 1]
+            i += 1
+        out.append(line)
+        i += 1
+    return out
+
+
+def pdf_paragraph_html(
+    data: bytes,
+    *,
+    reading_order: bool = False,
+    dehyphenate: bool = False,
+) -> str:
     """PDF bytes -> ``<p>line</p>…`` exactly as the reference wraps
     pdf-parse output (one trimmed line per paragraph; ``\\r?\\n``
     split). ``reading_order`` enables the multi-column layout pass
     (``core.pdf``): columns emit left-to-right instead of draw order;
-    single-column documents are byte-identical either way."""
+    single-column documents are byte-identical either way.
+    ``dehyphenate`` rejoins layout-broken words across lines
+    (:func:`dehyphenate_lines`) — off by default, the reference keeps
+    pdf-parse's raw lines."""
     text = pdf_to_text(data, reading_order=reading_order)
-    return "".join(
-        "<p>" + line.strip() + "</p>"
-        for line in text.replace("\r\n", "\n").split("\n")
-    )
+    lines = text.replace("\r\n", "\n").split("\n")
+    if dehyphenate:
+        lines = dehyphenate_lines(lines)
+    return "".join("<p>" + line.strip() + "</p>" for line in lines)
 
 
 def _arrow_pdf_fn(
-    options: ExtractOptions, pdf_col: str, reading_order: bool = False
+    options: ExtractOptions,
+    pdf_col: str,
+    reading_order: bool = False,
+    dehyphenate: bool = False,
 ):
     import pyarrow as pa
 
@@ -73,7 +115,11 @@ def _arrow_pdf_fn(
             payloads = batch.column(pdf_col).to_pylist()
             spans = [
                 extract_document(
-                    pdf_paragraph_html(p, reading_order=reading_order)
+                    pdf_paragraph_html(
+                        p,
+                        reading_order=reading_order,
+                        dehyphenate=dehyphenate,
+                    )
                     if p is not None else "",
                     options,
                 )
@@ -95,6 +141,7 @@ def extract_pdf_spans(
     salt_seed: int = 42,
     giant_pool_factor: int = 1,
     reading_order: bool = False,
+    dehyphenate: bool = False,
 ) -> "DataFrame":
     """(doc_id, <binary pdf>) -> (doc_id, spans).
 
@@ -115,7 +162,7 @@ def extract_pdf_spans(
         F.col(pdf_col).alias(pdf_col),
     )
     schema = META_OUTPUT_SCHEMA if options.with_meta else OUTPUT_SCHEMA
-    fn = _arrow_pdf_fn(options, pdf_col, reading_order)
+    fn = _arrow_pdf_fn(options, pdf_col, reading_order, dehyphenate)
     if num_partitions is None:
         return flat.mapInArrow(fn, schema)
     return balanced_map_in_arrow(
@@ -135,6 +182,7 @@ def pdfs_to_html(
     pdf_col: str = "content",
     *,
     reading_order: bool = False,
+    dehyphenate: bool = False,
 ) -> "DataFrame":
     """Replace the binary ``pdf_col`` with an ``html`` string column
     (the ``<p>``-wrapped text), keeping all other columns.
@@ -154,7 +202,11 @@ def pdfs_to_html(
         for pdf in batches:
             out = pdf[other].copy()
             out["html"] = [
-                pdf_paragraph_html(bytes(p), reading_order=reading_order)
+                pdf_paragraph_html(
+                    bytes(p),
+                    reading_order=reading_order,
+                    dehyphenate=dehyphenate,
+                )
                 if p is not None else ""
                 for p in pdf[pdf_col]
             ]

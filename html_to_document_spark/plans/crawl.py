@@ -60,6 +60,7 @@ def build_crawl_pipeline(
     line_dedup: bool = False,
     sniff_charset: bool = False,
     pdf_reading_order: bool = False,
+    pdf_dehyphenate: bool = False,
 ) -> "DataFrame":
     """WARC files -> curated training corpus.
 
@@ -162,6 +163,7 @@ def build_crawl_pipeline(
         pdf_docs = pdfs_to_html(
             docs.filter(is_pdf).drop("html"),
             reading_order=pdf_reading_order,
+            dehyphenate=pdf_dehyphenate,
         ).select(*text_docs.columns)
         docs = text_docs.unionByName(pdf_docs)
 

@@ -688,3 +688,41 @@ def test_reading_order_conservative_on_form_text():
     # y — a naive split would reorder; the unknown-position guard
     # keeps stream order exactly
     assert pdf_text_lines(pdf, reading_order=True) == want
+
+
+def test_dehyphenate_lines_rules():
+    from html_to_document_spark.operators.pdf_extract import (
+        dehyphenate_lines,
+    )
+
+    assert dehyphenate_lines(["an exam-", "ple of broken words"]) == [
+        "an example of broken words"
+    ]
+    # chains collapse in one pass
+    assert dehyphenate_lines(["chained hy-", "phen-", "ation works"]) == [
+        "chained hyphenation works"
+    ]
+    # digit or uppercase continuation keeps the hyphen (UTF-8, ranges,
+    # proper-noun compounds)
+    assert dehyphenate_lines(["keep UTF-", "8 intact"]) == [
+        "keep UTF-", "8 intact"
+    ]
+    assert dehyphenate_lines(["New-", "York stays"]) == [
+        "New-", "York stays"
+    ]
+    # stem must be >= 2 letters (bullet dashes survive)
+    assert dehyphenate_lines(["a-", "b"]) == ["a-", "b"]
+    # empty line (page join) never merges
+    assert dehyphenate_lines(["ends here-", "", "next"]) == [
+        "ends here-", "", "next"
+    ]
+
+
+def test_pdf_paragraph_html_dehyphenate():
+    pdf = make_pdf([["an exam-", "ple of text"]])
+    assert (
+        pdf_paragraph_html(pdf, dehyphenate=True)
+        == "<p>an example of text</p>"
+    )
+    # default path keeps the reference's raw-line composition
+    assert pdf_paragraph_html(pdf) == "<p>an exam-</p><p>ple of text</p>"
