@@ -361,7 +361,7 @@ def incremental_near_pairs(
     """
     from pyspark.sql import functions as F
 
-    from .dedup import banded_frame, minhash_signature, shingle_jaccard_col
+    from .dedup import banded_frame, minhash_signature
 
     if history_df is None and (history_sigs is None or exact_verify):
         raise ValueError(
@@ -446,21 +446,30 @@ def incremental_near_pairs(
     )
     if not exact_verify:
         return out
-    # true shingle Jaccard on the surfaced pairs only — texts join the
-    # pair frame, never each other
+    # true shingle Jaccard on the surfaced pairs only — shingle SETS
+    # join the pair frame, never each other. The shingle construction
+    # (an interpreted higher-order expression) runs per DOC below the
+    # joins; per-pair work is only the codegen'd intersect/union
+    # (r6, guide §4.1 — measured 12x on the sf0.1 verify stage).
+    # Arithmetic identical to shingle_jaccard_col, so jaccard values
+    # are bit-for-bit unchanged.
+    from .dedup import word_shingles
+
     nt = new_df.select(
-        F.col(id_col).alias("new_id"), F.col(text_col).alias("_tn")
+        F.col(id_col).alias("new_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sn"),
     )
     ht = history_df.select(
-        F.col(id_col).alias("hist_id"), F.col(text_col).alias("_th")
+        F.col(id_col).alias("hist_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
     )
+    inter = F.size(F.array_intersect("_sn", "_sh")).cast("double")
+    union = F.size(F.array_union("_sn", "_sh")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         out.join(nt, "new_id")
         .join(ht, "hist_id")
-        .withColumn(
-            "jaccard",
-            shingle_jaccard_col(F.col("_tn"), F.col("_th"), n=shingle_n),
-        )
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "hist_id", "est_jaccard", "jaccard")
     )
