@@ -363,10 +363,21 @@ def minhash_signature(
     shape (map-side combine keeps the shuffle at one row per doc)."""
     from pyspark.sql import functions as F
 
-    sh = df.select(
-        F.col(id_col).alias("_id"),
+    from .parallelism import widen_small_scan
+
+    # widen tiny scans before the heavy explode + 64-hash aggregate
+    # (r6, guide §2.2): a single-file input plans 1-2 map tasks and the
+    # whole signature build runs serial, stalling every downstream
+    # band-join broadcast; keyed on _id so the groupBy reuses the
+    # exchange. No-op (no added shuffle) once the scan side is wide.
+    proj = widen_small_scan(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")),
+        "_id",
+    )
+    sh = proj.select(
+        "_id",
         F.explode(
-            word_shingles(F.col(text_col), shingle_n, max_words=max_words)
+            word_shingles(F.col("_t"), shingle_n, max_words=max_words)
         ).alias("_sh"),
     )
     sigs = sh.groupBy("_id").agg(

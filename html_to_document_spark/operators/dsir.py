@@ -93,8 +93,16 @@ def _doc_grams(words: list[str]) -> Iterator[str]:
 def _gram_counts(df: "DataFrame", text_col: str) -> "DataFrame":
     """(gram, count) over word unigrams + bigrams — one explode, one
     map-side-combinable groupBy; gram construction is array-side (no
-    positional self-join)."""
+    positional self-join).
+
+    The text projection is widened first (r6, guide §2.2): a tiny
+    single-file scan plans 1 map task and the explode + count partial
+    aggregate runs serial; no-op at scale."""
     from pyspark.sql import functions as F
+
+    from .parallelism import widen_small_scan
+
+    df = widen_small_scan(df.select(text_col))
 
     # empty-token filter after the split (F.trim strips ASCII spaces
     # only): a leading tab/newline would otherwise count a '' gram the
@@ -276,6 +284,12 @@ def dsir_log_weight(
         StructField,
         StructType,
     )
+
+    from .parallelism import widen_small_scan
+
+    # widen tiny scans so the Python scorer uses every core (r6,
+    # guide §2.2); no-op (no shuffle added) on wide inputs
+    df = widen_small_scan(df)
 
     sc = df.sparkSession.sparkContext
     bmodel = sc.broadcast(model)

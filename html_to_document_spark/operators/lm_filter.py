@@ -98,7 +98,9 @@ def fit_ngram_lm(
     # tokenization (_score_text) never produces — a silent fit/score
     # inconsistency on real web text (same filter as tokenizer.fit_bpe
     # and dsir._gram_counts; mirrored in the DuckDB oracle)
-    words = ref_df.select(
+    from .parallelism import widen_small_scan
+
+    words = widen_small_scan(ref_df.select(text_col)).select(
         F.filter(
             F.split(F.col(text_col), r"\s+"), lambda t: t != ""
         ).alias("_w")
@@ -241,9 +243,14 @@ def perplexity(
     the model crosses once per executor as an ``sc.broadcast``."""
     import pandas as pd  # noqa: F811
 
+    from .parallelism import widen_small_scan
+
     bc = df.sparkSession.sparkContext.broadcast(model)
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, n_tokens bigint, ppl double"
+    # widen tiny scans so the Python scorer uses every core (r6,
+    # guide §2.2); no-op on wide inputs
+    df = widen_small_scan(df.select(id_col, text_col))
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         m = bc.value
