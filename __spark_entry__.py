@@ -623,10 +623,47 @@ def q_lang_quality(spark, sf_dir):
         stratified_sample,
         temperature_fraction_col,
     )
-
-    out = q_lang_id(spark, sf_dir).join(
-        q_quality_score(spark, sf_dir), "doc_id"
+    from html_to_document_spark.operators.parallelism import (
+        widen_small_scan,
     )
+
+    # r6 perf (guide §2.4/§2.2): the former q_lang_id ⋈ q_quality_score
+    # doc_id self-join of two projections OVER THE SAME SCAN is one
+    # projection — same expressions (text_analysis builders), same
+    # values, no join shuffle; the scan is widened (the tiny single
+    # file plans 1 task and the regex chains ran serial) and the frame
+    # persisted because the eager budget total plus the token-budget
+    # histogram/boundary passes instantiate it several times.
+    d = widen_small_scan(_docs(spark, sf_dir).select("doc_id", "text"))
+    c = F.col("text")
+    langs = tuple(TA.LANG_PROFILES)
+    scored = d.select(
+        "doc_id",
+        *[TA.lang_scores(c, L).alias(f"score_{L}") for L in langs],
+        F.length(c).alias("_nc"),
+        TA._word_count(c).alias("_nw"),
+        F.size(
+            F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0))
+        ).alias("_np"),
+        TA.quality_col(c).alias("quality"),
+    )
+    best = F.greatest(*[F.col(f"score_{L}") for L in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for L in langs:  # first max wins => deterministic (lang_id parity)
+        pred = pred.when(F.col(f"score_{L}") == best, F.lit(L))
+    out = scored.select(
+        "doc_id",
+        *[F.col(f"score_{L}").cast("long").alias(f"score_{L}")
+          for L in langs],
+        pred.alias("lang_pred"),
+        F.col("_nc").cast("long").alias("n_chars_measured"),
+        F.col("_nw").cast("long").alias("n_words"),
+        TA.r4(F.col("_np") / F.greatest(F.col("_nc"), F.lit(1)))
+        .alias("punct_ratio"),
+        TA.r4(F.col("score_en") / F.greatest(F.col("_nw"), F.lit(1)))
+        .alias("stopword_ratio"),
+        "quality",
+    ).persist()
     total = out.agg(F.sum("n_chars_measured")).first()[0]
     base = select_token_budget(
         out, budget=int(0.4 * total), tokens_col="n_chars_measured"
@@ -650,7 +687,10 @@ def q_lang_quality(spark, sf_dir):
         page_meta_cols,
     )
 
-    pm = _docs(spark, sf_dir).select(
+    # html synthesized off the cached frame (doc_id-only construction):
+    # the page_meta regex battery then runs wide instead of on the
+    # single-task parquet scan
+    pm = out.select(
         "doc_id", _synth_page_html_col().alias("html")
     )
     pm = pm.select(
@@ -793,8 +833,18 @@ def q_bloom_incremental(spark, sf_dir):
                      F.col("doc_id").cast("string"))
         ).alias("text"),
     )
+    # r6 perf: the history signature frame is shared by the near and
+    # novelty arms (both sketch the SAME hist2 construction) and
+    # persisted — with persist_sigs the new-batch sigs also build once
+    # per arm instead of once per plan instantiation (band join + est
+    # re-join). Same operators, same results; ~4 redundant signature
+    # builds removed from this row.
+    from html_to_document_spark.operators.dedup import minhash_signature
+
+    hist_sigs = minhash_signature(hist2).persist()
     near_arm = incremental_near_dedup(
-        new2, hist2, threshold=0.85, exact_verify=True
+        new2, hist2, threshold=0.85, exact_verify=True,
+        history_sigs=hist_sigs, persist_sigs=True,
     ).select(F.lit("near").alias("arm"), "doc_id", "text")
 
     # novelty-report arm (r5-cont, snapshot_novelty): a third plant on
@@ -829,6 +879,7 @@ def q_bloom_incremental(spark, sf_dir):
     nov = snapshot_novelty(
         new3, hist2, group_col="g", near=True,
         threshold=0.85, exact_verify=True,
+        history_sigs=hist_sigs, persist_sigs=True,
     )
     nov_arm = nov.select(
         F.lit("novelty").alias("arm"),
@@ -1163,7 +1214,9 @@ def q_url_filter_blocked(spark, sf_dir):
         F.lit("#sec"),
     )
     docs = d.select("doc_id", url.alias("url"))
-    bl = spark.createDataFrame([("BlockedSite.com",)], "domain string")
+    from html_to_document_spark.operators.parallelism import literal_frame
+
+    bl = literal_frame(spark, [("BlockedSite.com",)], "domain string")
     flagged = flag_blocked_domains(docs, bl)
     # r5 continuation: the row also gates robots.txt compliance
     # (operators/robots.py, RFC 9309) end to end — parse + compile +
@@ -1179,7 +1232,8 @@ def q_url_filter_blocked(spark, sf_dir):
         robots_allowed,
     )
 
-    robots_df = spark.createDataFrame(
+    robots_df = literal_frame(
+        spark,
         [
             ("www.blockedsite.com",
              "User-agent: *\nDisallow: /a/\nAllow: /a/1"),
@@ -2337,7 +2391,8 @@ def q_decontaminate_fuzzy(spark, sf_dir):
         ).alias("text"),
     )
     return decontaminate_fuzzy(
-        train, bench, threshold=0.85, exact_verify=True
+        train, bench, threshold=0.85, exact_verify=True,
+        persist_sigs=True,
     )
 
 
@@ -2741,7 +2796,10 @@ def q_training_pipeline(spark, sf_dir):
     from html_to_document_spark.plans.pipeline import release_caches
 
     release_caches(reg)
-    counts = spark.createDataFrame(
+    from html_to_document_spark.operators.parallelism import literal_frame
+
+    counts = literal_frame(
+        spark,
         [(-1, "n_exact", float(n_exact)), (-2, "n_final", float(n_final))],
         "doc_id long, lang_pred string, quality double",
     )

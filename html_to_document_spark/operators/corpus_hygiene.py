@@ -244,6 +244,7 @@ def decontaminate_fuzzy(
     shingle_n: int = 3,
     exact_verify: bool = False,
     benchmark_sigs: "DataFrame | None" = None,
+    persist_sigs: bool = False,
 ) -> "DataFrame":
     """Fuzzy (near-duplicate) test-set decontamination: training docs
     whose MinHash-estimated shingle Jaccard against ANY benchmark doc
@@ -279,6 +280,7 @@ def decontaminate_fuzzy(
         threshold=threshold,
         exact_verify=exact_verify,
         history_sigs=benchmark_sigs,
+        persist_sigs=persist_sigs,
     )
     aggs = [
         F.count("*").alias("n_benchmark_matches"),

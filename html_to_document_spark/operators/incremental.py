@@ -385,9 +385,14 @@ def incremental_near_pairs(
         from pyspark.storagelevel import StorageLevel
 
         sigs_new = sigs_new.persist(StorageLevel.MEMORY_AND_DISK)
-        sigs_hist = sigs_hist.persist(StorageLevel.MEMORY_AND_DISK)
         if sig_cache is not None:
-            sig_cache.extend([sigs_new, sigs_hist])
+            sig_cache.append(sigs_new)
+        # caller-supplied history_sigs manage their own storage — a
+        # second persist here would just double-cache the same rows
+        if history_sigs is None:
+            sigs_hist = sigs_hist.persist(StorageLevel.MEMORY_AND_DISK)
+            if sig_cache is not None:
+                sig_cache.append(sigs_hist)
 
     banded_new = banded_frame(sigs_new, bands, rows_per_band)
     banded_hist = banded_frame(sigs_hist, bands, rows_per_band)

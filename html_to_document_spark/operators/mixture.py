@@ -197,7 +197,10 @@ def select_token_budget(
         .groupBy(q.alias("_q"))
         .agg(F.sum(toks).alias("_t"))
     )
-    if hist.limit(MAX_QUALITY_BUCKETS + 1).count() > MAX_QUALITY_BUCKETS:
+    # one bounded collect serves both the guard and the walk (r6: the
+    # separate limit-count action recomputed the upstream projection)
+    hist_rows = hist.limit(MAX_QUALITY_BUCKETS + 1).collect()
+    if len(hist_rows) > MAX_QUALITY_BUCKETS:
         raise ValueError(
             f"quality histogram exceeds MAX_QUALITY_BUCKETS "
             f"({MAX_QUALITY_BUCKETS}); quantize {quality_col!r} before "
@@ -205,7 +208,7 @@ def select_token_budget(
             f"driver-side budget walk"
         )
     buckets = sorted(
-        ((r["_q"], r["_t"]) for r in hist.collect()), key=lambda x: -x[0]
+        ((r["_q"], r["_t"]) for r in hist_rows), key=lambda x: -x[0]
     )
     cum = 0
     boundary = None
@@ -377,8 +380,11 @@ def shuffle_shard(
             cur_shard, cum = r[out_shard], 0
         offsets.append((r[out_shard], r["_sub"], cum))
         cum += r["count"]
-    off_df = with_key.sparkSession.createDataFrame(
-        offsets, f"{out_shard} int, _sub string, _off long"
+    from .parallelism import literal_frame
+
+    off_df = literal_frame(
+        with_key.sparkSession, offsets,
+        f"{out_shard} int, _sub string, _off long",
     )
     w = Window.partitionBy(out_shard, "_sub").orderBy("_digest", id_col)
     return (
@@ -446,14 +452,21 @@ url_filter.cap_domain_share>`'s hash mode gives ≈caps, but audits
         cum += r["count"]
         if quota > 0:
             spec.append((cur, r["_sub"], int(quota), quota == r["count"]))
+    # spec as a LITERAL struct array exploded JVM-side (r6, guide §4):
+    # a createDataFrame of a driver list becomes a pickled Python RDD
+    # whose first evaluation spawns a full Python worker pool for a
+    # few-hundred-row broadcast side. Types mirror the old explicit
+    # schema (the source column's own type, so non-string strata work).
     from pyspark.sql.types import (
         BooleanType, LongType, StringType, StructField, StructType,
     )
 
-    spec_df = keyed.sparkSession.createDataFrame(
+    from .parallelism import literal_frame
+
+    spec_df = literal_frame(
+        keyed.sparkSession,
         spec,
         StructType([
-            # the source column's own type, so non-string strata work
             StructField("_sk", df.schema[strata_col].dataType, True),
             StructField("_ss", StringType(), False),
             StructField("_quota", LongType(), False),

@@ -330,8 +330,10 @@ def bm25_score_multi(
     dfreq = hits.groupBy("_t").agg(
         F.count(F.lit(1)).cast("double").alias("_df")
     )
-    qmap = df.sparkSession.createDataFrame(
-        qmap_rows, ["query_id", "_t"]
+    from .parallelism import literal_frame
+
+    qmap = literal_frame(
+        df.sparkSession, qmap_rows, ["query_id", "_t"]
     )
 
     j = (

@@ -84,15 +84,20 @@ def assign_clusters(
     from pyspark.sql import functions as F
 
     from html_to_document_spark.operators.similarity import (
-        cosine_similarity,
+        cosine_similarity_fixed,
     )
     from html_to_document_spark.operators.text_analysis import r4
 
+    # fixed-dim unrolled cosine (r6, guide §4.1): same doubles, but
+    # whole-stage-codegen-able instead of an interpreted higher-order
+    # aggregate per (row, centroid)
+    dim = len(centroids[0])
     v = F.col(vec_col)
     scored = F.array(
         *[
             F.struct(
-                r4(cosine_similarity(v, _centroid_lit(c))).alias("sim"),
+                r4(cosine_similarity_fixed(v, _centroid_lit(c), dim))
+                .alias("sim"),
                 F.lit(-i).alias("negi"),
             )
             for i, c in enumerate(centroids)
@@ -133,7 +138,10 @@ def semantic_dedup(
 
     assigned = assign_clusters(df, centroids, id_col, vec_col)
 
-    from html_to_document_spark.operators.similarity import _dot, _norm
+    from html_to_document_spark.operators.similarity import (
+        _dot_fixed,
+        _norm_fixed,
+    )
     from html_to_document_spark.operators.text_analysis import r4
 
     # hoist the per-row norm ABOVE the join: the pair predicate then
@@ -141,17 +149,21 @@ def semantic_dedup(
     # would otherwise be re-folded for every pair a row appears in —
     # measured 3x per-pair cost at sf0.1). Same double math, so the
     # rounded cosine is bit-identical to cosine_similarity's.
+    # r6: both kernels are the fixed-dim unrolled forms (guide §4.1) —
+    # same fold order and doubles, codegen instead of interpreted
+    # higher-order aggregates per pair.
+    dim = len(centroids[0])
     lhs = assigned.select(
         F.col(id_col).alias("_ia"),
         F.col(vec_col).alias("_va"),
-        _norm(F.col(vec_col)).alias("_na"),
+        _norm_fixed(F.col(vec_col), dim).alias("_na"),
         F.col("cluster").alias("_c"),
         F.col("centroid_sim").alias("_sa"),
     )
     rhs_all = assigned.select(
         F.col(id_col).alias("_ib"),
         F.col(vec_col).alias("_vb"),
-        _norm(F.col(vec_col)).alias("_nb"),
+        _norm_fixed(F.col(vec_col), dim).alias("_nb"),
         F.col("cluster").alias("_c"),
         F.col("centroid_sim").alias("_sb"),
     )
@@ -161,7 +173,8 @@ def semantic_dedup(
         (F.col("_sb") == F.col("_sa")) & (F.col("_ib") < F.col("_ia"))
     )
     close = r4(
-        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        _dot_fixed(F.col("_va"), F.col("_vb"), dim)
+        / (F.col("_na") * F.col("_nb"))
     ) >= float(eps)
 
     if cluster_cap is None:

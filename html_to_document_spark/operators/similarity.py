@@ -42,8 +42,42 @@ def _norm(a) -> "Column":
     )
 
 
+def _dot_fixed(a, b, dim: int) -> "Column":
+    """Unrolled fixed-dimension dot product (r6, guide §4.1): the
+    ``aggregate``/``zip_with`` form of :func:`_dot` is an interpreted
+    higher-order expression (CodegenFallback) evaluated per PAIR in
+    cluster self-joins; this unrolled chain of GetArrayItem/multiply/
+    add compiles under whole-stage codegen. Bit-identical doubles:
+    ``0.0 + v0 == v0`` in IEEE754 and both forms associate strictly
+    left-to-right, so the fold order (and hence every rounding) is
+    unchanged. Requires arrays of exactly ``dim`` elements (shorter
+    arrays yield NULL in both forms; longer arrays would differ —
+    callers pass the known embedding dimension)."""
+    import functools
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    terms = [
+        a[i].cast("double") * b[i].cast("double") for i in range(dim)
+    ]
+    return functools.reduce(lambda acc, t: acc + t, terms)
+
+
+def _norm_fixed(a, dim: int) -> "Column":
+    """Unrolled fixed-dimension L2 norm — see :func:`_dot_fixed`."""
+    from pyspark.sql import functions as F
+
+    return F.sqrt(_dot_fixed(a, a, dim))
+
+
 def cosine_similarity(a, b) -> "Column":
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_similarity_fixed(a, b, dim: int) -> "Column":
+    """``cosine_similarity`` with the codegen-able fixed-dim kernels —
+    identical doubles (same fold order), far cheaper per evaluation."""
+    return _dot_fixed(a, b, dim) / (_norm_fixed(a, dim) * _norm_fixed(b, dim))
 
 
 def cosine_topk(
