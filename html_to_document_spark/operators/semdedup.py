@@ -84,20 +84,22 @@ def assign_clusters(
     from pyspark.sql import functions as F
 
     from html_to_document_spark.operators.similarity import (
-        cosine_similarity_fixed,
+        cosine_similarity,
     )
     from html_to_document_spark.operators.text_analysis import r4
 
-    # fixed-dim unrolled cosine (r6, guide §4.1): same doubles, but
-    # whole-stage-codegen-able instead of an interpreted higher-order
-    # aggregate per (row, centroid)
-    dim = len(centroids[0])
+    # r6 note: an unrolled fixed-dim cosine was tried here and
+    # REVERTED — the 8 x ~200-node literal chains drop the downstream
+    # pair join out of whole-stage codegen, and the interpreted join
+    # predicate then re-evaluates the COLLAPSED assignment expression
+    # per pair (measured 12s -> 56s for the semantic_dedup row at
+    # sf0.1). The higher-order aggregate keeps the tree small; its
+    # per-ROW cost is negligible beside the per-PAIR stage.
     v = F.col(vec_col)
     scored = F.array(
         *[
             F.struct(
-                r4(cosine_similarity_fixed(v, _centroid_lit(c), dim))
-                .alias("sim"),
+                r4(cosine_similarity(v, _centroid_lit(c))).alias("sim"),
                 F.lit(-i).alias("negi"),
             )
             for i, c in enumerate(centroids)
@@ -138,10 +140,7 @@ def semantic_dedup(
 
     assigned = assign_clusters(df, centroids, id_col, vec_col)
 
-    from html_to_document_spark.operators.similarity import (
-        _dot_fixed,
-        _norm_fixed,
-    )
+    from html_to_document_spark.operators.similarity import _dot, _norm
     from html_to_document_spark.operators.text_analysis import r4
 
     # hoist the per-row norm ABOVE the join: the pair predicate then
@@ -149,21 +148,22 @@ def semantic_dedup(
     # would otherwise be re-folded for every pair a row appears in —
     # measured 3x per-pair cost at sf0.1). Same double math, so the
     # rounded cosine is bit-identical to cosine_similarity's.
-    # r6: both kernels are the fixed-dim unrolled forms (guide §4.1) —
-    # same fold order and doubles, codegen instead of interpreted
-    # higher-order aggregates per pair.
-    dim = len(centroids[0])
+    # r6 note: the unrolled fixed-dim kernel was tried here and
+    # REVERTED — as a join condition the 192-node Add chain falls out
+    # of codegen and interprets ~7x slower per pair than the HOF fold
+    # (measured 23s -> 60s on the sf0.1 pair stage); the HOF form
+    # stays the right per-pair kernel inside joins.
     lhs = assigned.select(
         F.col(id_col).alias("_ia"),
         F.col(vec_col).alias("_va"),
-        _norm_fixed(F.col(vec_col), dim).alias("_na"),
+        _norm(F.col(vec_col)).alias("_na"),
         F.col("cluster").alias("_c"),
         F.col("centroid_sim").alias("_sa"),
     )
     rhs_all = assigned.select(
         F.col(id_col).alias("_ib"),
         F.col(vec_col).alias("_vb"),
-        _norm_fixed(F.col(vec_col), dim).alias("_nb"),
+        _norm(F.col(vec_col)).alias("_nb"),
         F.col("cluster").alias("_c"),
         F.col("centroid_sim").alias("_sb"),
     )
@@ -173,8 +173,7 @@ def semantic_dedup(
         (F.col("_sb") == F.col("_sa")) & (F.col("_ib") < F.col("_ia"))
     )
     close = r4(
-        _dot_fixed(F.col("_va"), F.col("_vb"), dim)
-        / (F.col("_na") * F.col("_nb"))
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     ) >= float(eps)
 
     if cluster_cap is None:

@@ -42,42 +42,15 @@ def _norm(a) -> "Column":
     )
 
 
-def _dot_fixed(a, b, dim: int) -> "Column":
-    """Unrolled fixed-dimension dot product (r6, guide §4.1): the
-    ``aggregate``/``zip_with`` form of :func:`_dot` is an interpreted
-    higher-order expression (CodegenFallback) evaluated per PAIR in
-    cluster self-joins; this unrolled chain of GetArrayItem/multiply/
-    add compiles under whole-stage codegen. Bit-identical doubles:
-    ``0.0 + v0 == v0`` in IEEE754 and both forms associate strictly
-    left-to-right, so the fold order (and hence every rounding) is
-    unchanged. Requires arrays of exactly ``dim`` elements (shorter
-    arrays yield NULL in both forms; longer arrays would differ —
-    callers pass the known embedding dimension)."""
-    import functools
-
-    if dim < 1:
-        raise ValueError(f"dim must be >= 1, got {dim}")
-    terms = [
-        a[i].cast("double") * b[i].cast("double") for i in range(dim)
-    ]
-    return functools.reduce(lambda acc, t: acc + t, terms)
-
-
-def _norm_fixed(a, dim: int) -> "Column":
-    """Unrolled fixed-dimension L2 norm — see :func:`_dot_fixed`."""
-    from pyspark.sql import functions as F
-
-    return F.sqrt(_dot_fixed(a, a, dim))
-
-
 def cosine_similarity(a, b) -> "Column":
+    # r6 perf note: an unrolled fixed-dim variant (explicit
+    # a[0]*b[0]+...+a[d-1]*b[d-1], same fold order) was tried and
+    # REVERTED — the ~200-node literal chain drops consuming stages
+    # out of whole-stage codegen, and interpreted evaluation of the
+    # deep Add tree is ~7x SLOWER per call than this higher-order
+    # fold (measured on the semantic_dedup pair stage: 12s -> 56s at
+    # sf0.1). Keep the HOF form.
     return _dot(a, b) / (_norm(a) * _norm(b))
-
-
-def cosine_similarity_fixed(a, b, dim: int) -> "Column":
-    """``cosine_similarity`` with the codegen-able fixed-dim kernels —
-    identical doubles (same fold order), far cheaper per evaluation."""
-    return _dot_fixed(a, b, dim) / (_norm_fixed(a, dim) * _norm_fixed(b, dim))
 
 
 def cosine_topk(
