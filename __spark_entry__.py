@@ -663,7 +663,7 @@ def q_lang_quality(spark, sf_dir):
         TA.r4(F.col("score_en") / F.greatest(F.col("_nw"), F.lit(1)))
         .alias("stopword_ratio"),
         "quality",
-    ).persist()
+    ).localCheckpoint(eager=True)
     total = out.agg(F.sum("n_chars_measured")).first()[0]
     base = select_token_budget(
         out, budget=int(0.4 * total), tokens_col="n_chars_measured"
@@ -818,10 +818,19 @@ def q_bloom_incremental(spark, sf_dir):
             for i in range(10)
         ],
     )
+    # r6 perf: the planted frames are localCheckpoint'ed (lazy) — each
+    # appears in 3-4 plan instantiations (signatures, band join, exact
+    # verify, anti-join) and the 40-term phrase construction made every
+    # downstream DataFrame call re-analyze a large tree (measured
+    # ~4.5 s of pure plan-build per invocation of this row); the
+    # truncated plans also evaluate the construction once per row
+    # instead of once per instantiation. Values are unchanged — this
+    # is the same in-query materialize pattern the training pipeline
+    # uses.
     hist2 = docs.filter(F.col("doc_id") % 7 == 0).select(
         "doc_id",
         F.concat_ws(" ", phrase, phrase, phrase, phrase).alias("text"),
-    )
+    ).localCheckpoint(eager=False)
     new2 = docs.filter(F.col("doc_id") % 7 != 0).select(
         "doc_id",
         F.when(
@@ -832,7 +841,7 @@ def q_bloom_incremental(spark, sf_dir):
             F.concat(F.col("text"), F.lit(" uniq"),
                      F.col("doc_id").cast("string"))
         ).alias("text"),
-    )
+    ).localCheckpoint(eager=False)
     # r6 perf: the history signature frame is shared by the near and
     # novelty arms (both sketch the SAME hist2 construction) and
     # persisted — with persist_sigs the new-batch sigs also build once
@@ -841,7 +850,7 @@ def q_bloom_incremental(spark, sf_dir):
     # builds removed from this row.
     from html_to_document_spark.operators.dedup import minhash_signature
 
-    hist_sigs = minhash_signature(hist2).persist()
+    hist_sigs = minhash_signature(hist2).localCheckpoint(eager=False)
     near_arm = incremental_near_dedup(
         new2, hist2, threshold=0.85, exact_verify=True,
         history_sigs=hist_sigs, persist_sigs=True,
@@ -875,7 +884,7 @@ def q_bloom_incremental(spark, sf_dir):
             F.concat(F.col("text"), F.lit(" uniq"),
                      F.col("doc_id").cast("string"))
         ).alias("text"),
-    )
+    ).localCheckpoint(eager=False)
     nov = snapshot_novelty(
         new3, hist2, group_col="g", near=True,
         threshold=0.85, exact_verify=True,
