@@ -765,7 +765,11 @@ def q_lm_perplexity(spark, sf_dir):
         ).alias("text"),
     )
     model = fit_ngram_lm(planted, min_count=3, k=0.5, lam=0.9)
-    scored = perplexity(planted, model)
+    # r6 perf: the broadcast-model Python scorer would otherwise run
+    # once for the threshold fit and again for the returned frame —
+    # localCheckpoint truncates the plan so the scoring stage executes
+    # exactly once per invocation
+    scored = perplexity(planted, model).localCheckpoint(eager=False)
     thr = fit_ppl_thresholds(scored.filter(F.col("doc_id") % 5 == 0))
     return scored.withColumn("ppl_bucket", ppl_bucket_col("ppl", thr))
 
@@ -1617,9 +1621,15 @@ def q_pdf_extract(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": ids, "content": blobs})
 
+    # r6 perf (guide §2.2): widen the tiny single-file scan so the
+    # fused Python synth+parse+extract stage uses every core instead
+    # of the scan's single task; no-op on wide inputs
+    from html_to_document_spark.operators.parallelism import (
+        widen_small_scan,
+    )
+
     pdfs = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
+        widen_small_scan(_docs(spark, sf_dir).select("doc_id", "text"))
         .mapInPandas(synth, "doc_id string, content binary")
     )
     flat = exploded(extract_pdf_spans(pdfs, reading_order=True))

@@ -166,6 +166,11 @@ def fit_dsir(
 
     tgt = _gram_counts(target_df, text_col)
     raw = _gram_counts(raw_df, text_col)
+    if num_buckets is None and vocab_cap is not None:
+        # persisted: the capped raw-gram path reads this aggregate
+        # twice — the driver collect and the vocab frame for the
+        # raw-side mapping join (r6)
+        tgt = tgt.persist()
 
     if num_buckets is not None:
         B = int(num_buckets)
@@ -208,15 +213,35 @@ def fit_dsir(
     for g, c in ct_raw.items():
         m = g if g in vocab else UNK
         ct[m] = ct.get(m, 0) + c
-    # raw counts mapped through the SAME feature space JVM-side
-    # (isin compiles to an InSet hash probe): the collected raw rows
-    # are bounded by |vocab|+1, never the raw corpus's open vocabulary
-    # — without this the driver collect would be O(crawl vocab)
-    in_vocab = (
-        F.col("gram").isin(sorted(vocab)) if vocab else F.lit(False)
-    )
+    # raw counts mapped through the SAME feature space JVM-side: the
+    # collected raw rows are bounded by |vocab|+1, never the raw
+    # corpus's open vocabulary — without this the driver collect would
+    # be O(crawl vocab).
+    # r6 (guide §3.1): the membership probe is a broadcast JOIN
+    # against the vocab frame derived from the persisted target
+    # aggregate (identical top-cap + min_count cut the driver
+    # applied), not a |vocab|-literal isin — the InSet form rebuilt
+    # the 65k-entry hash set once per task and bloated every plan
+    # that analyzed it (see lm_filter.fit_ngram_lm).
+    if vocab_cap is not None:
+        vdf = (
+            tgt.orderBy(F.col("count").desc(), F.col("gram").asc())
+            .limit(vocab_cap)
+            .where(F.col("count") >= int(min_count))
+            .select(F.col("gram").alias("_vg"))
+            .withColumn("_inv", F.lit(True))
+        )
+        raw_in = raw.join(
+            F.broadcast(vdf), F.col("gram") == F.col("_vg"), "left"
+        )
+        in_vocab = F.col("_inv").isNotNull()
+    else:
+        raw_in = raw
+        in_vocab = (
+            F.col("gram").isin(sorted(vocab)) if vocab else F.lit(False)
+        )
     raw_mapped = (
-        raw.groupBy(
+        raw_in.groupBy(
             F.when(in_vocab, F.col("gram"))
             .otherwise(F.lit(UNK))
             .alias("m")
@@ -224,6 +249,8 @@ def fit_dsir(
         .agg(F.sum("count").alias("c"))
         .collect()
     )
+    if num_buckets is None and vocab_cap is not None:
+        tgt.unpersist()
     cr = {r["m"]: r["c"] for r in raw_mapped}
     return {
         "mode": "gram",

@@ -105,13 +105,17 @@ def fit_ngram_lm(
             F.split(F.col(text_col), r"\s+"), lambda t: t != ""
         ).alias("_w")
     )
-    # unigram counts: one explode + map-side-combinable groupBy
+    # unigram counts: one explode + map-side-combinable groupBy.
+    # Persisted (tiny: one row per distinct word, bounded further by
+    # the cap) because the capped path derives the vocab frame for the
+    # bigram mapping join from the same aggregate (r6).
     uni = (
         words.select(F.explode("_w").alias("w"))
         .groupBy("w")
         .count()
     )
     if vocab_cap is not None:
+        uni = uni.persist()
         uni_rows = uni.orderBy(
             F.col("count").desc(), F.col("w").asc()
         ).limit(vocab_cap).collect()
@@ -142,24 +146,45 @@ def fit_ngram_lm(
         )
     )
     if vocab_cap is not None:
-        # map through the capped vocab JVM-side BEFORE collecting
-        # (isin compiles to an InSet hash probe, |vocab| <= cap):
+        # map through the capped vocab JVM-side BEFORE collecting:
         # the collected bigram rows are then bounded by the mapped
         # pair space, not the reference's open bigram vocabulary —
         # without this, vocab_cap capped the model but NOT the
-        # driver collect (the dsir.fit_dsir pattern)
-        def _mapped(c):
-            in_v = c.isin(sorted(vocab)) if vocab else F.lit(False)
-            return F.when(in_v, c).otherwise(F.lit(UNK))
+        # driver collect (the dsir.fit_dsir pattern).
+        # r6 (guide §3.1): the mapping is a broadcast JOIN against the
+        # vocab frame derived from the SAME persisted unigram
+        # aggregate (identical top-cap + min_count cut the driver
+        # applied), not a |vocab|-literal isin — the InSet form
+        # rebuilt a 65k-entry hash set once per task (~19 CPU-s at 64
+        # tasks, measured) and bloated every plan that analyzed it.
+        vdf = (
+            uni.orderBy(F.col("count").desc(), F.col("w").asc())
+            .limit(vocab_cap)
+            .where(F.col("count") >= int(min_count))
+            .select(F.col("w").alias("_vw"))
+            .withColumn("_inv", F.lit(True))
+        )
+
+        def _mapped(c, inv):
+            return F.when(inv.isNotNull(), c).otherwise(F.lit(UNK))
 
         big_rows = (
-            big_rows.groupBy(
-                _mapped(F.col("b.w1")).alias("w1"),
-                _mapped(F.col("b.w2")).alias("w2"),
+            big_rows.join(
+                F.broadcast(vdf.withColumnRenamed("_inv", "_inv1")),
+                F.col("b.w1") == F.col("_vw"), "left",
+            ).drop("_vw")
+            .join(
+                F.broadcast(vdf.withColumnRenamed("_inv", "_inv2")),
+                F.col("b.w2") == F.col("_vw"), "left",
+            ).drop("_vw")
+            .groupBy(
+                _mapped(F.col("b.w1"), F.col("_inv1")).alias("w1"),
+                _mapped(F.col("b.w2"), F.col("_inv2")).alias("w2"),
             )
             .count()
             .collect()
         )
+        uni.unpersist()
     else:
         big_rows = big_rows.groupBy("b.w1", "b.w2").count().collect()
 

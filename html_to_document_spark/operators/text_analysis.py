@@ -154,7 +154,13 @@ def fingerprint(df: "DataFrame", text_col: str = "text") -> "DataFrame":
     """
     from pyspark.sql import functions as F
 
-    words = df.select(
+    from .parallelism import widen_small_scan
+
+    # widen tiny scans before the posexplode + sum aggregate (r6,
+    # guide §2.2); keyed on doc_id so the groupBy reuses the exchange
+    words = widen_small_scan(
+        df.select("doc_id", text_col), "doc_id"
+    ).select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
             "pos", "word"
