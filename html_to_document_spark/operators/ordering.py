@@ -65,7 +65,15 @@ def semantic_order(
     if sub_cells < 1:
         raise ValueError(f"sub_cells must be >= 1, got {sub_cells}")
 
-    assigned = assign_clusters(df, centroids, id_col=id_col, vec_col=vec_col)
+    from html_to_document_spark.operators.parallelism import (
+        widen_small_scan,
+    )
+
+    # widen tiny scans ahead of the k x dim assignment projection
+    # (r6, guide §2.2); no-op on wide inputs
+    assigned = assign_clusters(
+        widen_small_scan(df), centroids, id_col=id_col, vec_col=vec_col
+    )
     sub = (
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(sub_cells)).cast("int")
         if sub_cells > 1

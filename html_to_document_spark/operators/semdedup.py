@@ -138,7 +138,20 @@ def semantic_dedup(
     rule."""
     from pyspark.sql import functions as F
 
-    assigned = assign_clusters(df, centroids, id_col, vec_col)
+    from html_to_document_spark.operators.parallelism import (
+        widen_small_scan,
+    )
+
+    # r6 perf: widen tiny scans so the per-pair cosine stage uses
+    # every core (no-op on wide inputs), then localCheckpoint the
+    # assignment — it feeds BOTH join sides and the final anti-join,
+    # and each instantiation re-analyzed (and re-evaluated) the
+    # k x dim centroid-literal expression tree (~5 s of driver-side
+    # plan work per run at k=8, dim=64, measured). Same in-query
+    # materialize pattern as the training pipeline; values unchanged.
+    assigned = assign_clusters(
+        widen_small_scan(df), centroids, id_col, vec_col
+    ).localCheckpoint(eager=False)
 
     from html_to_document_spark.operators.similarity import _dot, _norm
     from html_to_document_spark.operators.text_analysis import r4
