@@ -516,9 +516,16 @@ def minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, shingle_n, max_words=max_words
     ).select(F.col(id_col).alias("_id"), "minhash")
     if persist_sigs:
-        from pyspark.storagelevel import StorageLevel
-
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        # r6: eager localCheckpoint instead of persist. The signature
+        # frame feeds four concurrently-planned AQE stages (hot-bucket
+        # agg broadcast, anti-join, band self-join, est re-joins);
+        # with a lazy cache those racing stages each recomputed the
+        # full shingle + 64-hash build (~4x the sig CPU, measured at
+        # sf0.1). The checkpoint materializes once BEFORE downstream
+        # planning and truncates the logical plan; blocks are freed by
+        # the ContextCleaner when the frame goes out of scope
+        # (sig_cache callers' unpersist() is a harmless no-op).
+        sigs = sigs.localCheckpoint(eager=True)
         if sig_cache is not None:
             sig_cache.append(sigs)
 
