@@ -2393,11 +2393,15 @@ def q_decontaminate_fuzzy(spark, sf_dir):
             for i in range(10)
         ],
     )
+    # r6 perf: localCheckpoint the planted constructions — the fuzzy
+    # arm instantiates each frame 3x (signatures, band join, exact
+    # verify) and the 40-term phrase tree dominated the 4-arm union's
+    # driver-side plan analysis (same fix as q_bloom_incremental)
     bench = docs.filter(
         (F.col("doc_id") % 97 == 0) & (F.col("doc_id") <= 194)
     ).select(
         "doc_id", F.concat_ws(" ", phrase, phrase, phrase, phrase).alias("text")
-    )
+    ).localCheckpoint(eager=False)
     train = docs.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id",
         F.when(
@@ -2408,7 +2412,7 @@ def q_decontaminate_fuzzy(spark, sf_dir):
             F.concat(F.col("text"), F.lit(" uq"),
                      F.col("doc_id").cast("string"))
         ).alias("text"),
-    )
+    ).localCheckpoint(eager=False)
     return decontaminate_fuzzy(
         train, bench, threshold=0.85, exact_verify=True,
         persist_sigs=True,

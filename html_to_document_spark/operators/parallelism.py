@@ -35,23 +35,24 @@ __all__ = ["widen_small_scan", "literal_frame"]
 
 
 def literal_frame(spark, rows, schema=None) -> "DataFrame":
-    """Tiny driver-side row list as a pure-JVM literal frame.
+    """Tiny driver-side row list as a JVM-evaluable frame.
 
     ``spark.createDataFrame(list)`` builds a pickled Python RDD whose
     first evaluation spawns a full set of Python workers — measured
     ~45 executor-seconds of pure wait at 32 cores for a
-    few-hundred-row broadcast side (r6, guide §4). Literals live in
-    the plan itself: explode(array(struct(...))) — no Python, no RDD,
-    no worker pool. Use for small specs/seeds only (every row becomes
-    plan literals); real data still belongs in createDataFrame.
+    few-hundred-row broadcast side (r6, guide §4). A plan-literal
+    ``explode(array(struct(...)))`` form was tried and REVERTED: it
+    costs one py4j roundtrip per CELL (~3 s to merely BUILD a 200-row
+    spec, measured). This path goes through pandas + the Arrow
+    ``createDataFrame`` bridge instead — two roundtrips total, and
+    the JVM evaluates the frame as a local Arrow relation with no
+    Python worker pool at runtime.
 
-    ``schema``: DDL string ("a int, b string") or StructType — every
-    value is cast to its field type (createDataFrame parity) — or a
-    plain list of column names, where types follow ``F.lit``
-    inference (str/int/float/bool, same as createDataFrame's sampler
-    for flat rows; None values need a typed schema).
+    ``schema``: DDL string ("a int, b string"), StructType, or a
+    plain list of column names (types then follow the usual
+    createDataFrame inference; None values need a typed schema).
     """
-    from pyspark.sql import functions as F
+    import pandas as pd
     from pyspark.sql.types import StructType
 
     st = names = None
@@ -63,32 +64,19 @@ def literal_frame(spark, rows, schema=None) -> "DataFrame":
         st = _parse_datatype_string(schema)
     elif schema is not None:
         names = list(schema)
-    if not rows:
-        if st is None:
-            raise ValueError("literal_frame needs a typed schema for 0 rows")
-        return spark.range(0).select(
-            *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
-        )
     if st is not None:
-        structs = [
-            F.struct(*[
-                F.lit(v).cast(f.dataType).alias(f.name)
-                for v, f in zip(row, st.fields)
-            ])
-            for row in rows
-        ]
-    else:
-        if names is None:
-            names = [f"_c{i}" for i in range(len(rows[0]))]
-        structs = [
-            F.struct(*[
-                F.lit(v).alias(n) for v, n in zip(row, names)
-            ])
-            for row in rows
-        ]
-    return spark.range(1).select(
-        F.explode(F.array(*structs)).alias("_r")
-    ).select("_r.*")
+        names = [f.name for f in st.fields]
+    if not rows and st is None:
+        raise ValueError("literal_frame needs a typed schema for 0 rows")
+    if names is None:
+        names = [f"_c{i}" for i in range(len(rows[0]))]
+    if st is not None:
+        # object dtype keeps ints exact beside Nones (no float
+        # coercion); the explicit schema drives the Arrow conversion
+        pdf = pd.DataFrame(list(rows), columns=names, dtype=object)
+        return spark.createDataFrame(pdf, schema=st)
+    pdf = pd.DataFrame(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema=names)
 
 
 def widen_small_scan(df: "DataFrame", *key_cols: str) -> "DataFrame":
