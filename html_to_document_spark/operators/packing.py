@@ -119,26 +119,6 @@ def pack_sequences(
     return counted.mapInPandas(fn, PACK_SCHEMA)
 
 
-def packing_stats(packed: "DataFrame", budget: int) -> "DataFrame":
-    """One-row utilization summary of a ``pack_sequences`` result:
-    (n_docs, n_bins, total_tokens, mean_fill, p10_fill) where fill is
-    a regular bin's used fraction (oversize bins excluded — their
-    'fill' is not a packing-quality signal)."""
-    from pyspark.sql import functions as F
-
-    per_bin = (
-        packed.filter(~F.col("oversize"))
-        .groupBy("bin_id")
-        .agg(F.sum("n_tokens").alias("used"))
-        .select((F.col("used") / budget).alias("fill"))
-    )
-    return per_bin.agg(
-        F.count("*").alias("n_bins"),
-        F.round(F.avg("fill"), 4).alias("mean_fill"),
-        F.round(F.expr("percentile(fill, 0.1)"), 4).alias("p10_fill"),
-    )
-
-
 def chunk_token_windows(
     df: "DataFrame",
     text_col: str = "text",
