@@ -50,14 +50,19 @@ __all__ = [
 def _gram_occurrences(df: "DataFrame", text_col: str, id_col: str, n: int):
     from pyspark.sql import functions as F
 
+    from .parallelism import widen_small_scan
+
     # split materialized as a column FIRST: a lambda referencing the
     # outer split() makes Catalyst re-run the split per array element
     # (O(doc_len^2) per doc; measured on the gopher gram explode)
     words = F.col("_w")
-    return df.select(
+    # widen tiny scans before the n-gram window explode (r6, guide
+    # §2.2: ~(words-n) x n word-joins per doc would otherwise run at
+    # single-file scan parallelism); no-op on wide inputs
+    return widen_small_scan(df.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
-    ).select(
+    )).select(
         "doc_id",
         F.explode(
             F.when(
