@@ -1885,9 +1885,19 @@ def q_interleaved_stats(spark, sf_dir):
         span_lang_stats,
     )
 
-    sp = _docs(spark, sf_dir).select(
-        "doc_id", _interleaved_spans_expr().alias("spans")
+    # r6 perf: widen the tiny scan ahead of the heavy span-synthesis
+    # HOF and checkpoint the synthesized frame — it feeds both the
+    # hot-ref aggregate and the stats chain, so the construction would
+    # otherwise evaluate twice (and at single-task parallelism)
+    from html_to_document_spark.operators.parallelism import (
+        widen_small_scan,
     )
+
+    sp = widen_small_scan(
+        _docs(spark, sf_dir).select("doc_id", "text", "source")
+    ).select(
+        "doc_id", _interleaved_spans_expr().alias("spans")
+    ).localCheckpoint(eager=False)
     hot = hot_media_refs(sp, min_docs=8)
     # r5-cont: span-level language profile (span_lang_stats — the
     # block-level mixed-language signal) rides the same row; the
