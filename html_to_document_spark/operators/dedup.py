@@ -516,16 +516,20 @@ def minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, shingle_n, max_words=max_words
     ).select(F.col(id_col).alias("_id"), "minhash")
     if persist_sigs:
-        # r6: eager localCheckpoint instead of persist. The signature
-        # frame feeds four concurrently-planned AQE stages (hot-bucket
-        # agg broadcast, anti-join, band self-join, est re-joins);
-        # with a lazy cache those racing stages each recomputed the
-        # full shingle + 64-hash build (~4x the sig CPU, measured at
-        # sf0.1). The checkpoint materializes once BEFORE downstream
-        # planning and truncates the logical plan; blocks are freed by
-        # the ContextCleaner when the frame goes out of scope
-        # (sig_cache callers' unpersist() is a harmless no-op).
-        sigs = sigs.localCheckpoint(eager=True)
+        # r6: localCheckpoint instead of persist. The signature frame
+        # feeds four concurrently-planned AQE stages (hot-bucket agg
+        # broadcast, anti-join, band self-join, est re-joins); with a
+        # lazy SQL cache those racing stages each recomputed the full
+        # shingle + 64-hash build (~4x the sig CPU, measured at
+        # sf0.1). The checkpoint truncates the logical plan and its
+        # RDD blocks dedupe computation under BlockManager locks, so
+        # concurrent readers share one build; lazy (eager=False)
+        # additionally lets sig builds of SEPARATE frames overlap
+        # instead of serializing at plan-construction time (measured
+        # bloom cold 19 -> 9, minhash cold 7.8 -> 4.6). Blocks are
+        # freed by the ContextCleaner when the frame goes out of
+        # scope (sig_cache callers' unpersist() is a harmless no-op).
+        sigs = sigs.localCheckpoint(eager=False)
         if sig_cache is not None:
             sig_cache.append(sigs)
 
