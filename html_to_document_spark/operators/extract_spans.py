@@ -183,13 +183,20 @@ def extract_spans_from_html(
     doc_id_col: str = "doc_id",
     options: ExtractOptions = DEFAULT_OPTIONS,
 ) -> "DataFrame":
-    """Same operator for inputs carrying raw HTML in a string column."""
+    """Same operator for inputs carrying raw HTML in a string column.
+
+    The projection is widened first (r6, guide §2.2): a tiny
+    single-file scan plans 1 map task and the Python extraction stage
+    would run serial; no-op (no added shuffle) on wide inputs. Callers
+    needing the skew-routed pools use ``extract_spans_balanced``."""
     from pyspark.sql import functions as F
 
-    flat = df.select(
+    from .parallelism import widen_small_scan
+
+    flat = widen_small_scan(df.select(
         F.col(doc_id_col).cast("string").alias("doc_id"),
         F.col(html_col).alias("html"),
-    )
+    ))
     return _run_extract(flat, options)
 
 
